@@ -1,38 +1,108 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: one full crawl round (canonicalize → robots →
+                bloom+seen gate → politeness window → fetch-join →
+                vectorized extraction UDF → NLP) over a pages corpus
+                derived deterministically from /root/testdata/sf0.001.
+queries()     — one entry per operator family from SURVEY.md §2 plus the
+                training-data ops (dedup / similarity / text analysis /
+                multimodal plumbing); implementations in
+                risjbot_spark/queries.py.
+oracle_sql()  — matching DuckDB SQL for everything SQL-expressible.
+                Crawl-engine end-to-end queries (crawl_round,
+                extract_articles) are rows-only by design: the extraction
+                UDF's DOM semantics are not SQL, they are locked by the
+                pytest fixture suite instead (tests/test_extract.py).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: crawl the documents-derived
+    corpus for one round and return (url, headline, bodytext-derived cols)."""
+    from risjbot_spark.corpus import docs_to_pages
+    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
+    from risjbot_spark.frontier.state import RefetchConfig
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages = docs_to_pages(spark, sf_dir, partitions=8)
+    seeds = pages.select("url").withColumn("priority", F.lit(0))
+    wh = tempfile.mkdtemp(prefix="risjbot_entry_")
+    eng = CrawlEngine(
+        spark, wh, pages, robots=None,
+        cfg=CrawlConfig(refetch=RefetchConfig(), num_partitions=8,
+                        collect_lineage=False),
+    )
+    eng.run_round(seeds, 0, datetime(2017, 4, 1, tzinfo=timezone.utc))
+    return (
+        eng.articles_table.read()
+        .select("url_canon", "source", "headline", "section", "language",
+                "bodytext", "wordcount", "sentiment", "subjectivity",
+                "fleschreadingease", "status")
+        .orderBy("url_canon")
+    )
+
+
+def _crawl_round_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: full engine round over the documents-derived corpus."""
+    from risjbot_spark.corpus import docs_to_pages
+    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
+    from risjbot_spark.frontier.state import RefetchConfig
+
+    pages = docs_to_pages(spark, sf_dir, partitions=8)
+    seeds = pages.select("url").withColumn("priority", F.lit(0))
+    wh = tempfile.mkdtemp(prefix="risjbot_q_")
+    eng = CrawlEngine(spark, wh, pages, robots=None,
+                      cfg=CrawlConfig(refetch=RefetchConfig(),
+                                      num_partitions=8,
+                                      collect_lineage=False))
+    eng.run_round(seeds, 0, datetime(2017, 4, 1, tzinfo=timezone.utc))
+    return (
+        eng.articles_table.read()
+        .select("url_canon", "headline", "wordcount", "status")
+        .orderBy("url_canon")
+    )
+
+
+def _extract_articles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the byte-identity surface — extraction UDF output equals
+    the corpus's generator-known `text` column for every page."""
+    from risjbot_spark.corpus import docs_to_pages
+    from risjbot_spark.udfs import extract_article_udf
+
+    pages = docs_to_pages(spark, sf_dir, partitions=8)
+    out = pages.withColumn(
+        "article",
+        extract_article_udf(F.col("html"), F.col("url"),
+                            F.date_format("warc_ts",
+                                          "EEE, dd MMM yyyy HH:mm:ss 'GMT'"),
+                            F.lit(None).cast("string")),
+    )
+    return out.select(
+        "url",
+        F.col("article.headline").alias("headline"),
+        (F.col("article.bodytext") == F.col("text")).alias("byte_identical"),
+    ).orderBy("url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from risjbot_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
+    out["crawl_round"] = _crawl_round_query
+    out["extract_articles"] = _extract_articles_query
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from risjbot_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

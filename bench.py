@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+{"metric", "value", "unit", "queries", "sf", ...extras}.
+
+Headline metric: end-to-end crawl-round throughput (URLs fetched +
+extracted per second) over the synthetic Common-Crawl-style corpus —
+BASELINE.json's target metric. Extra keys carry urls/sec and corpus size
+so the scaling harness (tools/bench_scaling.py) can compute N→4N
+efficiency into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# corpus rows ∝ sf: sf0.1 → 24k pages (≈0.9 GB of HTML end-to-end)
+_SF_GUESS = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1] or "0.1")
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", str(int(240_000 * _SF_GUESS))))
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("risjbot-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import tempfile
+
+    from risjbot_spark.corpus import pages_df
+    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
+    from risjbot_spark.frontier.state import RefetchConfig
+    from risjbot_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+
+    # ---- corpus materialization (NOT timed: input data, not engine work)
+    pages_path = os.path.join(
+        tempfile.gettempdir(), f"risjbot_bench_pages_{N_PAGES}")
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        pages_df(spark, N_PAGES, partitions=max(CPUS * 2, 16)) \
+            .write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    seeds = pages.select("url").withColumn("priority", F.lit(0))
+
+    # ---- headline: one full crawl round (fetch+extract end to end)
+    wh = tempfile.mkdtemp(prefix="risjbot_bench_wh_")
+    eng = CrawlEngine(
+        spark, wh, pages, robots=None,
+        cfg=CrawlConfig(refetch=RefetchConfig(), num_partitions=max(CPUS, 8),
+                        collect_lineage=False, use_bloom=True),
+    )
+    t0 = time.monotonic()
+    eng.run_round(seeds, 0, datetime(2017, 4, 1, tzinfo=timezone.utc))
+    crawl_secs = time.monotonic() - t0
+    n_articles = eng.articles_table.read().count()
+    timings["crawl_round"] = round(crawl_secs, 3)
+
+    # ---- relational / training-data operator suite on the sf tables
+    bench_queries = [
+        "tpch_pricing", "region_revenue", "politeness_window",
+        "customer_top_order", "sessionize", "exact_dedup",
+        "minhash_signature", "lsh_dup_pairs", "ann_cosine_topk",
+        "quality_score", "token_count",
+    ]
+    for name in bench_queries:
+        t0 = time.monotonic()
+        _noop(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _SF_GUESS,
+        "cpus": CPUS,
+        "corpus_pages": N_PAGES,
+        "crawl_articles": n_articles,
+        "crawl_urls_per_sec": round(n_articles / crawl_secs, 1) if crawl_secs else None,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,265 @@
+"""The round-based crawl pipeline (SURVEY.md §3 "Spark redesign").
+
+One crawl round = one batch dataflow ending in snapshot commits:
+
+  seeds/trawl → canonicalize (JVM exprs) → robots filter (broadcast rules)
+  → bloom pre-filter → seen anti-join (J1) → politeness window (W1/W3)
+  → salted-host repartition → fetch (corpus join here; HTTP mapInPandas in
+  production) → extract_article pandas UDF (incl. fake404/NLP) → MERGE
+  seen (J2) → append articles → lineage → commit = resumable checkpoint.
+
+The reference runs this as an event loop over one process + sqlite
+(/root/reference/RISJbot/settings.py middleware order; SURVEY.md §3); here
+every arrow is a DataFrame op Catalyst can push down / reorder / broadcast,
+and the round loop is the only driver-side control flow.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .frontier.bloom import build_bloom, split_by_bloom
+from .frontier.politeness import (
+    build_rules_map,
+    fetch_order_key,
+    host_budgets,
+    politeness_schedule,
+    robots_filter,
+    salted_repartition,
+)
+from .frontier.state import (
+    RefetchConfig,
+    merge_seen,
+    seen_filter,
+    trawl_candidates,
+    trim_seen,
+)
+from .schema import SEEN_SCHEMA
+from .store import SnapshotTable
+from .udfs import extract_article_udf
+from .urlnorm import with_canonical
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    refetch: RefetchConfig = field(default_factory=RefetchConfig)
+    default_budget: int = 1_000_000      # per-host per-round cap (W3)
+    round_seconds: int = 3600            # politeness budget horizon
+    num_partitions: int = 32
+    salt: int = 8
+    use_bloom: bool = True
+    bloom_buckets: int = 64
+    trim_every: int = 4                  # J3b cadence (rounds)
+    collect_lineage: bool = True
+
+
+class CrawlEngine:
+    """Crawl over a Common-Crawl-style pages table.
+
+    `pages` carries the fetchable universe (url, warc_ts, html, ...); the
+    fetch stage joins against it — in a live deployment that join is
+    replaced by a paced HTTP `mapInPandas` over the same salted layout
+    (see `fetch_via_http`)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        pages: DataFrame,
+        robots: DataFrame | None,
+        cfg: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.seen_table = SnapshotTable(spark, warehouse, "seen")
+        self.articles_table = SnapshotTable(spark, warehouse, "articles")
+        # pages keyed by canonical URL once, up front (column-pruned scan)
+        self.pages = with_canonical(pages).select(
+            F.col("url_canon").alias("page_url"), "warc_ts", "html"
+        )
+        self.rules_map = build_rules_map(robots) if robots is not None else {}
+        self.budgets = host_budgets(
+            self.rules_map, self.cfg.round_seconds, self.cfg.default_budget
+        )
+
+    # ------------------------------------------------------------------
+    def seen(self) -> DataFrame:
+        return self.seen_table.read(schema=SEEN_SCHEMA)
+
+    def run_round(
+        self,
+        seeds: DataFrame,          # url, priority, discovered_ts?
+        round_no: int,
+        round_ts: datetime,
+        with_order_audit: bool = False,
+    ) -> dict:
+        """Execute one crawl round; commits seen+articles snapshots and
+        returns the round's lineage dict."""
+        cfg = self.cfg
+        seen = self.seen()
+        lineage: dict[str, int] = {}
+
+        # ---- frontier assembly: seeds ∪ trawl (J3a), canonical, deduped
+        fr = seeds
+        if "priority" not in fr.columns:
+            fr = fr.withColumn("priority", F.lit(0))
+        if "discovered_ts" not in fr.columns:
+            fr = fr.withColumn("discovered_ts", F.lit(round_ts).cast("timestamp"))
+        fr = with_canonical(fr.select("url", "priority", "discovered_ts"))
+
+        trawl = trawl_candidates(seen, cfg.refetch, round_ts).select(
+            F.col("url").alias("url"),
+            F.lit(0).alias("priority"),
+            F.col("last_fetch").alias("discovered_ts"),
+            F.col("url").alias("url_canon"),
+            "url_hash",
+            "host",
+        )
+        fr = fr.unionByName(trawl)
+
+        # dedup by key, keeping the best-ordered row (deterministic agg,
+        # not dropDuplicates — partition-arrival order must not matter)
+        fr = (
+            fr.withColumn(
+                "_ord",
+                F.struct(
+                    (-F.col("priority")).alias("np"),
+                    F.col("discovered_ts").alias("ts"),
+                ),
+            )
+            .groupBy("url_hash")
+            .agg(
+                # keep the single best-ordered ROW (priority DESC, ts ASC) —
+                # never mix columns from different candidate rows, so engine
+                # and oracle agree on the scheduled tuple exactly
+                F.min_by("url_canon", "_ord").alias("url_canon"),
+                F.min_by("priority", "_ord").alias("priority"),
+                F.min_by("discovered_ts", "_ord").alias("discovered_ts"),
+                F.min_by("host", "_ord").alias("host"),
+            )
+        )
+        if cfg.collect_lineage:
+            lineage["frontier_in"] = fr.count()
+
+        # ---- robots (F11/J5)
+        if self.rules_map:
+            fr = robots_filter(fr, self.rules_map, self.spark)
+
+        # ---- seen-set gate: bloom pre-filter + authoritative join (J1)
+        if cfg.use_bloom:
+            bloom = build_bloom(seen, cfg.bloom_buckets)
+            maybe, fresh = split_by_bloom(fr, bloom, cfg.bloom_buckets, self.spark)
+            gated = seen_filter(maybe, seen, cfg.refetch, round_ts)
+            eligible = gated.unionByName(
+                fresh.withColumn("previousfetches", F.lit(0).cast("int"))
+            )
+        else:
+            eligible = seen_filter(fr, seen, cfg.refetch, round_ts)
+        if cfg.collect_lineage:
+            lineage["after_seen_gate"] = eligible.count()
+
+        # ---- politeness (W1/W3) + deterministic order
+        scheduled = politeness_schedule(
+            eligible, self.budgets, cfg.default_budget, self.spark
+        )
+        if with_order_audit:
+            scheduled = fetch_order_key(scheduled)
+        if cfg.collect_lineage:
+            lineage["scheduled"] = scheduled.count()
+
+        # ---- fetch stage: salted layout + corpus join
+        # AQE picks broadcast for the (small) per-round frontier side.
+        to_fetch = salted_repartition(scheduled, cfg.num_partitions, cfg.salt)
+        fetched = to_fetch.join(
+            self.pages, to_fetch.url_canon == self.pages.page_url, "inner"
+        ).drop("page_url")
+        # HTTP Date header analogue: the page's warc_ts (fetch time)
+        fetched = fetched.withColumn(
+            "fetchtime_str",
+            F.date_format("warc_ts", "EEE, dd MMM yyyy HH:mm:ss 'GMT'"),
+        ).withColumn(
+            "meta_json",
+            F.to_json(
+                F.struct(F.col("url_canon").alias("originalurl"),
+                         F.col("previousfetches").alias("refetchcontrol_previous"))
+            ),
+        )
+
+        # ---- extraction (one vectorized UDF: fake404/prune/batteries/NLP)
+        extracted = fetched.withColumn(
+            "article",
+            extract_article_udf(
+                F.col("html"), F.col("url_canon"),
+                F.col("fetchtime_str"), F.col("meta_json"),
+            ),
+        )
+        audit_cols = ["fetch_seq"] if with_order_audit else []
+        articles = extracted.select(
+            "url_canon", "url_hash", "host", "priority", "discovered_ts",
+            "warc_ts", *audit_cols, "article.*",
+        ).withColumn("round", F.lit(round_no))
+        ok_articles = articles.filter(F.col("status") == "ok").cache()
+        if cfg.collect_lineage:
+            lineage["fetched"] = articles.count()
+            lineage["extracted"] = ok_articles.count()
+            lineage["fake404_dropped"] = lineage["fetched"] - lineage["extracted"]
+
+        # ---- commits: articles append, seen MERGE (J2), optional trim (J3b)
+        fetched_keys = articles.select("url_hash", "url_canon", "host")
+        new_seen = merge_seen(seen, fetched_keys, round_ts)
+        if cfg.refetch.trimdb and round_no > 0 and round_no % cfg.trim_every == 0:
+            new_seen = trim_seen(new_seen, fetched_keys, cfg.refetch, round_ts)
+
+        part_lineage = {}
+        if cfg.collect_lineage:
+            part_lineage = {
+                str(r["pid"]): r["n"]
+                for r in ok_articles.groupBy(
+                    F.spark_partition_id().alias("pid")
+                ).agg(F.count("*").alias("n")).collect()
+            }
+
+        self.articles_table.commit(
+            ok_articles, lineage={"round": round_no, **lineage,
+                                  "per_partition_extracted": part_lineage},
+            mode="append",
+        )
+        self.seen_table.commit(
+            new_seen, lineage={"round": round_no, "counters": lineage},
+            mode="replace",
+        )
+        ok_articles.unpersist()
+        return lineage
+
+    # ------------------------------------------------------------------
+    def run(self, seeds: DataFrame, rounds: int,
+            start_ts: datetime | None = None,
+            round_gap_secs: int | None = None) -> list[dict]:
+        """Multi-round driver loop. Round timestamps advance by
+        `round_gap_secs` (default: refetchsecs, so refetches become
+        eligible each round) and are passed as literals — determinism."""
+        start_ts = start_ts or datetime(2017, 4, 1, tzinfo=timezone.utc)
+        gap = round_gap_secs or self.cfg.refetch.refetchsecs
+        out = []
+        for r in range(rounds):
+            ts = start_ts + timedelta(seconds=r * gap)
+            out.append(self.run_round(seeds, r, ts))
+        return out
+
+
+def fetch_via_http(urls_df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Production fetch stage: paced HTTP over the salted-host layout —
+    `mapInPandas` batches per partition, sleeping Crawl-delay between
+    same-host requests (W3 pacing inside the task). Deliberately not
+    implemented in this sandbox (no network I/O); the corpus join in
+    `CrawlEngine.run_round` is the test-harness stand-in with identical
+    schema: (frontier cols) + (html, warc_ts)."""
+    raise NotImplementedError(
+        "live HTTP fetching is out of scope in the offline sandbox; "
+        "CrawlEngine joins the pages corpus instead (same contract)"
+    )

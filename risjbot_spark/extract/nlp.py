@@ -1,0 +1,194 @@
+"""NLP enrichment functions (pure-Python, deterministic).
+
+Mirrors the reference's item pipelines —
+wordcount (/root/reference/RISJbot/pipelines/wordcount.py:13-18),
+sentiment (/root/reference/RISJbot/pipelines/sentiment.py:16-23),
+reading age (/root/reference/RISJbot/pipelines/readingage.py:55-108),
+named people (/root/reference/RISJbot/pipelines/namedpeople.py:42-57).
+
+The reference uses textblob / nltk / the CMU pronouncing dictionary, none
+of which ship in this container. The *formulas and shapes* are identical
+(Flesch/Kincaid coefficients, punctuation-category token stripping,
+hyphen splitting); the lexicon/tokenizer/syllable-counter internals are
+deterministic stand-ins, shared verbatim between the Spark UDFs and the
+pytest oracle so results are reproducible by construction.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+import unicodedata
+from collections.abc import Iterable
+
+# ---------------------------------------------------------------------------
+# Word count — len(str.split()) exactly (wordcount.py:15)
+# ---------------------------------------------------------------------------
+
+def wordcount(text: str) -> int:
+    return len(text.split())
+
+
+# ---------------------------------------------------------------------------
+# Sentiment — lexicon-averaged polarity/subjectivity in [-1,1] / [0,1]
+# ---------------------------------------------------------------------------
+
+_LEXICON: dict[str, tuple[float, float]] = {
+    # word: (polarity, subjectivity) — compact en lexicon in the style of
+    # pattern/textblob; values chosen once, fixed forever (determinism).
+    "good": (0.7, 0.6), "great": (0.8, 0.75), "excellent": (1.0, 1.0),
+    "best": (1.0, 0.3), "better": (0.5, 0.5), "positive": (0.3, 0.7),
+    "success": (0.5, 0.4), "successful": (0.6, 0.6), "win": (0.4, 0.4),
+    "wins": (0.4, 0.4), "won": (0.4, 0.4), "happy": (0.8, 1.0),
+    "strong": (0.4, 0.5), "growth": (0.3, 0.3), "improve": (0.4, 0.5),
+    "improved": (0.4, 0.5), "record": (0.2, 0.3), "boost": (0.4, 0.5),
+    "popular": (0.4, 0.7), "support": (0.3, 0.4), "agree": (0.2, 0.6),
+    "love": (0.5, 0.6), "beautiful": (0.85, 1.0), "safe": (0.5, 0.5),
+    "clean": (0.4, 0.5), "fair": (0.7, 0.9), "calm": (0.3, 0.7),
+    "bad": (-0.7, 0.67), "worse": (-0.5, 0.5), "worst": (-1.0, 1.0),
+    "poor": (-0.4, 0.6), "negative": (-0.3, 0.7), "fail": (-0.5, 0.5),
+    "failed": (-0.5, 0.5), "failure": (-0.5, 0.5), "loss": (-0.4, 0.4),
+    "lose": (-0.4, 0.4), "lost": (-0.4, 0.4), "crisis": (-0.6, 0.6),
+    "fear": (-0.6, 0.8), "fears": (-0.6, 0.8), "threat": (-0.5, 0.6),
+    "attack": (-0.6, 0.5), "attacks": (-0.6, 0.5), "war": (-0.7, 0.4),
+    "dead": (-0.8, 0.6), "death": (-0.7, 0.5), "killed": (-0.8, 0.6),
+    "crash": (-0.6, 0.5), "scandal": (-0.7, 0.8), "fraud": (-0.8, 0.7),
+    "angry": (-0.7, 0.9), "sad": (-0.6, 1.0), "terrible": (-1.0, 1.0),
+    "awful": (-1.0, 1.0), "wrong": (-0.5, 0.5), "guilty": (-0.6, 0.8),
+    "illegal": (-0.5, 0.5), "corrupt": (-0.8, 0.8), "danger": (-0.6, 0.6),
+    "dangerous": (-0.6, 0.6), "warning": (-0.4, 0.5), "risk": (-0.3, 0.4),
+    "collapse": (-0.6, 0.5), "decline": (-0.4, 0.4), "cuts": (-0.2, 0.3),
+}
+
+_NEGATIONS = frozenset({"not", "no", "never", "n't", "cannot", "hardly"})
+_WORD_RE = re.compile(r"[A-Za-z']+")
+
+
+def sentiment(text: str) -> tuple[float, float]:
+    """(polarity, subjectivity); (0.0, 0.0) when nothing matches —
+    deterministic lexicon stand-in for TextBlob's PatternAnalyzer."""
+    tokens = [t.lower() for t in _WORD_RE.findall(text)]
+    pols: list[float] = []
+    subjs: list[float] = []
+    for i, tok in enumerate(tokens):
+        entry = _LEXICON.get(tok)
+        if entry is None:
+            continue
+        pol, subj = entry
+        if i > 0 and tokens[i - 1] in _NEGATIONS:
+            pol = -0.5 * pol  # pattern-style negation damping
+        pols.append(pol)
+        subjs.append(subj)
+    if not pols:
+        return 0.0, 0.0
+    return sum(pols) / len(pols), sum(subjs) / len(subjs)
+
+
+# ---------------------------------------------------------------------------
+# Reading age — identical formulas; tokenizer/syllable stand-ins
+# ---------------------------------------------------------------------------
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+(?=[\"'\(\[]?[A-Z0-9])")
+_TOKEN_RE = re.compile(r"[A-Za-z]+(?:['\-][A-Za-z]+)*|\d+(?:\.\d+)?|[^\w\s]")
+
+_PUNCT_CATS = frozenset({"Pc", "Pd", "Ps", "Pe", "Pi", "Pf", "Po"})
+_PUNCT_ASCII = frozenset(string.punctuation)
+
+
+def sent_tokenize(text: str) -> list[str]:
+    text = text.strip()
+    if not text:
+        return []
+    return [s for s in _SENT_SPLIT.split(text) if s.strip()]
+
+
+def word_tokenize(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text)
+
+
+def strip_punct_toks(toks: Iterable[str]) -> Iterable[str]:
+    """Identical algorithm to the reference (readingage.py:94-103)."""
+    for tok in toks:
+        ntok = "".join(
+            x for x in tok
+            if unicodedata.category(x) not in _PUNCT_CATS and x not in _PUNCT_ASCII
+        )
+        if ntok:
+            yield ntok
+
+
+def split_hyphenated(toks: Iterable[str]) -> Iterable[str]:
+    for tok in toks:
+        yield from tok.split("-")
+
+
+def count_syllables(word: str) -> int | None:
+    """Vowel-group heuristic (CMU-dictionary stand-in). Returns None for
+    tokens with no letters — mirroring words absent from the CMU dict,
+    which the reference simply omits from the syllable tally."""
+    w = word.lower()
+    if not any(c.isalpha() for c in w):
+        return None
+    groups = re.findall(r"[aeiouy]+", w)
+    n = len(groups)
+    if w.endswith("e") and not w.endswith(("le", "ee")) and n > 1:
+        n -= 1
+    return max(1, n)
+
+
+def reading_scores(text: str) -> tuple[float, float] | None:
+    """(fleschreadingease, kincaidgradelevel) with the exact coefficients
+    of readingage.py:69-74; None when there are no sentences/words."""
+    sents = sent_tokenize(text)
+    nsent = len(sents)
+    words = list(strip_punct_toks(word_tokenize(text)))
+    nwords = len(words)
+    sylls = [c for c in (count_syllables(w) for w in split_hyphenated(words)) if c]
+    nsylls = sum(sylls)
+    nsyllwords = len(sylls)
+    if nsyllwords == 0 or nsent == 0:
+        return None
+    flesch = 206.835 - 1.015 * (nwords / nsent) - 84.6 * (nsylls / nsyllwords)
+    kincaid = 0.39 * (nwords / nsent) + 11.8 * (nsylls / nsyllwords) - 15.59
+    return flesch, kincaid
+
+
+# ---------------------------------------------------------------------------
+# Named people — capitalized-run heuristic (nltk ne_chunk stand-in)
+# ---------------------------------------------------------------------------
+
+_HONORIFICS = frozenset({
+    "Mr", "Mrs", "Ms", "Dr", "Sir", "Dame", "Lord", "Lady", "President",
+    "Senator", "Governor", "Mayor", "Judge", "Professor", "Prime", "Minister",
+})
+_NONNAME = frozenset({
+    "The", "A", "An", "In", "On", "At", "Of", "For", "And", "But", "It",
+    "He", "She", "They", "We", "I", "You", "This", "That", "These", "Those",
+    "However", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+    "Saturday", "Sunday", "January", "February", "March", "April", "May",
+    "June", "July", "August", "September", "October", "November", "December",
+})
+_CAP_RE = re.compile(r"^[A-Z][a-z]+$")
+
+
+def named_people(text: str) -> list[str]:
+    """Runs of ≥2 consecutive TitleCase tokens → candidate person names.
+    Keeps duplicates in encounter order (the reference does not de-dupe,
+    namedpeople.py:60-63)."""
+    tokens = word_tokenize(text)
+    people: list[str] = []
+    run: list[str] = []
+    for tok in tokens:
+        if _CAP_RE.match(tok) and tok not in _NONNAME:
+            run.append(tok)
+        else:
+            _flush_run(run, people)
+            run = []
+    _flush_run(run, people)
+    return people
+
+
+def _flush_run(run: list[str], out: list[str]) -> None:
+    core = [t for t in run if t not in _HONORIFICS]
+    if len(core) >= 2:
+        out.append(" ".join(core))

@@ -1,0 +1,61 @@
+"""Readability-style fallback extraction (deterministic stand-in).
+
+The reference falls back to the ``readability-lxml`` package when the
+tagged metadata pathways yield no headline/bodytext
+(/root/reference/RISJbot/loaders.py:399-422). That package is not in
+this container, so we implement a deterministic text-density heuristic
+with the same *interface and invocation contract*: it is only invoked
+when headline/bodytext are still missing (the lazy-evaluation
+short-circuit at loaders.py:403-406 is preserved by the caller), and its
+outputs feed the same loader chains.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..html import Node, xpath
+
+_TITLE_SEPS = re.compile(r"\s+[|\-–—»::]\s+|\s+::\s+|\s+/\s+")
+
+# Containers considered as article-body candidates, and tags whose text
+# counts toward a candidate's score.
+_CANDIDATE_TAGS = ("article", "main", "section", "div", "body")
+_TEXT_TAGS = {"p", "h2", "h3", "li", "blockquote", "pre"}
+
+
+def short_title(root: Node) -> str | None:
+    """Title with site chaff stripped: split on common separators and keep
+    the longest multi-word segment (readability's shorten_title analogue)."""
+    titles = xpath(root, "head/title/text()")
+    if not titles:
+        return None
+    title = titles[0].strip()
+    parts = [p.strip() for p in _TITLE_SEPS.split(title) if p.strip()]
+    if len(parts) <= 1:
+        return title or None
+    multi = [p for p in parts if len(p.split()) > 1]
+    pool = multi or parts
+    return max(pool, key=len)
+
+
+def _paragraph_len(node: Node) -> int:
+    total = 0
+    for d in node.iter():
+        if d.tag in _TEXT_TAGS:
+            total += len(d.text_content().strip())
+    return total
+
+
+def body_candidate_texts(root: Node) -> list[str]:
+    """Text nodes of the densest article-body candidate, document order."""
+    best: Node | None = None
+    best_score = 0
+    for tag in _CANDIDATE_TAGS:
+        for cand in xpath(root, f"//{tag}"):
+            score = _paragraph_len(cand)
+            if score > best_score:
+                best, best_score = cand, score
+    if best is None:
+        return []
+    return list(best.itertext())

@@ -1,0 +1,196 @@
+"""Politeness: robots.txt obedience + per-host budgets + skew-safe layout.
+
+The reference gets robots obedience and per-domain delays from Scrapy
+(ROBOTSTXT_OBEY, settings.py:45; delay knobs at settings.py:88-94) and
+priority scheduling from the Twisted scheduler. Here (SURVEY.md §2.5
+W1/W3, §2.2 F11):
+
+  * robots rules are parsed ONCE per distinct host (hosts ≪ URLs) and
+    broadcast; the frontier filter is a vectorized UDF over (host, path)
+    against the broadcast rule dict — no per-row parsing, no shuffle.
+  * the priority queue is a window: rank per host by
+    (priority DESC, discovered_ts, url_hash) — the deterministic global
+    crawl order the north_rule requires — capped by a per-host budget
+    derived from Crawl-delay.
+  * hot-host skew (one domain = half the frontier) is killed by salted
+    repartition before the fetch stage: partition key =
+    hash(host, url_hash % salt) bounds any host's fan-in to `salt`
+    tasks while keeping per-partition politeness accounting possible.
+    AQE balances *bytes*; politeness must balance *hosts* — both run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# robots.txt — tiny deterministic parser (User-agent:* sections only)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RobotsRules:
+    disallow: tuple[str, ...] = ()
+    allow: tuple[str, ...] = ()
+    crawl_delay: float | None = None
+    sitemaps: tuple[str, ...] = ()
+
+    def allowed(self, path: str) -> bool:
+        """Longest-prefix-match wins; Allow beats Disallow at equal length
+        (Google/RFC 9309 semantics)."""
+        best_len, best_allow = -1, True
+        for p in self.disallow:
+            if p and path.startswith(p) and len(p) > best_len:
+                best_len, best_allow = len(p), False
+        for p in self.allow:
+            if p and path.startswith(p) and len(p) >= best_len:
+                best_len, best_allow = len(p), True
+        return best_allow
+
+
+def parse_robots(robots_txt: str) -> RobotsRules:
+    disallow: list[str] = []
+    allow: list[str] = []
+    delay: float | None = None
+    sitemaps: list[str] = []
+    applies = False
+    for raw in (robots_txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            applies = val == "*"
+        elif key == "sitemap":
+            sitemaps.append(val)
+        elif applies and key == "disallow" and val:
+            disallow.append(val)
+        elif applies and key == "allow" and val:
+            allow.append(val)
+        elif applies and key == "crawl-delay":
+            try:
+                delay = float(val)
+            except ValueError:
+                pass
+    return RobotsRules(tuple(disallow), tuple(allow), delay, tuple(sitemaps))
+
+
+def build_rules_map(robots_df: DataFrame) -> dict[str, RobotsRules]:
+    """Parse robots per distinct host on the driver (hosts are a small
+    dimension; this is the reference's one-robots-fetch-per-host)."""
+    return {
+        r["host"].lower(): parse_robots(r["robots_txt"])
+        for r in robots_df.select("host", "robots_txt").collect()
+    }
+
+
+def robots_filter(frontier: DataFrame, rules_map: dict[str, RobotsRules],
+                  spark) -> DataFrame:
+    """F11/J5 — drop frontier rows a host's robots.txt disallows.
+
+    The rules dict is broadcast once; membership is a vectorized pandas
+    UDF (no join, no shuffle). Unknown hosts are allowed (reference
+    behavior: no robots.txt → crawl)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(
+        {_norm_host(h): r for h, r in rules_map.items()}
+    )
+
+    @pandas_udf(T.BooleanType())
+    def robots_allowed(host: pd.Series, url: pd.Series) -> pd.Series:
+        rules = bc.value
+        out = []
+        for h, u in zip(host, url):
+            r = rules.get(_norm_host(h or ""))
+            if r is None:
+                out.append(True)
+                continue
+            path = "/" + u.split("://", 1)[-1].split("/", 1)[-1] if "/" in u.split("://", 1)[-1] else "/"
+            out.append(r.allowed(path))
+        return pd.Series(out)
+
+    return frontier.filter(robots_allowed(F.col("host"), F.col("url_canon")))
+
+
+def _norm_host(host: str) -> str:
+    return host[4:] if host.startswith("www.") else host
+
+
+# ---------------------------------------------------------------------------
+# per-host budgets + priority window + salted layout
+# ---------------------------------------------------------------------------
+
+def host_budgets(rules_map: dict[str, RobotsRules], round_seconds: int,
+                 default_budget: int) -> dict[str, int]:
+    """Crawl-delay → max fetches for this host this round (W3)."""
+    budgets = {}
+    for host, rules in rules_map.items():
+        if rules.crawl_delay:
+            budgets[_norm_host(host)] = max(1, int(round_seconds / rules.crawl_delay))
+    return budgets
+
+
+def order_cols():
+    """The deterministic global crawl-order key (north_rule)."""
+    return (F.col("priority").desc(), F.col("discovered_ts").asc(),
+            F.col("url_hash").asc())
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int,
+    spark,
+) -> DataFrame:
+    """W1/W3 — per-host window rank by (priority DESC, discovered_ts,
+    url_hash); keep rows within the host's budget. The rank IS the
+    deterministic crawl order (north_rule: ordering never depends on
+    partition arrival). Scales: the window shuffles by host only — no
+    global sort; the global order is the lexicographic key
+    (priority DESC, discovered_ts, url_hash), materialized on demand."""
+    budget_items = [(h, b) for h, b in budgets.items()]
+    if budget_items:
+        budget_map = F.create_map(
+            *[F.lit(x) for pair in budget_items for x in pair]
+        )
+        budget_col = F.coalesce(
+            budget_map[_norm_host_expr(F.col("host"))],
+            F.lit(default_budget),
+        )
+    else:
+        budget_col = F.lit(default_budget)
+
+    w = Window.partitionBy("host").orderBy(*order_cols())
+    return (
+        frontier.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= budget_col)
+    )
+
+
+def _norm_host_expr(host):
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 8) -> DataFrame:
+    """Fetch-stage layout: bound any single host to ≤`salt` tasks while
+    spreading rows evenly — kills hot-domain skew without a per-row
+    shuffle key explosion (north_rule skew handling)."""
+    return df.repartition(
+        num_partitions,
+        F.xxhash64(F.col("host"), F.pmod(F.col("url_hash"), F.lit(salt))),
+    )
+
+
+def fetch_order_key(df: DataFrame) -> DataFrame:
+    """Materialize the global deterministic fetch sequence for audit /
+    ordering tests. Global window — use at test scale only (the order is
+    already fully defined by the key columns at any scale)."""
+    w = Window.orderBy(*order_cols())
+    return df.withColumn("fetch_seq", F.row_number().over(w))

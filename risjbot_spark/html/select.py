@@ -1,0 +1,246 @@
+"""Mini-XPath engine over :mod:`risjbot_spark.html.dom` trees.
+
+Supports the selector subset that news-article metadata batteries actually
+use (the reference's whole xpath surface, see
+/root/reference/RISJbot/loaders.py:154-327 and the per-site spiders):
+
+    /html/@lang
+    head/meta[@name="author" or @property="author"]/@content
+    //*[@itemprop="headline" or @property="headline"]//text()
+    //script[@type="application/ld+json"]/text()
+    //div[contains(@class, "submeta")]
+    //article//div[contains(@class, "x")]/*[not(contains(@class, "meta"))]//text()
+    //h1[contains(., "Something has gone wrong")]
+
+Axes: child (``/``) and descendant-or-self (``//``). Node tests: name, ``*``,
+``text()``, ``@attr``. Predicates: ``@a="v"``, ``contains(@a, "v")``,
+``contains(., "v")``, ``not(...)``, and ``or``/``and`` chains of those.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from .dom import Node
+
+__all__ = ["xpath", "remove_nodes", "string_value"]
+
+
+# --------------------------------------------------------------------------
+# Parsing
+# --------------------------------------------------------------------------
+
+_STEP_RE = re.compile(
+    r"""
+    (?P<axis>//|/|)                 # leading axis for this step
+    (?P<test>\*|text\(\)|[A-Za-z][\w:.-]*|@[\w:.-]+)
+    """,
+    re.VERBOSE,
+)
+
+
+class _Step:
+    __slots__ = ("axis", "test", "preds")
+
+    def __init__(self, axis: str, test: str, preds: list):
+        self.axis = axis  # 'child' | 'descendant'
+        self.test = test  # tag name | '*' | 'text()' | '@attr'
+        self.preds = preds
+
+
+def _parse_predicate(src: str, pos: int):
+    """Parse one boolean expression; returns (ast, new_pos)."""
+    node, pos = _parse_term(src, pos)
+    while True:
+        m = re.match(r"\s+(or|and)\s+", src[pos:])
+        if not m:
+            return node, pos
+        op = m.group(1)
+        pos += m.end()
+        rhs, pos = _parse_term(src, pos)
+        node = (op, node, rhs)
+
+
+def _parse_term(src: str, pos: int):
+    s = src[pos:]
+    m = re.match(r"\s*not\(", s)
+    if m:
+        inner, pos2 = _parse_predicate(src, pos + m.end())
+        if src[pos2] != ")":
+            raise ValueError(f"bad not() in predicate: {src!r}")
+        return ("not", inner), pos2 + 1
+    m = re.match(r"\s*contains\(\s*(@[\w:.-]+|\.)\s*,\s*(\"([^\"]*)\"|'([^']*)')\s*\)", s)
+    if m:
+        target = m.group(1)
+        value = m.group(3) if m.group(3) is not None else m.group(4)
+        ast = ("contains_text", value) if target == "." else ("contains_attr", target[1:], value)
+        return ast, pos + m.end()
+    m = re.match(r"\s*@([\w:.-]+)\s*=\s*(\"([^\"]*)\"|'([^']*)'|([\w:.-]+))", s)
+    if m:
+        value = next(v for v in (m.group(3), m.group(4), m.group(5)) if v is not None)
+        return ("attr_eq", m.group(1), value), pos + m.end()
+    m = re.match(r"\s*@([\w:.-]+)", s)
+    if m:
+        return ("attr_exists", m.group(1)), pos + m.end()
+    raise ValueError(f"unsupported predicate at {src[pos:]!r}")
+
+
+@lru_cache(maxsize=1024)
+def _compile(expr: str) -> tuple[bool, tuple[_Step, ...]]:
+    """Compile an xpath string → (is_absolute, steps)."""
+    expr = expr.strip()
+    pos = 0
+    is_abs = expr.startswith("/") and not expr.startswith("//")
+    steps: list[_Step] = []
+    first = True
+    while pos < len(expr):
+        m = _STEP_RE.match(expr, pos)
+        if not m:
+            raise ValueError(f"unsupported xpath at {expr[pos:]!r} in {expr!r}")
+        axis_tok = m.group("axis")
+        if axis_tok == "//":
+            axis = "descendant"
+        elif axis_tok == "/":
+            axis = "child"
+        else:
+            if not first:
+                raise ValueError(f"missing axis in {expr!r}")
+            axis = "child"
+        pos = m.end()
+        preds = []
+        while pos < len(expr) and expr[pos] == "[":
+            ast, pos = _parse_predicate(expr, pos + 1)
+            if pos >= len(expr) or expr[pos] != "]":
+                raise ValueError(f"unterminated predicate in {expr!r}")
+            pos += 1
+            preds.append(ast)
+        steps.append(_Step(axis, m.group("test"), preds))
+        first = False
+    return is_abs, tuple(steps)
+
+
+# --------------------------------------------------------------------------
+# Evaluation
+# --------------------------------------------------------------------------
+
+def string_value(node: Node) -> str:
+    """XPath string-value of an element: concatenated descendant text."""
+    return node.text_content()
+
+
+def _pred_holds(node: Node, ast) -> bool:
+    kind = ast[0]
+    if kind == "attr_eq":
+        return node.attrib.get(ast[1]) == ast[2]
+    if kind == "attr_exists":
+        return ast[1] in node.attrib
+    if kind == "contains_attr":
+        v = node.attrib.get(ast[1])
+        return v is not None and ast[2] in v
+    if kind == "contains_text":
+        return ast[1] in string_value(node)
+    if kind == "not":
+        return not _pred_holds(node, ast[1])
+    if kind == "or":
+        return _pred_holds(node, ast[1]) or _pred_holds(node, ast[2])
+    if kind == "and":
+        return _pred_holds(node, ast[1]) and _pred_holds(node, ast[2])
+    raise ValueError(f"bad predicate ast {ast!r}")
+
+
+def _match_test(node: Node, test: str) -> bool:
+    if test == "*":
+        return not node.tag.startswith("#")
+    return node.tag == test
+
+
+def _child_texts(node: Node):
+    """Direct text children in document order (lxml ``el/text()``)."""
+    if node.text:
+        yield node.text
+    for c in node.children:
+        if c.tail:
+            yield c.tail
+
+
+def _eval_steps(contexts: list[Node], steps: tuple[_Step, ...]):
+    """Evaluate element steps; the final step may be text()/@attr."""
+    current = contexts
+    out_values: list[str] | None = None
+    for idx, step in enumerate(steps):
+        is_last = idx == len(steps) - 1
+        if step.test == "text()":
+            assert is_last, "text() must be the final step"
+            out_values = []
+            for n in current:
+                if step.axis == "descendant":
+                    out_values.extend(t for t in n.itertext())
+                else:
+                    out_values.extend(_child_texts(n))
+            return out_values
+        if step.test.startswith("@"):
+            assert is_last, "@attr must be the final step"
+            return _eval_attr(current, steps, idx)
+        nxt: list[Node] = []
+        seen_ids = set()
+        for n in current:
+            if step.axis == "descendant":
+                pool = (d for c in n.children for d in c.iter())
+            else:
+                pool = iter(n.children)
+            for cand in pool:
+                if not _match_test(cand, step.test):
+                    continue
+                if any(not _pred_holds(cand, p) for p in step.preds):
+                    continue
+                if id(cand) not in seen_ids:
+                    seen_ids.add(id(cand))
+                    nxt.append(cand)
+        current = nxt
+        if not current:
+            break
+    return current
+
+
+def _eval_attr(current: list[Node], steps, idx):
+    name = steps[idx].test[1:]
+    out = []
+    for n in current:
+        v = n.attrib.get(name)
+        if v is not None:
+            out.append(v)
+    return out
+
+
+def xpath(root: Node, expr: str):
+    """Evaluate ``expr`` with ``root`` as the context element.
+
+    Absolute paths (``/html/...``) are resolved against the document
+    element; ``//...`` searches the whole subtree under root (the usual
+    case, since callers hold the <html> element). Returns a list of
+    :class:`Node` or ``str`` depending on the final step.
+    """
+    is_abs, steps = _compile(expr)
+    if is_abs and steps and steps[0].test != "text()" and not steps[0].test.startswith("@"):
+        # '/html/...' — the first step names the document element itself.
+        first = steps[0]
+        if _match_test(root, first.test) and all(_pred_holds(root, p) for p in first.preds):
+            if len(steps) == 1:
+                return [root]
+            return _eval_steps([root], steps[1:])
+        return []
+    return _eval_steps([root], steps)
+
+
+def remove_nodes(root: Node, expr: str) -> int:
+    """Delete all nodes matching ``expr`` from the tree (tail dropped,
+    matching lxml ``getparent().remove(node)`` — the reference's pruning
+    primitive, /root/reference/RISJbot/utils.py:9-41). Returns count."""
+    victims = [n for n in xpath(root, expr) if isinstance(n, Node)]
+    removed = 0
+    for v in victims:
+        if v.parent is not None:
+            v.parent.remove(v)
+            removed += 1
+    return removed

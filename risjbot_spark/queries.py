@@ -1,0 +1,850 @@
+"""Correctness-gate queries: one entry per operator family (SURVEY.md §2)
+plus the training-data-pipeline operators (dedup, similarity search, text
+analysis, multimodal plumbing).
+
+Each `q_*` function takes (spark, sf_dir) and returns a DataFrame; the
+matching entry in ORACLE_SQL is ANSI SQL DuckDB runs over the same
+parquet views. Column names and value formatting (floats rounded to 6 dp,
+timestamps formatted as strings) are aligned on both sides because the
+driver hash-compares values column-by-column.
+
+Operator mapping (reference → query):
+  J1 seen anti-join              → q_seen_antijoin, q_refetch_eligibility
+  J2 MERGE upsert                → q_merge_upsert
+  J3 trawl/trim windows          → q_trawl_window
+  J4/F5 domain mapping           → q_domain_rewrite
+  W1/W3 politeness priority queue→ q_politeness_window
+  W4/L1 recency cutoff + top-k   → q_priority_topk
+  SO1 union+dedup                → q_union_dedup
+  A1 stats counters              → q_stats_counters
+  A2 wordcount                   → q_wordcount
+  F1/F2 URL regex/offsite filter → q_url_filter
+  agg/join coverage              → q_tpch_pricing, q_region_revenue,
+                                   q_customer_top_order
+  sessionization/event-time      → q_sessionize, q_tumbling_window
+  exact dedup                    → q_exact_dedup
+  minhash/LSH near-dup           → q_minhash_signature, q_lsh_dup_pairs
+  n-gram Jaccard                 → q_ngram_jaccard_pairs
+  text analysis                  → q_lang_id, q_quality_score,
+                                   q_token_count, q_doc_fingerprint
+  similarity search              → q_ann_cosine_topk, q_ann_lsh_bucket
+  multimodal binary plumbing     → q_binary_meta
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# crawl-shaped relational operators
+# ---------------------------------------------------------------------------
+
+def q_seen_antijoin(spark, sf):
+    """J1 shape: frontier ∖ seen via left_anti (customers with no orders).
+    Plan: broadcast/SMJ anti join on the key; no Python."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    big = orders.filter(F.col("o_totalprice") > 250000).select("o_custkey")
+    return (
+        cust.join(big, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_refetch_eligibility(spark, sf):
+    """J1 predicates over per-key state: fetches < max AND min-age <=
+    age <= age-limit (refetchcontrol.py:252-266), events as fetch log."""
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "error")
+    state = ev.groupBy("user_id").agg(
+        F.count("*").alias("fetches"),
+        F.max("ts").alias("last_fetch"),
+    )
+    cutoff = F.to_timestamp(F.lit("2024-02-02 00:00:00"))
+    age = F.unix_timestamp(cutoff) - F.unix_timestamp(F.col("last_fetch"))
+    return (
+        state.filter((F.col("fetches") < 200) & (age >= 3 * 86400) & (age <= 30 * 86400))
+        .select(
+            "user_id",
+            F.col("fetches").cast("long").alias("fetches"),
+            F.date_format("last_fetch", "yyyy-MM-dd HH:mm:ss").alias("last_fetch_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_merge_upsert(spark, sf):
+    """J2 MERGE semantics as union + hash agg: old state (events before
+    cutoff) merged with updates (events after): fetches summed, last ts
+    wins — the exact merge_seen() shape."""
+    ev = _t(spark, sf, "events")
+    cutoff = F.to_timestamp(F.lit("2024-01-02 00:00:00"))
+    old = ev.filter(F.col("ts") < cutoff)
+    upd = ev.filter(F.col("ts") >= cutoff)
+    merged = (
+        old.select("user_id").unionAll(upd.select("user_id"))
+        .groupBy("user_id").agg(F.count("*").alias("fetches"))
+    )
+    last = ev.groupBy("user_id").agg(F.max("ts").alias("mx"))
+    return (
+        merged.join(last, "user_id")
+        .select("user_id", F.col("fetches").cast("long").alias("fetches"),
+                F.date_format("mx", "yyyy-MM-dd HH:mm:ss").alias("last_fetch_s"))
+        .orderBy("user_id")
+    )
+
+
+def q_trawl_window(spark, sf):
+    """J3a/W4 recency window: cutoffold < t <= cutofft rows per type."""
+    ev = _t(spark, sf, "events")
+    lo = F.to_timestamp(F.lit("2024-01-01 06:00:00"))
+    hi = F.to_timestamp(F.lit("2024-01-02 06:00:00"))
+    return (
+        ev.filter((F.col("ts") > lo) & (F.col("ts") <= hi))
+        .groupBy("event_type").agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q_domain_rewrite(spark, sf):
+    """F5/J4 equivalent-domains rewrite as an expression map (JVM-side
+    CASE; the frontier version is the same expression over hosts)."""
+    ev = _t(spark, sf, "events")
+    mapped = (
+        F.when(F.col("event_type") == "click", "tap")
+        .when(F.col("event_type") == "view", "impression")
+        .otherwise(F.col("event_type"))
+    )
+    return (
+        ev.select(mapped.alias("canon_type"))
+        .groupBy("canon_type").agg(F.count("*").alias("n"))
+        .orderBy("canon_type")
+    )
+
+
+def q_politeness_window(spark, sf):
+    """W1/W3: per-host (user) budget of 3, ranked by (value DESC, ts,
+    event_id) — the politeness priority queue."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+        .orderBy("user_id", "rnk")
+    )
+
+
+def q_priority_topk(spark, sf):
+    """L1 deterministic global top-k by (priority, tiebreak keys)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_orderpriority").asc(), F.col("o_totalprice").desc(),
+                  F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_orderpriority",
+                F.round("o_totalprice", 2).alias("total"))
+        .limit(25)
+    )
+
+
+def q_union_dedup(spark, sf):
+    """SO1: frontier union across sources + dedup by key."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_totalprice") > 1000).select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.unionAll(b).distinct().orderBy("o_custkey")
+
+
+def q_stats_counters(spark, sf):
+    """A1 lineage counters: counts per status label."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    ).orderBy("event_type")
+
+
+def q_url_filter(spark, sf):
+    """F1/F2 allow/deny regex + domain membership over synthetic URLs
+    built from order rows (pure expressions — pushdown-friendly)."""
+    o = _t(spark, sf, "orders")
+    url = F.concat(F.lit("https://h"), (F.col("o_custkey") % 7),
+                   F.lit(".example.com/"), F.lower("o_orderstatus"),
+                   F.lit("/"), F.col("o_orderkey"))
+    return (
+        o.select(url.alias("url"))
+        .filter(F.col("url").rlike(r"/o/") & ~F.col("url").rlike(r"h3\."))
+        .orderBy("url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg / join coverage
+# ---------------------------------------------------------------------------
+
+def q_tpch_pricing(spark, sf):
+    """TPC-H Q1-style pricing summary (full agg battery, map-side
+    combinable; whole-stage codegen end-to-end)."""
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2024-06-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_region_revenue(spark, sf):
+    """Multi-join star query; small dims broadcast (Catalyst picks BHJ)."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+        .orderBy("r_name")
+    )
+
+
+def q_customer_top_order(spark, sf):
+    """Window rank: each customer's single largest order."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("total"))
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time / streaming-shaped
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark, sf):
+    """Session windows via lag-gap (30 min) — the batch twin of the
+    stateful streaming sessionizer (risjbot_spark.streaming)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsec = F.unix_timestamp(F.col("ts"))
+    gap = tsec - F.lag(tsec).over(w)
+    sess = F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(w)
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(F.max("session_id").cast("long").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_tumbling_window(spark, sf):
+    """1-hour tumbling event-time windows (streaming agg shape)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+                "event_type", "n", "avg_value")
+        .orderBy("win_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup
+# ---------------------------------------------------------------------------
+
+def _docs_with_mutants(spark, sf):
+    """documents ∪ mutated copies (first word dropped, id+100000) —
+    deterministic near-duplicates so dedup queries have real work."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text")
+    return d.unionByName(near).unionByName(exact)
+
+
+def q_exact_dedup(spark, sf):
+    """Exact dedup: hash-groupBy on normalized text, keep min doc_id."""
+    d = _docs_with_mutants(spark, sf)
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        d.withColumn("fp", F.md5(norm))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keep_id")
+    )
+
+
+def _toks():
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def _shingles_col():
+    """3-word shingles as array<string> (pure SQL transform+slice).
+    Guarded CASE: Spark's sequence(1, 0) counts DOWN, so short docs must
+    short-circuit to an empty array."""
+    return F.expr(
+        "CASE WHEN size(toks) >= 3 THEN "
+        "transform(sequence(1, size(toks) - 2),"
+        " i -> concat_ws(' ', slice(toks, i, 3))) "
+        "ELSE array() END"
+    )
+
+
+def q_minhash_signature(spark, sf):
+    """MinHash signatures: k=6 permutations via md5(seed||shingle); two
+    LSH bands of 3 each. Signature table (doc → bands) is the join key
+    for bucket-join dedup — computable in ANSI SQL on both engines."""
+    d = _docs_with_mutants(spark, sf).withColumn("toks", _toks())
+    d = d.withColumn("sh", _shingles_col()).filter(F.size("sh") > 0)
+    mins = [
+        F.array_min(F.expr(f"transform(sh, s -> md5(concat('{k}|', s)))")).alias(f"m{k}")
+        for k in range(6)
+    ]
+    d = d.select("doc_id", *mins)
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws("", "m0", "m1", "m2")).alias("band1"),
+        F.md5(F.concat_ws("", "m3", "m4", "m5")).alias("band2"),
+    ).orderBy("doc_id")
+
+
+def q_lsh_dup_pairs(spark, sf):
+    """LSH bucket-join: candidate near-dup pairs sharing either band."""
+    sig = q_minhash_signature(spark, sf)
+    b1 = sig.select("doc_id", F.col("band1").alias("band"))
+    b2 = sig.select("doc_id", F.col("band2").alias("band"))
+    both = b1.unionAll(b2)
+    a = both.alias("a")
+    b = both.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    """Exact n-gram Jaccard verification over LSH candidates: shingle
+    explode → pair join → |∩| / |∪| ≥ 0.5."""
+    d = _docs_with_mutants(spark, sf).withColumn("toks", _toks())
+    d = d.withColumn("sh", F.array_distinct(_shingles_col())).filter(F.size("sh") > 0)
+    sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = d.select("doc_id", F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+def q_wordcount(spark, sf):
+    """A2 wordcount (len(str.split()) semantics) per document."""
+    d = _t(spark, sf, "documents")
+    from .udfs import wordcount_expr
+    return (
+        d.select("doc_id", wordcount_expr(F.col("text")).alias("wc"))
+        .orderBy("doc_id")
+    )
+
+
+def q_lang_id(spark, sf):
+    """Language ID: stopword-hit ratio per language, JVM regexp only."""
+    d = _t(spark, sf, "documents")
+    low = F.concat(F.lit(" "), F.lower(F.trim("text")), F.lit(" "))
+    def hits(words):
+        pat = "|".join(words)
+        return F.size(F.split(low, rf" (?:{pat}) ")) - 1
+    en = hits(["the", "a", "of", "and", "to", "in"])
+    de = hits(["der", "die", "das", "und", "ist", "nicht"])
+    fr = hits(["le", "la", "et", "les", "des", "est"])
+    guess = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return d.select("doc_id", guess.alias("lang_guess")).orderBy("doc_id")
+
+
+def q_quality_score(spark, sf):
+    """Quality scoring: length / mean word length / stopword ratio —
+    the usual pre-training filters, all expressions."""
+    d = _t(spark, sf, "documents")
+    n_chars = F.length(F.col("text"))
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    low = F.concat(F.lit(" "), F.lower(F.trim("text")), F.lit(" "))
+    stop_hits = F.size(F.split(low, r" (?:the|a|of|and|to|in) ")) - 1
+    score = (
+        F.when(n_chars < 100, 0.0)
+        .otherwise(
+            F.least(F.lit(1.0), F.round(
+                0.5 * F.least(F.lit(1.0), n_words / F.lit(200.0))
+                + 0.5 * F.least(F.lit(1.0), stop_hits / F.greatest(n_words, F.lit(1)) * 10),
+                6))
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars_meta"),
+        n_words.cast("long").alias("n_words"),
+        F.round(score, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q_token_count(spark, sf):
+    """Token counting: whitespace tokens + BPE-ish subword estimate
+    (ceil(chars/4) per word, the standard heuristic)."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    n_words = F.size(words)
+    n_sub = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+    return d.select(
+        "doc_id", n_words.cast("long").alias("n_ws_tokens"),
+        n_sub.alias("n_bpe_est"),
+    ).orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark, sf):
+    """Document fingerprinting: md5 over normalized text + first-64-bit
+    prefix as a numeric fingerprint."""
+    d = _t(spark, sf, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    fp = F.md5(norm)
+    return d.select(
+        "doc_id", fp.alias("fp"),
+        F.substring(fp, 1, 16).alias("fp64"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-k vs query vector vec_id=0 (the exact
+    baseline an IVF/LSH path is measured against). Dot products via
+    F.zip_with/aggregate — JVM higher-order functions, no Python."""
+    e = _t(spark, sf, "embeddings").withColumn(
+        "emb", F.transform("embedding", lambda x: x.cast("double")))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("emb", "qv", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = dot / (norm(F.col("emb")) * norm(F.col("qv")))
+    return (
+        j.select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def q_ann_lsh_bucket(spark, sf):
+    """LSH-bucketed ANN scale path: sign pattern over 8 fixed hyperplanes
+    (axis-aligned → deterministic and SQL-portable); bucket histogram."""
+    e = _t(spark, sf, "embeddings")
+    bits = [
+        F.when(F.col("embedding").getItem(i) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for i in range(8)
+    ]
+    bucket = sum(b * (2 ** i) for i, b in enumerate(bits))
+    return (
+        e.select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def q_knn_label_vote(spark, sf):
+    """kNN classification shape: label histogram of the 50 nearest."""
+    e = _t(spark, sf, "embeddings").withColumn(
+        "emb", F.transform("embedding", lambda x: x.cast("double")))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(F.zip_with("emb", "qv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = dot / (norm(F.col("emb")) * norm(F.col("qv")))
+    top = (
+        j.select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(50)
+    )
+    return top.groupBy("label").agg(F.count("*").alias("votes")).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary columns; decode stubbed per brief)
+# ---------------------------------------------------------------------------
+
+def q_binary_meta(spark, sf):
+    """Opaque-binary handling: treat text bytes as a blob column, compute
+    typed metadata (size, content hash) — the schema/partitioning half of
+    the multimodal path; the decode half is risjbot_spark.multimodal."""
+    d = _t(spark, sf, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).cast("long").alias("n_bytes"),
+        F.md5(blob).alias("content_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# registry + DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "seen_antijoin": q_seen_antijoin,
+    "refetch_eligibility": q_refetch_eligibility,
+    "merge_upsert": q_merge_upsert,
+    "trawl_window": q_trawl_window,
+    "domain_rewrite": q_domain_rewrite,
+    "politeness_window": q_politeness_window,
+    "priority_topk": q_priority_topk,
+    "union_dedup": q_union_dedup,
+    "stats_counters": q_stats_counters,
+    "url_filter": q_url_filter,
+    "tpch_pricing": q_tpch_pricing,
+    "region_revenue": q_region_revenue,
+    "customer_top_order": q_customer_top_order,
+    "sessionize": q_sessionize,
+    "tumbling_window": q_tumbling_window,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signature": q_minhash_signature,
+    "lsh_dup_pairs": q_lsh_dup_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "wordcount": q_wordcount,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_bucket": q_ann_lsh_bucket,
+    "knn_label_vote": q_knn_label_vote,
+    "binary_meta": q_binary_meta,
+}
+
+
+_MUTANTS_CTE = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         substring(text, instr(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0
+)"""
+
+_SHINGLE_CTE = """
+tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM docs
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
+  FROM tok
+  WHERE len(toks) >= 3
+)"""
+
+_SIG_SQL = f"""
+WITH {_MUTANTS_CTE},
+{_SHINGLE_CTE},
+m AS (
+  SELECT doc_id,
+         list_min(list_transform(sh, s -> md5(concat('0|', s)))) AS m0,
+         list_min(list_transform(sh, s -> md5(concat('1|', s)))) AS m1,
+         list_min(list_transform(sh, s -> md5(concat('2|', s)))) AS m2,
+         list_min(list_transform(sh, s -> md5(concat('3|', s)))) AS m3,
+         list_min(list_transform(sh, s -> md5(concat('4|', s)))) AS m4,
+         list_min(list_transform(sh, s -> md5(concat('5|', s)))) AS m5
+  FROM sh
+)
+SELECT doc_id,
+       md5(concat(m0, m1, m2)) AS band1,
+       md5(concat(m3, m4, m5)) AS band2
+FROM m ORDER BY doc_id"""
+
+
+ORACLE_SQL = {
+    "seen_antijoin": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 250000)
+        ORDER BY c_custkey""",
+    "refetch_eligibility": """
+        SELECT user_id, count(*) AS fetches,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_fetch_s
+        FROM events WHERE event_type = 'error' GROUP BY user_id
+        HAVING count(*) < 200
+           AND date_diff('second', max(ts), TIMESTAMP '2024-02-02 00:00:00') >= 259200
+           AND date_diff('second', max(ts), TIMESTAMP '2024-02-02 00:00:00') <= 2592000
+        ORDER BY user_id""",
+    "merge_upsert": """
+        WITH merged AS (
+          SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+          UNION ALL
+          SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        ), f AS (SELECT user_id, count(*) AS fetches FROM merged GROUP BY user_id),
+        l AS (SELECT user_id, max(ts) AS mx FROM events GROUP BY user_id)
+        SELECT f.user_id, f.fetches,
+               strftime(l.mx, '%Y-%m-%d %H:%M:%S') AS last_fetch_s
+        FROM f JOIN l USING (user_id) ORDER BY f.user_id""",
+    "trawl_window": """
+        SELECT event_type, count(*) AS n FROM events
+        WHERE ts > TIMESTAMP '2024-01-01 06:00:00'
+          AND ts <= TIMESTAMP '2024-01-02 06:00:00'
+        GROUP BY event_type ORDER BY event_type""",
+    "domain_rewrite": """
+        SELECT CASE event_type WHEN 'click' THEN 'tap'
+               WHEN 'view' THEN 'impression' ELSE event_type END AS canon_type,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY canon_type""",
+    "politeness_window": """
+        SELECT user_id, event_id, rnk FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, ts ASC, event_id ASC) AS rnk
+          FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk""",
+    "priority_topk": """
+        SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS total
+        FROM orders
+        ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+        LIMIT 25""",
+    "union_dedup": """
+        SELECT DISTINCT o_custkey FROM (
+          SELECT o_custkey FROM orders WHERE o_totalprice > 1000
+          UNION ALL
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        ORDER BY o_custkey""",
+    "stats_counters": """
+        SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""",
+    "url_filter": """
+        SELECT url FROM (
+          SELECT concat('https://h', o_custkey % 7, '.example.com/',
+                        lower(o_orderstatus), '/', o_orderkey) AS url
+          FROM orders)
+        WHERE regexp_matches(url, '/o/') AND NOT regexp_matches(url, 'h3\\.')
+        ORDER BY url""",
+    "tpch_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 6) AS sum_qty,
+               round(sum(l_extendedprice), 6) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""",
+    "region_revenue": """
+        SELECT r_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""",
+    "customer_top_order": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
+    "sessionize": """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN date_diff('second',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts) > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        s AS (
+          SELECT user_id,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g)
+        SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        FROM s GROUP BY user_id ORDER BY user_id""",
+    "tumbling_window": """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                        '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "exact_dedup": f"""
+        WITH {_MUTANTS_CTE}
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""",
+    "minhash_signature": _SIG_SQL,
+    "lsh_dup_pairs": f"""
+        WITH sig AS ({_SIG_SQL.replace('ORDER BY doc_id', '')}),
+        bands AS (
+          SELECT doc_id, band1 AS band FROM sig
+          UNION ALL SELECT doc_id, band2 FROM sig)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b""",
+    "ngram_jaccard_pairs": f"""
+        WITH {_MUTANTS_CTE},
+        {_SHINGLE_CTE},
+        dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+        sizes AS (SELECT doc_id, len(sh) AS n_sh FROM dsh),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM dsh),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ORDER BY doc_a, doc_b""",
+    "wordcount": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS wc
+        FROM documents ORDER BY doc_id""",
+    "lang_id": """
+        WITH t AS (
+          SELECT doc_id, concat(' ', lower(trim(text)), ' ') AS low FROM documents),
+        h AS (
+          SELECT doc_id,
+            len(string_split_regex(low, ' (?:the|a|of|and|to|in) ')) - 1 AS en,
+            len(string_split_regex(low, ' (?:der|die|das|und|ist|nicht) ')) - 1 AS de,
+            len(string_split_regex(low, ' (?:le|la|et|les|des|est) ')) - 1 AS fr
+          FROM t)
+        SELECT doc_id,
+               CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+                    WHEN de >= fr AND de > 0 THEN 'de'
+                    WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_guess
+        FROM h ORDER BY doc_id""",
+    "quality_score": """
+        WITH m AS (
+          SELECT doc_id, n_chars,
+                 length(text) AS nc,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                 len(string_split_regex(concat(' ', lower(trim(text)), ' '),
+                     ' (?:the|a|of|and|to|in) ')) - 1 AS stop_hits
+          FROM documents)
+        SELECT doc_id, n_chars AS n_chars_meta, n_words,
+               CASE WHEN nc < 100 THEN 0.0
+                    ELSE least(1.0, round(
+                      0.5 * least(1.0, n_words / 200.0)
+                      + 0.5 * least(1.0, stop_hits * 10.0 / greatest(n_words, 1)),
+                      6)) END AS quality
+        FROM m ORDER BY doc_id""",
+    "token_count": """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+          FROM documents)
+        SELECT doc_id, len(words) AS n_ws_tokens,
+               CAST(list_sum(list_transform(words,
+                        x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est
+        FROM w ORDER BY doc_id""",
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+               substring(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16) AS fp64
+        FROM documents ORDER BY doc_id""",
+    "ann_cosine_topk": """
+        WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embd FROM embeddings),
+        q AS (SELECT embd AS qv FROM e WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_dot_product(embd, qv)
+                     / (sqrt(list_dot_product(embd, embd))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+        FROM e, q WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "ann_lsh_bucket": """
+        WITH b AS (
+          SELECT (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+               + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+               + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+               + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+               + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+          FROM embeddings)
+        SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""",
+    "knn_label_vote": """
+        WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embd FROM embeddings),
+        q AS (SELECT embd AS qv FROM e WHERE vec_id = 0),
+        top AS (
+          SELECT vec_id, label,
+                 round(list_dot_product(embd, qv)
+                       / (sqrt(list_dot_product(embd, embd))
+                          * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+          FROM e, q WHERE vec_id <> 0
+          ORDER BY cosine DESC, vec_id ASC LIMIT 50)
+        SELECT label, count(*) AS votes FROM top GROUP BY label ORDER BY label""",
+    "binary_meta": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents ORDER BY doc_id""",
+}

@@ -1,0 +1,100 @@
+"""Fixed StructType schemas for every engine table (SURVEY.md §1).
+
+The reference is schema-dynamic (dict-like Scrapy items); we impose one
+columnar schema per table with nullable columns standing in for "field may
+be absent" (/root/reference/RISJbot/items.py:11-40 → `ARTICLE_SCHEMA`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# The authoritative input shape (BASELINE.json input_hint): Common-Crawl
+# style pages.
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+# Frontier rows (SURVEY.md §1.2): one row per candidate URL per round.
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("url_canon", T.StringType()),
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("priority", T.IntegerType()),
+    T.StructField("discovered_ts", T.TimestampType()),
+    T.StructField("source_kind", T.StringType()),
+    T.StructField("feed_meta", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("round", T.IntegerType()),
+])
+
+# Seen-set / fetch-history state (replaces the reference's sqlite
+# `records(key, url, fetches, time)` table,
+# /root/reference/RISJbot/spmiddlewares/refetchcontrol.py:110-115).
+SEEN_SCHEMA = T.StructType([
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("fetches", T.IntegerType()),
+    T.StructField("last_fetch", T.TimestampType()),
+])
+
+# NewsItem output (items.py:11-40 + pipeline fields). Timestamps stay the
+# reference's ISO-8601 strings at this layer (byte-identity surface); the
+# articles *table* adds typed companions.
+ARTICLE_STRUCT = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("originalurl", T.StringType()),
+    T.StructField("fetchtime", T.StringType()),
+    T.StructField("modtime", T.StringType()),
+    T.StructField("firstpubtime", T.StringType()),
+    T.StructField("section", T.StringType()),
+    T.StructField("headline", T.StringType()),
+    T.StructField("summary", T.StringType()),
+    T.StructField("bylines", T.ArrayType(T.StringType())),
+    T.StructField("bodytext", T.StringType()),
+    T.StructField("keywords", T.ArrayType(T.StringType())),
+    T.StructField("previousfetches", T.IntegerType()),
+    T.StructField("notes", T.ArrayType(T.StringType())),
+    T.StructField("language", T.StringType()),
+    T.StructField("articleid", T.StringType()),
+    T.StructField("wordcount", T.IntegerType()),
+    T.StructField("sentiment", T.DoubleType()),
+    T.StructField("subjectivity", T.DoubleType()),
+    T.StructField("namedpeople", T.ArrayType(T.StringType())),
+    T.StructField("kincaidgradelevel", T.DoubleType()),
+    T.StructField("fleschreadingease", T.DoubleType()),
+    T.StructField("status", T.StringType()),       # ok | fake404 | empty
+    T.StructField("jsonld_failed", T.IntegerType()),
+])
+
+# Per-partition, per-round lineage metrics (north_rule: frontier-in,
+# fetched, deduped, extracted counts per Iceberg commit).
+LINEAGE_SCHEMA = T.StructType([
+    T.StructField("round", T.IntegerType()),
+    T.StructField("partition_id", T.IntegerType()),
+    T.StructField("stage", T.StringType()),
+    T.StructField("counter", T.StringType()),
+    T.StructField("n", T.LongType()),
+])
+
+ROBOTS_SCHEMA = T.StructType([
+    T.StructField("host", T.StringType()),
+    T.StructField("robots_txt", T.StringType()),
+])
+
+SEEDS_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("source_kind", T.StringType()),
+    T.StructField("priority", T.IntegerType()),
+])
+
+FEEDS_SCHEMA = T.StructType([
+    T.StructField("feed_url", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("body", T.BinaryType()),
+])

@@ -1,0 +1,114 @@
+"""Snapshot tables: parquet data files + JSON manifests, Iceberg semantics.
+
+The production target is Iceberg (`MERGE INTO seen ...`, snapshot expiry,
+metadata-level min/max pruning — SURVEY.md §2.1 S10, §2.3 J2). This
+container ships no Iceberg runtime jar, so this module provides the same
+*contract* over plain parquet:
+
+  * commit(df, lineage) → immutable snapshot (data files never rewritten)
+  * every snapshot carries parent pointer + per-partition lineage metrics
+    (north_rule: frontier-in / fetched / deduped / extracted counts)
+  * read(snapshot_id) → any historical snapshot (time travel / resume)
+  * atomic CURRENT pointer swap (os.replace) = the Iceberg catalog swap
+
+The crawl's whole persistent state lives in these tables (replacing the
+reference's single sqlite file synced to S3,
+/root/reference/RISJbot/spmiddlewares/refetchcontrol.py:90-122 +
+extensions/dotscrapy.py:10-55), so a crawl resumes mid-run from any
+snapshot on any cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class SnapshotTable:
+    def __init__(self, spark, root: str, name: str):
+        self.spark = spark
+        self.name = name
+        self.dir = os.path.join(root, name)
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- catalog ----------------------------------------------------------
+    def _current_path(self) -> str:
+        return os.path.join(self.dir, "CURRENT")
+
+    def current_snapshot_id(self) -> int | None:
+        try:
+            with open(self._current_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _manifest_path(self, sid: int) -> str:
+        return os.path.join(self.dir, f"snap-{sid}.manifest.json")
+
+    def manifest(self, sid: int | None = None) -> dict | None:
+        sid = sid if sid is not None else self.current_snapshot_id()
+        if sid is None:
+            return None
+        with open(self._manifest_path(sid)) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.dir)):
+            if fn.startswith("snap-") and fn.endswith(".manifest.json"):
+                with open(os.path.join(self.dir, fn)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda m: m["id"])
+
+    # -- write path ---------------------------------------------------------
+    def commit(self, df, lineage: dict | None = None, mode: str = "replace") -> int:
+        """Write df as a new immutable snapshot and swap CURRENT.
+
+        mode='replace': snapshot contents = df (the seen-table MERGE result).
+        mode='append' : snapshot = parent's files + df's new files (articles
+        log) — parquet files are immutable, only the manifest grows, exactly
+        Iceberg's append commit.
+        """
+        parent = self.current_snapshot_id()
+        sid = (parent or 0) + 1
+        data_dir = os.path.join(self.dir, f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(data_dir)
+        files = [data_dir]
+        if mode == "append" and parent is not None:
+            files = self.manifest(parent)["files"] + files
+        man = {
+            "id": sid,
+            "parent": parent,
+            "table": self.name,
+            "mode": mode,
+            "committed_at": time.time(),
+            "files": files,
+            "lineage": lineage or {},
+        }
+        tmp = self._manifest_path(sid) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, self._manifest_path(sid))
+        cur_tmp = self._current_path() + ".tmp"
+        with open(cur_tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(cur_tmp, self._current_path())  # atomic catalog swap
+        return sid
+
+    # -- read path ----------------------------------------------------------
+    def read(self, snapshot_id: int | None = None, schema=None):
+        """DataFrame view of a snapshot (default: CURRENT). Empty-typed DF
+        when the table has no snapshot yet."""
+        man = self.manifest(snapshot_id)
+        if man is None or not man["files"]:
+            if schema is None:
+                raise ValueError(f"table {self.name} is empty and no schema given")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*man["files"])
+
+    def lineage_history(self) -> list[dict]:
+        return [
+            {"id": m["id"], "lineage": m["lineage"]} for m in self.snapshots()
+        ]

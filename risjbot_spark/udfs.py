@@ -1,0 +1,128 @@
+"""Vectorized pandas/Arrow UDFs — the only Python in the dataflow.
+
+Per BASELINE.json input_hint: "vectorized pandas/Arrow UDFs (no per-row
+Python)". Each UDF receives Arrow batches and loops in C-speed pandas
+apply over the *batch*, amortizing serialization; the DOM work itself is
+irreducibly per-document (same as the reference's per-response parse).
+
+The UDF bodies delegate to :mod:`risjbot_spark.extract` — the identical
+code the pytest oracle runs, so Spark output is byte-identical to the
+fixtures by construction (SURVEY.md §7 M0).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .extract import extract_article
+from .extract import nlp as _nlp
+from .schema import ARTICLE_STRUCT
+
+_ARTICLE_FIELDS = [f.name for f in ARTICLE_STRUCT.fields]
+
+
+def _extract_one(html, url, fetchtime, meta_json) -> dict:
+    meta = None
+    if meta_json:
+        try:
+            meta = json.loads(meta_json)
+        except (json.JSONDecodeError, TypeError):
+            meta = None
+    res = extract_article(html, url, fetchtime=fetchtime, meta=meta)
+    row = dict.fromkeys(_ARTICLE_FIELDS)
+    if res.item:
+        for k, v in res.item.items():
+            if k in row:
+                row[k] = v
+    row["status"] = res.status
+    row["jsonld_failed"] = res.jsonld_failed
+    return row
+
+
+@pandas_udf(ARTICLE_STRUCT)
+def extract_article_udf(
+    html: pd.Series, url: pd.Series, fetchtime: pd.Series, meta_json: pd.Series
+) -> pd.DataFrame:
+    """(html, url, fetchtime, feed-meta JSON) → NewsItem struct.
+
+    One lxml-style parse per row producing the FULL struct — never N UDFs
+    × N parses (the reference's parse-once constraint, SURVEY.md §4)."""
+    rows = [
+        _extract_one(h, u, ft, mj)
+        for h, u, ft, mj in zip(html, url, fetchtime, meta_json)
+    ]
+    return pd.DataFrame(rows, columns=_ARTICLE_FIELDS)
+
+
+# --- frontier-source / link UDFs -------------------------------------------
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """All hrefs on the page, absolutized (S6 link-following source,
+    /root/reference/RISJbot/spiders/base/buzzfeednewscrawlspider.py:15-19).
+    Per-page dedup (the reference's `seen = set()`,
+    newssplashcrawlspider.py:57-64) is done here → F.explode downstream."""
+    from urllib.parse import urljoin
+
+    from .html import parse_html, xpath
+
+    out = []
+    for h, base in zip(html, base_url):
+        if h is None:
+            out.append([])
+            continue
+        root = parse_html(h)
+        seen: set[str] = set()
+        links: list[str] = []
+        for href in xpath(root, "//a/@href"):
+            absu = urljoin(base, href.strip())
+            if absu.startswith("http") and absu not in seen:
+                seen.add(absu)
+                links.append(absu)
+        out.append(links)
+    return pd.Series(out)
+
+
+# --- NLP UDFs usable standalone over any text column ------------------------
+
+@pandas_udf(T.StructType([
+    T.StructField("sentiment", T.DoubleType()),
+    T.StructField("subjectivity", T.DoubleType()),
+]))
+def sentiment_udf(text: pd.Series) -> pd.DataFrame:
+    vals = [_nlp.sentiment(t) if isinstance(t, str) else (None, None) for t in text]
+    return pd.DataFrame(vals, columns=["sentiment", "subjectivity"])
+
+
+@pandas_udf(T.StructType([
+    T.StructField("fleschreadingease", T.DoubleType()),
+    T.StructField("kincaidgradelevel", T.DoubleType()),
+]))
+def reading_scores_udf(text: pd.Series) -> pd.DataFrame:
+    rows = []
+    for t in text:
+        s = _nlp.reading_scores(t) if isinstance(t, str) else None
+        rows.append(s if s is not None else (None, None))
+    return pd.DataFrame(rows, columns=["fleschreadingease", "kincaidgradelevel"])
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def named_people_udf(text: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_nlp.named_people(t) if isinstance(t, str) else [] for t in text]
+    )
+
+
+def wordcount_expr(col):
+    """A2 word count, JVM-side: len(str.split()) semantics = split on
+    \\s+ with leading/trailing runs dropped
+    (/root/reference/RISJbot/pipelines/wordcount.py:15)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("int")

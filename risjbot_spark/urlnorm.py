@@ -1,0 +1,93 @@
+"""URL canonicalization — JVM-side expressions, no Python in the hot path.
+
+Replicates, as pure Catalyst expression chains (whole-stage-codegen
+eligible):
+  * EquivalentDomains netloc rewriting
+    (/root/reference/RISJbot/spmiddlewares/equivalentdomains.py:33-52,
+    mapping at settings.py:176) — the canonicalize-before-seen-check
+    ordering is load-bearing (settings.py:121-124): stored keys must be
+    canonical.
+  * Tracking-query stripping (split('?')[0],
+    /root/reference/RISJbot/spiders/uk/dailymail.py:16-20)
+  * Stable 64-bit keying via xxhash64 — replaces the sha1 request
+    fingerprint (refetchcontrol.py:329-336); semantics preserved
+    (canonical URL → stable key), hash family swapped for a JVM builtin.
+
+A matching pure-Python `canonicalize_py` backs the in-memory oracle used
+by the frontier property tests.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse, urlunparse
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# settings.py:176 — extend per deployment.
+EQUIVALENT_DOMAINS: dict[str, str] = {"www.cnn.com": "edition.cnn.com"}
+
+# Hosts whose URLs carry tracking query junk that must be stripped before
+# keying (dailymail.py:16-20 does split('?')[0] on every feed URL).
+STRIP_QUERY_HOSTS: tuple[str, ...] = ("dailymail.co.uk",)
+
+
+def host_expr(url: Column) -> Column:
+    """Host (netloc) of a URL as a Catalyst expression."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def canonicalize_expr(url: Column) -> Column:
+    """url → canonical url, entirely JVM-side.
+
+    Order matters and mirrors the reference pipeline: strip fragment →
+    strip tracking query (per-host) → rewrite equivalent domains.
+    """
+    # strip fragment always (Scrapy request fingerprints ignore fragments)
+    u = F.split(url, "#", 2).getItem(0)
+    host = host_expr(u)
+
+    # per-host query stripping
+    strip_pred = F.lit(False)
+    for h in STRIP_QUERY_HOSTS:
+        strip_pred = strip_pred | host.endswith(F.lit(h))
+    u = F.when(strip_pred, F.split(u, r"\?", 2).getItem(0)).otherwise(u)
+
+    # equivalent-domain rewrite: replace '<scheme>://olddomain' prefix
+    for old, new in EQUIVALENT_DOMAINS.items():
+        u = F.regexp_replace(u, rf"^(https?://){old}/", rf"$1{new}/")
+    return u
+
+
+def url_hash_expr(url_canon: Column) -> Column:
+    return F.xxhash64(url_canon)
+
+
+def with_canonical(df, url_col: str = "url"):
+    """Add url_canon / url_hash / host columns to a frontier DataFrame."""
+    df = df.withColumn("url_canon", canonicalize_expr(F.col(url_col)))
+    return (
+        df.withColumn("url_hash", url_hash_expr(F.col("url_canon")))
+          .withColumn("host", host_expr(F.col("url_canon")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# pure-Python twin (oracle / tests)
+# ---------------------------------------------------------------------------
+
+def canonicalize_py(url: str) -> str:
+    url = url.split("#", 1)[0]
+    parts = urlparse(url)
+    host = parts.netloc.lower()
+    if any(host.endswith(h) for h in STRIP_QUERY_HOSTS):
+        url = url.split("?", 1)[0]
+        parts = urlparse(url)
+    if parts.netloc in EQUIVALENT_DOMAINS:
+        parts = parts._replace(netloc=EQUIVALENT_DOMAINS[parts.netloc])
+        url = urlunparse(parts)
+    return url
+
+
+def host_py(url: str) -> str:
+    return urlparse(url).netloc.lower()

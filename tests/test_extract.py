@@ -1,0 +1,258 @@
+"""Golden extraction-pathway tests (SURVEY.md §5.1): every metadata battery,
+TakeFirst precedence conflicts, prune behavior, fake-404, NUL-robustness,
+date edge cases, byline fluff — the fixtures lock the extraction semantics
+that the Spark UDF shares byte-for-byte."""
+
+from risjbot_spark.extract import extract_article
+from risjbot_spark.extract.cleaners import (
+    compose_bodytext,
+    pack_bylines,
+    take_first,
+    unpack_csv,
+)
+from risjbot_spark.extract.dates import parse_datetime
+from risjbot_spark.extract.loader import NewsItemLoader
+
+
+def wrap(body: str, head: str = "", lang: str = "en") -> bytes:
+    return f'<html lang="{lang}"><head>{head}</head><body>{body}</body></html>'.encode()
+
+
+# ---------------------------------------------------------------------------
+# metadata pathways
+# ---------------------------------------------------------------------------
+
+def test_htmlmeta_pathway():
+    html = wrap(
+        "<article><p itemprop='articleBody'>Body text here.</p></article>",
+        head='<meta name="author" content="Jo Smith">'
+             '<meta name="news_keywords" content="a,b">'
+             '<meta name="keywords" content="c,d">',
+    )
+    item = extract_article(html, "https://example.com/x").item
+    assert item["bylines"] == ["Jo Smith"]
+    assert item["keywords"] == ["a", "b"]  # news_keywords wins (add order)
+    assert item["language"] == "en"
+
+
+def test_jsonld_beats_xpath_and_og():
+    html = wrap(
+        '<h1 itemprop="headline">Xpath Headline</h1>'
+        '<p itemprop="articleBody">body</p>',
+        head='<script type="application/ld+json">'
+             '{"@context":"http://schema.org","@type":"NewsArticle",'
+             '"headline":"JSONLD Headline"}</script>'
+             '<meta property="og:title" content="OG Headline">',
+    )
+    item = extract_article(html, "https://example.com/x").item
+    assert item["headline"] == "JSONLD Headline"
+
+
+def test_malformed_jsonld_skipped():
+    html = wrap(
+        "<p itemprop='articleBody'>b</p>",
+        head='<script type="application/ld+json">{broken</script>'
+             '<script type="application/ld+json">'
+             '{"@context":"https://schema.org/","@type":"NewsArticle",'
+             '"headline":"Good"}</script>',
+    )
+    res = extract_article(html, "https://example.com/x")
+    assert res.jsonld_failed == 1
+    assert res.item["headline"] == "Good"
+
+
+def test_jsonld_requires_newsarticle_type():
+    html = wrap(
+        "<p itemprop='articleBody'>b</p><h1 itemprop='headline'>Fallback H</h1>",
+        head='<script type="application/ld+json">'
+             '{"@context":"https://schema.org","@type":"WebSite",'
+             '"headline":"NOT THIS"}</script>',
+    )
+    assert extract_article(html, "https://example.com/x").item["headline"] == "Fallback H"
+
+
+def test_opengraph_pathway():
+    html = wrap(
+        "<p itemprop='articleBody'>b</p>",
+        head='<meta property="og:site_name" content="Example News">'
+             '<meta property="og:title" content="OG Head">'
+             '<meta property="og:description" content="OG Sum">'
+             '<meta property="article:published_time" content="2017-02-27T18:02:16.787Z">'
+             '<meta property="article:section" content="World">'
+             '<meta property="article:tag" content="x">',
+    )
+    item = extract_article(html, "https://example.com/x").item
+    assert item["source"] == "Example News"
+    assert item["headline"] == "OG Head"
+    assert item["summary"] == "OG Sum"
+    assert item["section"] == "World"
+    # millisecond ISO handled via the ms-strip rewrite
+    assert item["firstpubtime"] == "2017-02-27T18:02:16+00:00"
+
+
+def test_dublincore_pathway():
+    html = wrap(
+        "<p itemprop='articleBody'>b</p>",
+        head='<meta name="dc.title" content="DC Head">'
+             '<meta name="dcterms.abstract" content="DC Sum">'
+             '<meta name="DC.publisher" content="DC Pub">',
+    )
+    # dublincore battery is in the foxnews profile
+    item = extract_article(html, "https://www.foxnews.com/x").item
+    assert item["headline"] == "DC Head"
+    assert item["summary"] == "DC Sum"
+    assert item["source"] == "DC Pub"
+
+
+def test_readability_fallback_and_short_circuit():
+    html = wrap(
+        "<article><p>Long fallback paragraph with plenty of text in it.</p>"
+        "<p>Another paragraph to boost the candidate score here.</p></article>",
+        head="<title>Story Title Words | SiteName</title>",
+    )
+    item = extract_article(html, "https://example.com/x").item
+    assert item["headline"] == "Story Title Words"
+    assert "fallback paragraph" in item["bodytext"]
+
+
+def test_scrapymeta_rss_and_sitemap():
+    html = wrap("<p itemprop='articleBody'>b</p>")
+    meta = {
+        "originalurl": "https://orig.example.com/a",
+        "RSSFeed": {"title": "RSS Head", "description": "RSS Sum",
+                    "pubDate": "Mon, 27 Feb 2017 18:02:16 GMT"},
+        "NewsSitemap": {"lastmod": "2017-03-01T00:00:00Z",
+                        "news": {"keywords": "k1,k2", "title": "SM Head",
+                                 "publication_date": "2017-02-28"}},
+        "refetchcontrol_previous": 3,
+    }
+    item = extract_article(html, "https://example.com/x", meta=meta).item
+    assert item["originalurl"] == "https://orig.example.com/a"
+    assert item["headline"] == "RSS Head"          # RSS added before sitemap
+    assert item["summary"] == "RSS Sum"
+    assert item["firstpubtime"] == "2017-02-27T18:02:16+00:00"
+    assert item["modtime"] == "2017-03-01T00:00:00+00:00"
+    assert item["keywords"] == ["k1", "k2"]
+    assert item["previousfetches"] == 3
+
+
+# ---------------------------------------------------------------------------
+# pruning / filters
+# ---------------------------------------------------------------------------
+
+def test_global_prune_excludes_figure_script_style_form():
+    html = wrap(
+        "<div itemprop='articleBody'>keep "
+        "<figure>FIGJUNK</figure><script>SCRIPTJUNK</script>"
+        "<style>STYLEJUNK</style><form>FORMJUNK</form>"
+        "<p>also keep</p></div>"
+    )
+    body = extract_article(html, "https://example.com/x").item["bodytext"]
+    assert "keep" in body and "also keep" in body
+    for junk in ("FIGJUNK", "SCRIPTJUNK", "STYLEJUNK", "FORMJUNK"):
+        assert junk not in body
+
+
+def test_guardian_site_prune_and_body():
+    html = wrap(
+        '<article><div class="content__main-column">'
+        "<p>real text</p><div class='meta'>META</div></div></article>"
+        '<div class="submeta">SUBMETA</div><aside>ASIDE</aside>'
+    )
+    item = extract_article(html, "https://www.theguardian.com/p/1").item
+    assert item["source"] == "The Guardian"
+    assert item["bodytext"] == "real text"
+
+
+def test_fake404_dropped():
+    html = wrap("<h1>Something has gone wrong</h1><p itemprop='articleBody'>x</p>")
+    res = extract_article(html, "https://www.foxnews.com/x")
+    assert res.status == "fake404"
+    assert res.item is None
+    # same page on a non-matching host is fine
+    assert extract_article(html, "https://example.com/x").status == "ok"
+
+
+def test_nul_studded_page_parses_fully():
+    html = wrap("<p itemprop='articleBody'>before\x00after</p>").replace(b"\\x00", b"\x00")
+    item = extract_article(html, "https://example.com/x").item
+    assert item["bodytext"] == "beforeafter"
+
+
+# ---------------------------------------------------------------------------
+# date edge cases
+# ---------------------------------------------------------------------------
+
+def test_date_ms_strip():
+    assert parse_datetime("2017-02-27T18:02:16.787Z").isoformat() == "2017-02-27T18:02:16+00:00"
+
+
+def test_date_rfc2822():
+    assert parse_datetime("Mon, 27 Feb 2017 18:02:16 GMT").isoformat() == "2017-02-27T18:02:16+00:00"
+
+
+def test_date_unparseable_is_none():
+    assert parse_datetime("not a date at all") is None
+    assert parse_datetime(None) is None
+
+
+def test_wapo_tz_fixup():
+    html = wrap(
+        "<p itemprop='articleBody'>b</p>"
+        "<meta itemprop='datePublished' content='2017-03-27T12:01-500'>",
+    )
+    item = extract_article(html, "https://www.washingtonpost.com/x").item
+    assert item["firstpubtime"] == "2017-03-27T12:01:00-05:00"
+
+
+# ---------------------------------------------------------------------------
+# byline fluff / packing
+# ---------------------------------------------------------------------------
+
+def test_byline_fluff_removal():
+    assert pack_bylines(["By Jane Doe and John Smith"]) == "Jane Doe,John Smith"
+    assert pack_bylines(["http://twitter.com/x", "Written by A B"]) == "A B"
+
+
+def test_bbc_headline_dross():
+    html = wrap(
+        "<p itemprop='articleBody'>b</p>",
+        head="<title>Politics story - BBC News</title>",
+    )
+    item = extract_article(html, "https://www.bbc.co.uk/news/uk-1").item
+    assert item["headline"] == "Politics story"
+    assert item["source"] == "BBC News"
+
+
+def test_dailymail_byline_title_drop():
+    html = wrap(
+        "<p itemprop='articleBody'>b</p>",
+        head='<meta property="article:author" '
+             'content="John Smith, Chief Reporter for MailOnline and A B">',
+    )
+    item = extract_article(html, "https://www.dailymail.co.uk/news/article-1.html").item
+    assert item["bylines"] == ["John Smith", "A B"]
+
+
+# ---------------------------------------------------------------------------
+# loader precedence / compose semantics
+# ---------------------------------------------------------------------------
+
+def test_take_first_skips_empty():
+    assert take_first(["", None, "x", "y"]) == "x"
+
+
+def test_bodytext_multi_try():
+    l = NewsItemLoader()
+    l.add_value("bodytext", [])          # try 1: empty join → ''
+    l.add_value("bodytext", ["a", "b"])  # try 2
+    l.add_value("bodytext", ["c"])       # try 3
+    assert l.get_output_value("bodytext") == "a b"
+
+
+def test_compose_bodytext_escapes_and_entities():
+    assert compose_bodytext(["a\nb", "c&amp;d"]) == "a b c&d"
+
+
+def test_unpack_csv():
+    assert unpack_csv("a, b,c") == ["a", " b", "c"]

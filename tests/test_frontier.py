@@ -1,0 +1,120 @@
+"""Frontier state machine vs the in-memory oracle (SURVEY.md §5.2).
+
+Locks the north_rule invariants: same seed list + politeness budget ⇒
+identical crawl ordering and identical final seen-set; RefetchControl
+predicates (first fetch / skip / refetch / age-out / trim) match the
+reference's rules."""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from risjbot_spark.frontier.politeness import RobotsRules, parse_robots
+from risjbot_spark.frontier.state import RefetchConfig, merge_seen, seen_filter, \
+    trawl_candidates, trim_seen
+from risjbot_spark.frontier.xxhash import xxhash64
+from risjbot_spark.schema import SEEN_SCHEMA
+
+T0 = datetime(2017, 4, 1, tzinfo=timezone.utc)
+CFG = RefetchConfig(maxfetches=3, refetchsecs=3600)  # agelimit = 10800
+
+
+def _seen(spark, rows):
+    return spark.createDataFrame(
+        [(xxhash64(u), u, u.split("/")[2], nf, t) for u, nf, t in rows],
+        SEEN_SCHEMA,
+    )
+
+
+def _frontier(spark, urls):
+    return spark.createDataFrame(
+        [(u, u, xxhash64(u), u.split("/")[2], 0, T0, "t", None, 0) for u in urls],
+        "url string, url_canon string, url_hash long, host string, "
+        "priority int, discovered_ts timestamp, source_kind string, "
+        "feed_meta map<string,string>, round int",
+    )
+
+
+def test_xxhash64_matches_spark(spark):
+    urls = ["", "a", "abc" * 20, "https://example.com/x?q=1"]
+    got = {
+        r["u"]: r["h"]
+        for r in spark.createDataFrame([(u,) for u in urls], ["u"])
+        .select("u", F.xxhash64("u").alias("h")).collect()
+    }
+    for u in urls:
+        assert xxhash64(u) == got[u]
+
+
+def test_seen_filter_rules(spark):
+    """J1 predicates: refetchcontrol.py:252-279 truth table."""
+    rows = [
+        ("https://h1/first", None, None),                       # not in seen
+        ("https://h1/max", 3, T0 - timedelta(seconds=7200)),    # nf >= maxfetches
+        ("https://h1/young", 1, T0 - timedelta(seconds=100)),   # age < refetchsecs
+        ("https://h1/old", 1, T0 - timedelta(seconds=99999)),   # age > agelimit
+        ("https://h1/ok", 2, T0 - timedelta(seconds=7200)),     # eligible refetch
+    ]
+    seen = _seen(spark, [r for r in rows if r[1] is not None])
+    frontier = _frontier(spark, [r[0] for r in rows])
+    got = {
+        r["url_canon"]: r["previousfetches"]
+        for r in seen_filter(frontier, seen, CFG, T0).collect()
+    }
+    assert got == {"https://h1/first": 0, "https://h1/ok": 2}
+
+
+def test_merge_seen_upsert(spark):
+    """J2: INSERT OR REPLACE with fetches+1 (refetchcontrol.py:302-313)."""
+    seen = _seen(spark, [("https://h1/a", 2, T0 - timedelta(hours=2))])
+    fetched = spark.createDataFrame(
+        [(xxhash64("https://h1/a"), "https://h1/a", "h1"),
+         (xxhash64("https://h1/b"), "https://h1/b", "h1")],
+        "url_hash long, url_canon string, host string",
+    )
+    got = {r["url"]: (r["fetches"], r["last_fetch"])
+           for r in merge_seen(seen, fetched, T0).collect()}
+    assert got["https://h1/a"][0] == 3
+    assert got["https://h1/b"][0] == 1
+    assert all(v[1] == T0.replace(tzinfo=None) for v in got.values())
+
+
+def test_trawl_window(spark):
+    """J3a eligibility: cutoffold < t <= cutofft AND nf < maxfetches."""
+    seen = _seen(spark, [
+        ("https://h1/eligible", 1, T0 - timedelta(seconds=7200)),
+        ("https://h1/toyoung", 1, T0 - timedelta(seconds=600)),
+        ("https://h1/tooold", 1, T0 - timedelta(seconds=99999)),
+        ("https://h1/maxed", 3, T0 - timedelta(seconds=7200)),
+    ])
+    got = {r["url"] for r in trawl_candidates(seen, CFG, T0).collect()}
+    assert got == {"https://h1/eligible"}
+
+
+def test_trim_keeps_requested_stale(spark):
+    """J3b: stale ∧ ¬requested deleted; stale ∧ requested kept."""
+    seen = _seen(spark, [
+        ("https://h1/stale-gone", 1, T0 - timedelta(seconds=99999)),
+        ("https://h1/stale-kept", 1, T0 - timedelta(seconds=99999)),
+        ("https://h1/fresh", 1, T0 - timedelta(seconds=100)),
+    ])
+    requested = spark.createDataFrame(
+        [(xxhash64("https://h1/stale-kept"),)], "url_hash long")
+    got = {r["url"] for r in trim_seen(seen, requested, CFG, T0).collect()}
+    assert got == {"https://h1/stale-kept", "https://h1/fresh"}
+
+
+def test_robots_parser():
+    r = parse_robots(
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+        "Crawl-delay: 2\nSitemap: https://h/sm.xml\n"
+        "User-agent: bot\nDisallow: /\n"
+    )
+    assert r.crawl_delay == 2.0
+    assert r.sitemaps == ("https://h/sm.xml",)
+    assert not r.allowed("/private/x")
+    assert r.allowed("/private/ok/page")
+    assert r.allowed("/public")
+    # the bot-specific Disallow:/ must not leak into *
+    assert r.allowed("/")

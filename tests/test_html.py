@@ -1,0 +1,92 @@
+"""DOM + mini-XPath engine tests (the selector surface the batteries use)."""
+
+from risjbot_spark.html import parse_html, remove_nodes, xpath
+
+PAGE = b"""<!DOCTYPE html><html lang="de"><head>
+<title>T</title>
+<meta name="author" content="A. Writer">
+<meta property="og:title" content="OG Title">
+<script type="application/ld+json">{"@type":"NewsArticle"}</script>
+<script type="text/javascript">var x = '<p>not text</p>';</script>
+</head><body>
+<article>
+ <div class="content__main-column">
+  <p>one <b>two</b> three</p>
+  <div class="meta">SKIP</div>
+  <p>four</p>
+ </div>
+</article>
+<figure><figcaption>cap</figcaption></figure>tailtext
+<h1 itemprop="headline">Head <span>Line</span></h1>
+</body></html>"""
+
+
+def _root():
+    return parse_html(PAGE)
+
+
+def test_absolute_attr():
+    assert xpath(_root(), "/html/@lang") == ["de"]
+
+
+def test_relative_meta_or_predicate():
+    r = _root()
+    assert xpath(r, 'head/meta[@name="author" or @property="author"]/@content') == ["A. Writer"]
+    assert xpath(r, 'head/meta[@property="og:title"]/@content') == ["OG Title"]
+
+
+def test_script_cdata_not_entity_decoded():
+    r = _root()
+    assert xpath(r, '//script[@type="application/ld+json"]/text()') == ['{"@type":"NewsArticle"}']
+    # script content is raw text — the embedded markup is not parsed
+    js = xpath(r, '//script[@type="text/javascript"]/text()')
+    assert js == ["var x = '<p>not text</p>';"]
+
+
+def test_descendant_text_document_order():
+    r = _root()
+    texts = xpath(r, '//*[@itemprop="headline"]//text()')
+    assert texts == ["Head ", "Line"]
+
+
+def test_not_contains_predicate():
+    r = _root()
+    got = xpath(
+        r,
+        '//article//div[contains(@class, "content__main-column")]'
+        '/*[not(contains(@class, "meta"))]//text()',
+    )
+    # the loader Join(' ')s these — raw text nodes carry lxml-style spacing
+    assert " ".join(got).split() == ["one", "two", "three", "four"]
+
+
+def test_contains_dot_string_value():
+    r = _root()
+    assert [n.tag for n in xpath(r, '//h1[contains(., "Head")]')] == ["h1"]
+    assert xpath(r, '//h1[contains(., "NOPE")]') == []
+
+
+def test_remove_drops_tail_like_lxml():
+    r = _root()
+    assert "tailtext" in "".join(xpath(r, "//body//text()"))
+    remove_nodes(r, "//figure")
+    body = "".join(xpath(r, "//body//text()"))
+    assert "cap" not in body
+    assert "tailtext" not in body  # lxml remove() drops the tail too
+
+
+def test_nul_bytes_stripped():
+    r = parse_html(b"<html><body><p>a\x00b</p></body></html>")
+    assert xpath(r, "//p/text()") == ["ab"]
+
+
+def test_lenient_unclosed_tags():
+    r = parse_html(b"<html><body><p>one<p>two</body></html>")
+    assert "one" in "".join(xpath(r, "//body//text()"))
+    assert "two" in "".join(xpath(r, "//body//text()"))
+
+
+def test_child_text_step():
+    r = parse_html(b"<html><body><a>x<span>y</span>z</a></body></html>")
+    assert xpath(r, "//a/text()") == ["x", "z"]
+    assert xpath(r, "//a//text()") == ["x", "y", "z"]
