@@ -39,7 +39,7 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -69,11 +69,26 @@ def main() -> None:
         cfg=CrawlConfig(refetch=RefetchConfig(), num_partitions=max(CPUS, 8),
                         collect_lineage=False, use_bloom=True),
     )
+    start = datetime(2017, 4, 1, tzinfo=timezone.utc)
     t0 = time.monotonic()
-    eng.run_round(seeds, 0, datetime(2017, 4, 1, tzinfo=timezone.utc))
+    eng.run_round(seeds, 0, start)
     crawl_secs = time.monotonic() - t0
     n_articles = eng.articles_table.read().count()
     timings["crawl_round"] = round(crawl_secs, 3)
+
+    # warm rounds: every URL is refetch-eligible again (ts += refetchsecs),
+    # so each round re-fetches+re-extracts the full corpus — steady-state
+    # throughput without JVM/python-worker cold start, for scaling runs
+    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    warm_best = None
+    for r in range(1, n_rounds):
+        from datetime import timedelta
+        t0 = time.monotonic()
+        eng.run_round(seeds, r, start + timedelta(
+            seconds=r * eng.cfg.refetch.refetchsecs))
+        dt = time.monotonic() - t0
+        timings[f"crawl_round_{r}"] = round(dt, 3)
+        warm_best = dt if warm_best is None else min(warm_best, dt)
 
     # ---- relational / training-data operator suite on the sf tables
     bench_queries = [
@@ -98,6 +113,8 @@ def main() -> None:
         "corpus_pages": N_PAGES,
         "crawl_articles": n_articles,
         "crawl_urls_per_sec": round(n_articles / crawl_secs, 1) if crawl_secs else None,
+        "crawl_urls_per_sec_warm": (
+            round(n_articles / warm_best, 1) if warm_best else None),
     }
     spark.stop()
     print(json.dumps(out))

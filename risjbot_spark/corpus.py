@@ -193,8 +193,15 @@ def build_html(i: int) -> tuple[str, str, str]:
     head_bits.append(f'<meta name="author" content="{author}">')
     head_bits.append(f'<meta name="keywords" content="{keywords}">')
     body = "".join(body_bits)
+    # deterministic outlinks: 3 same-corpus stories + 1 offsite link, so the
+    # link-following source (S6) and offsite filter (F2) have real work
+    links = "".join(
+        f'<a href="{url_for(_h64(f"lnk:{i}:{j}") % max(i, 1))}">more</a>'
+        for j in range(3)
+    ) + '<a href="https://offsite.invalid/x">offsite</a>'
     html = (f'<html lang="{lang}"><head>{"".join(head_bits)}</head>'
             f"<body><article>{body}</article>"
+            f'<nav class="related">{links}</nav>'
             f'<div class="submeta">submeta junk</div><aside>aside junk</aside>'
             f"</body></html>")
     if pw == "nulbytes":

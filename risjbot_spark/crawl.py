@@ -16,14 +16,14 @@ and the round loop is the only driver-side control flow.
 
 from __future__ import annotations
 
-import json
+import os
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .frontier.bloom import build_bloom, split_by_bloom
+from .frontier.bloom import PartitionedBloom
 from .frontier.politeness import (
     build_rules_map,
     fetch_order_key,
@@ -51,11 +51,17 @@ class CrawlConfig:
     default_budget: int = 1_000_000      # per-host per-round cap (W3)
     round_seconds: int = 3600            # politeness budget horizon
     num_partitions: int = 32
-    salt: int = 8
+    salt: int = 0                 # >0 → salted-host fetch layout (HTTP mode)
+    broadcast_frontier: bool = True  # per-round frontier → broadcast join
     use_bloom: bool = True
     bloom_buckets: int = 64
+    bloom_bits_per_bucket: int = 1 << 22
     trim_every: int = 4                  # J3b cadence (rounds)
     collect_lineage: bool = True
+    # S6 link following: discovered outlinks feed the next round's frontier
+    follow_links: bool = False
+    link_allow: str = ""                 # regex; empty → allow all
+    link_deny: str = ""                  # regex; empty → deny none
 
 
 class CrawlEngine:
@@ -86,6 +92,17 @@ class CrawlEngine:
         self.budgets = host_budgets(
             self.rules_map, self.cfg.round_seconds, self.cfg.default_budget
         )
+        # bloom: reload from checkpoint; rebuild from the seen snapshot when
+        # missing (resume path); empty table → empty filter
+        self._bloom_dir = os.path.join(warehouse, "bloom")
+        self.bloom: PartitionedBloom | None = None
+        if self.cfg.use_bloom:
+            self.bloom = PartitionedBloom.load(self._bloom_dir)
+            if self.bloom is None:
+                self.bloom = PartitionedBloom(
+                    self.cfg.bloom_buckets, self.cfg.bloom_bits_per_bucket)
+                if self.seen_table.current_snapshot_id() is not None:
+                    self.bloom.add_df(self.seen().select("url_hash"))
 
     # ------------------------------------------------------------------
     def seen(self) -> DataFrame:
@@ -97,9 +114,18 @@ class CrawlEngine:
         round_no: int,
         round_ts: datetime,
         with_order_audit: bool = False,
+        perf: dict | None = None,  # optional phase-timing sink (debug)
     ) -> dict:
         """Execute one crawl round; commits seen+articles snapshots and
         returns the round's lineage dict."""
+        import time as _time
+
+        def _mark(label, _last=[_time.monotonic()]):
+            now = _time.monotonic()
+            if perf is not None:
+                perf[label] = round(now - _last[0], 2)
+            _last[0] = now
+
         cfg = self.cfg
         seen = self.seen()
         lineage: dict[str, int] = {}
@@ -150,10 +176,11 @@ class CrawlEngine:
         if self.rules_map:
             fr = robots_filter(fr, self.rules_map, self.spark)
 
-        # ---- seen-set gate: bloom pre-filter + authoritative join (J1)
-        if cfg.use_bloom:
-            bloom = build_bloom(seen, cfg.bloom_buckets)
-            maybe, fresh = split_by_bloom(fr, bloom, cfg.bloom_buckets, self.spark)
+        # ---- seen-set gate: bloom pre-filter + authoritative join (J1).
+        # Definite-new URLs skip the join shuffle entirely; the filter is
+        # maintained incrementally across rounds (no per-round rebuild).
+        if cfg.use_bloom and self.bloom is not None:
+            maybe, fresh = self.bloom.split(fr, self.spark)
             gated = seen_filter(maybe, seen, cfg.refetch, round_ts)
             eligible = gated.unionByName(
                 fresh.withColumn("previousfetches", F.lit(0).cast("int"))
@@ -172,12 +199,24 @@ class CrawlEngine:
         if cfg.collect_lineage:
             lineage["scheduled"] = scheduled.count()
 
-        # ---- fetch stage: salted layout + corpus join
-        # AQE picks broadcast for the (small) per-round frontier side.
-        to_fetch = salted_repartition(scheduled, cfg.num_partitions, cfg.salt)
-        fetched = to_fetch.join(
-            self.pages, to_fetch.url_canon == self.pages.page_url, "inner"
+        # ---- fetch stage. Corpus-join mode (this harness): the per-round
+        # frontier (bounded by politeness budgets) broadcasts into the
+        # pages scan — pages NEVER shuffle (the 100 TB side stays put),
+        # and the join output inherits the scan's uniform partitioning,
+        # so extraction balances on file splits, not host skew. Left to
+        # itself AQE broadcast the PAGES (html!) side here. At frontier
+        # sizes beyond broadcast limits set broadcast_frontier=False →
+        # shuffled hash join (or pre-bucket both sides by url_canon).
+        sched_side = F.broadcast(scheduled) if cfg.broadcast_frontier else scheduled
+        fetched = self.pages.join(
+            sched_side, self.pages.page_url == sched_side.url_canon, "inner"
         ).drop("page_url")
+        # HTTP-fetch mode: salted-host layout before the fetch stage —
+        # bound any host to ≤salt concurrent tasks (politeness) while
+        # spreading rows (skew). Off (salt=0) for corpus-join mode, where
+        # it would only add a full shuffle of the html payload.
+        if cfg.salt > 0:
+            fetched = salted_repartition(fetched, cfg.num_partitions, cfg.salt)
         # HTTP Date header analogue: the page's warc_ts (fetch time)
         fetched = fetched.withColumn(
             "fetchtime_str",
@@ -203,40 +242,80 @@ class CrawlEngine:
             "url_canon", "url_hash", "host", "priority", "discovered_ts",
             "warc_ts", *audit_cols, "article.*",
         ).withColumn("round", F.lit(round_no))
-        ok_articles = articles.filter(F.col("status") == "ok").cache()
+        # Items = everything that produced a NewsItem. fake404 responses
+        # raise before the item path in the reference, so they neither
+        # export nor upsert the seen DB (fake404.py:48-58 +
+        # refetchcontrol.py:281-316) — they will be re-tried next round.
+        items = articles.filter(F.col("status") != "fake404")
         if cfg.collect_lineage:
+            articles = articles.cache()
+            items = articles.filter(F.col("status") != "fake404")
             lineage["fetched"] = articles.count()
-            lineage["extracted"] = ok_articles.count()
-            lineage["fake404_dropped"] = lineage["fetched"] - lineage["extracted"]
+            lineage["extracted"] = articles.filter(F.col("status") == "ok").count()
+            lineage["fake404_dropped"] = lineage["fetched"] - items.count()
 
-        # ---- commits: articles append, seen MERGE (J2), optional trim (J3b)
-        fetched_keys = articles.select("url_hash", "url_canon", "host")
-        new_seen = merge_seen(seen, fetched_keys, round_ts)
-        if cfg.refetch.trimdb and round_no > 0 and round_no % cfg.trim_every == 0:
-            new_seen = trim_seen(new_seen, fetched_keys, cfg.refetch, round_ts)
-
+        # ---- commit articles FIRST, then derive the seen MERGE input from
+        # the committed files: extraction runs exactly once per round (the
+        # Iceberg pattern — MERGE reads the committed table, no recompute).
         part_lineage = {}
         if cfg.collect_lineage:
             part_lineage = {
                 str(r["pid"]): r["n"]
-                for r in ok_articles.groupBy(
+                for r in items.groupBy(
                     F.spark_partition_id().alias("pid")
                 ).agg(F.count("*").alias("n")).collect()
             }
-
+        _mark("plan_build")
         self.articles_table.commit(
-            ok_articles, lineage={"round": round_no, **lineage,
-                                  "per_partition_extracted": part_lineage},
+            items, lineage={"round": round_no, **lineage,
+                            "per_partition_extracted": part_lineage},
             mode="append",
         )
+        _mark("extract_and_commit_articles")
+        if cfg.collect_lineage:
+            articles.unpersist()
+        delta_dir = self.articles_table.manifest()["files"][-1]
+        self.last_delta_dir = delta_dir
+        fetched_keys = self.spark.read.parquet(delta_dir).select(
+            "url_hash", "url_canon", "host")  # column-pruned delta scan
+
+        # ---- seen MERGE (J2) + optional trim (J3b) + bloom delta
+        new_seen = merge_seen(seen, fetched_keys, round_ts)
+        if cfg.refetch.trimdb and round_no > 0 and round_no % cfg.trim_every == 0:
+            new_seen = trim_seen(new_seen, fetched_keys, cfg.refetch, round_ts)
         self.seen_table.commit(
             new_seen, lineage={"round": round_no, "counters": lineage},
             mode="replace",
         )
-        ok_articles.unpersist()
+        _mark("seen_merge_commit")
+        if self.bloom is not None:
+            self.bloom.add_df(fetched_keys)   # incremental, this round only
+            _mark("bloom_update")
+            self.bloom.save(self._bloom_dir)  # checkpointed with the round
+            _mark("bloom_save")
         return lineage
 
     # ------------------------------------------------------------------
+    def discovered_frontier(self) -> DataFrame | None:
+        """S6 — outlinks of the last round's items as next-round seeds:
+        explode the committed delta's `links`, distinct, allow/deny regex
+        (F1, the LinkExtractor allow/deny of
+        /root/reference/RISJbot/spiders/base/buzzfeednewscrawlspider.py:
+        15-19). Offsite filtering already happened in the extraction UDF."""
+        cfg = self.cfg
+        if not getattr(self, "last_delta_dir", None):
+            return None
+        links = (
+            self.spark.read.parquet(self.last_delta_dir)
+            .select(F.explode("links").alias("url"))
+            .distinct()
+        )
+        if cfg.link_allow:
+            links = links.filter(F.col("url").rlike(cfg.link_allow))
+        if cfg.link_deny:
+            links = links.filter(~F.col("url").rlike(cfg.link_deny))
+        return links.withColumn("priority", F.lit(0))
+
     def run(self, seeds: DataFrame, rounds: int,
             start_ts: datetime | None = None,
             round_gap_secs: int | None = None) -> list[dict]:
@@ -248,7 +327,13 @@ class CrawlEngine:
         out = []
         for r in range(rounds):
             ts = start_ts + timedelta(seconds=r * gap)
-            out.append(self.run_round(seeds, r, ts))
+            round_seeds = seeds
+            if self.cfg.follow_links and r > 0:
+                disc = self.discovered_frontier()
+                if disc is not None:
+                    round_seeds = seeds.select("url", "priority").unionByName(
+                        disc.select("url", "priority"))
+            out.append(self.run_round(round_seeds, r, ts))
         return out
 
 

@@ -25,6 +25,8 @@ _MS_RE = re.compile(
 )
 
 _PLAIN_FORMATS = (
+    "%b %d, %Y, %I:%M %p",
+    "%B %d, %Y, %I:%M %p",
     "%Y-%m-%d %H:%M:%S",
     "%Y-%m-%d %H:%M",
     "%Y-%m-%d",
@@ -63,18 +65,20 @@ def parse_datetime(s) -> datetime | None:
     except ValueError:
         pass
 
+    # explicit formats BEFORE the RFC-2822 fallback: parsedate_to_datetime
+    # is lenient and silently mis-parses AM/PM editorial timestamps
+    for fmt in _PLAIN_FORMATS:
+        try:
+            return _aware(datetime.strptime(s, fmt))
+        except ValueError:
+            continue
+
     try:  # RFC 2822 — HTTP Date headers ("Mon, 27 Feb 2017 18:02:16 GMT")
         dt = parsedate_to_datetime(s)
         if dt is not None:
             return _aware(dt)
     except (TypeError, ValueError):
         pass
-
-    for fmt in _PLAIN_FORMATS:
-        try:
-            return _aware(datetime.strptime(s, fmt))
-        except ValueError:
-            continue
     return None
 
 

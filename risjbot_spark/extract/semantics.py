@@ -49,6 +49,31 @@ class ExtractResult:
     item: dict | None          # None when the page was dropped
     status: str                # 'ok' | 'fake404' | 'empty'
     jsonld_failed: int = 0
+    links: list[str] | None = None  # S6 outlinks (pre-prune, offsite-filtered)
+
+
+def _extract_links(root: Node, base_url: str, profile: SiteProfile) -> list[str]:
+    """S6 link extraction: all hrefs, absolutized, per-page deduped (the
+    reference's `seen = set()`, newssplashcrawlspider.py:57-64), offsite
+    links dropped per the profile's allowed_domains (F2,
+    offsitedownloadershim.py:9-39). Runs on the RAW DOM — Scrapy's
+    LinkExtractor parses the raw body, not the pruned selector."""
+    from urllib.parse import urljoin, urlparse
+
+    seen: set[str] = set()
+    links: list[str] = []
+    for href in xpath(root, "//a/@href"):
+        absu = urljoin(base_url, href.strip())
+        if not absu.startswith("http") or absu in seen:
+            continue
+        seen.add(absu)
+        if profile.allowed_domains:
+            host = urlparse(absu).netloc.lower()
+            if not any(host == d or host.endswith("." + d)
+                       for d in profile.allowed_domains):
+                continue
+        links.append(absu)
+    return links
 
 
 def _apply_rules(loader: NewsItemLoader, root: Node, rules) -> None:
@@ -221,13 +246,14 @@ def extract_article(
         if regex.match(url) and xpath(root, sig_xpath):
             return ExtractResult(None, "fake404")
 
+    if profile is None:
+        profile = profile_for(url)
+    links = _extract_links(root, url, profile)  # before any pruning
+
     jsonld_blobs, jsonld_failed = extract_jsonld_blobs(root)
 
     for expr in UNWANTED_XPATHS:
         remove_nodes(root, expr)
-
-    if profile is None:
-        profile = profile_for(url)
     for expr in profile.prune:
         remove_nodes(root, expr)
 
@@ -238,20 +264,28 @@ def extract_article(
 
     _add_fromresponse(loader, url, fetchtime)
     _add_htmlmeta(loader, root)
-    _add_schemaorg(loader, root, jsonld_blobs)
-    _add_opengraph(loader, root)
+    if profile.use_schemaorg:
+        _add_schemaorg(loader, root, jsonld_blobs)
+    if profile.use_opengraph:
+        _add_opengraph(loader, root)
     if profile.use_dublincore:
         _add_dublincore(loader, root)
     _add_scrapymeta(loader, meta)
 
     _apply_rules(loader, root, profile.post_rules)
 
+    for note in profile.notes_const:
+        loader.add_value("notes", note)
+    for expr, note in profile.notes_conditional:
+        if xpath(root, expr):
+            loader.add_value("notes", note)
+
     if profile.use_readability:
         _add_readability(loader, root)
 
     item = loader.load_item()
     if not item.get("bodytext") and not item.get("headline"):
-        return ExtractResult(item or None, "empty", jsonld_failed)
+        return ExtractResult(item or None, "empty", jsonld_failed, links)
     if run_nlp:
         item = _run_nlp(item)
-    return ExtractResult(item, "ok", jsonld_failed)
+    return ExtractResult(item, "ok", jsonld_failed, links)

@@ -33,7 +33,16 @@ class SiteProfile:
     pre_rules: tuple[XpathRule, ...] = ()   # before the standard batteries
     post_rules: tuple[XpathRule, ...] = ()  # after the standard batteries
     use_dublincore: bool = False
+    use_opengraph: bool = True           # reuters skips OG (reuters.py:63)
+    use_schemaorg: bool = True           # yahoo skips schema.org (yahoo.py)
     use_readability: bool = True
+    notes_const: tuple[str, ...] = ()    # unconditional notes (reuters.py:76)
+    # (xpath, note) — note added when xpath matches (telegraph paywall,
+    # /root/reference/RISJbot/spiders/uk/telegraph.py:46-47)
+    notes_conditional: tuple[tuple[str, str], ...] = ()
+    # offsite filter (F2): drop followed links whose host isn't suffixed by
+    # one of these (/root/reference/RISJbot/spiders/uk/independent.py:13-14)
+    allowed_domains: tuple[str, ...] = ()
 
 
 # --- fixup helpers (cited per site) ----------------------------------------
@@ -190,6 +199,172 @@ REGISTRY: dict[str, SiteProfile] = {
         ),
     ),
 }
+
+
+def _title_case(vals: list[str]) -> list[str]:
+    """Sun bylines are str.title()'d
+    (/root/reference/RISJbot/spiders/uk/sun.py:40)."""
+    return [v.title() for v in vals]
+
+
+def _metro_bylines(vals: list[str]) -> list[str]:
+    """' For Metro.co.uk' dross strip
+    (/root/reference/RISJbot/spiders/uk/metro.py:46)."""
+    return [re.sub(r" For Metro\.co\.uk", "", v, flags=re.IGNORECASE) for v in vals]
+
+
+def _usatoday_section(vals: list[str]) -> list[str]:
+    """'news,world' → 'News'
+    (/root/reference/RISJbot/spiders/us/usatoday.py:36-43)."""
+    if not vals:
+        return vals
+    return [vals[0].split(",")[0].title()]
+
+
+def _abc_strip_timestamp(vals: list[str]) -> list[str]:
+    """'Politics — Mar 1, ...' → date part
+    (/root/reference/RISJbot/spiders/us/abc.py _strip_timestamp)."""
+    return [re.sub(r".* — ", "", v, count=1) for v in vals]
+
+
+REGISTRY_EXTRA: dict[str, SiteProfile] = {
+    # /root/reference/RISJbot/spiders/uk/telegraph.py:9-48
+    "telegraph.co.uk": SiteProfile(
+        name="telegraph",
+        pre_rules=(
+            ("section", '//a[contains(@class, "header-breadcrumbs__link")]//text()',
+             _strip_first),
+            ("bylines", '//main//*[@itemprop="author"]//*[@itemprop="name"]//text()',
+             None),
+        ),
+        notes_conditional=(
+            ('//div[contains(@class, "premium-paywall")]', "Premium paywall"),
+        ),
+    ),
+    # /root/reference/RISJbot/spiders/uk/mirror.py:9-41
+    "mirror.co.uk": SiteProfile(
+        name="mirror",
+        prune=("//form", '//aside[contains(@class, "read-more-links")]'),
+        post_rules=(
+            ("bodytext", '//*[contains(@class, "article-body")]//text()', None),
+        ),
+    ),
+    # /root/reference/RISJbot/spiders/uk/sun.py:9-55
+    "thesun.co.uk": SiteProfile(
+        name="sun",
+        prune=(
+            '//div[contains(@class, "social--fb-page-button")]',
+            '//div[contains(@class, "rail--trending")]',
+        ),
+        pre_rules=(
+            ("summary", 'head/meta[@name="description"]/@content', None),
+            ("bylines", '//span[contains(@class, "article__author-name")]//text()',
+             _title_case),
+        ),
+        post_rules=(
+            ("bodytext",
+             '//article//div[contains(@class, "article__content")]//text()', None),
+        ),
+    ),
+    # /root/reference/RISJbot/spiders/uk/metro.py:10-49
+    "metro.co.uk": SiteProfile(
+        name="metro",
+        pre_rules=(
+            ("bodytext", '//div[contains(@class, "article-body")]//text()', None),
+        ),
+        post_rules=(
+            ("bylines", '//span[contains(@class, "byline")]//a[@rel="author"]//text()',
+             _metro_bylines),
+        ),
+    ),
+    # /root/reference/RISJbot/spiders/uk/independent.py:9-50 — the parent::
+    # axis prune ("More about" pipes list) is approximated by pruning the
+    # list container by class (same nodes on real pages).
+    "independent.co.uk": SiteProfile(
+        name="independent",
+        allowed_domains=("independent.co.uk",),
+        prune=(
+            '//*[contains(@class, "type-gallery")]',
+            '//*[contains(@class, "inline-pipes-list")]',
+        ),
+        pre_rules=(
+            ("bylines",
+             '//article//*[@itemprop="author"]//*[@itemprop="name"]//text()', None),
+        ),
+    ),
+    # /root/reference/RISJbot/spiders/uk/reuters.py:20-76
+    "reuters.com": SiteProfile(
+        name="reuters",
+        source="Reuters [UK]",
+        use_opengraph=False,   # add_opengraph commented out (reuters.py:63)
+        prune=('//div[contains(@class, "related-content")]',),
+        post_rules=(
+            ("bodytext", '//span[@id="article-text"]/*[not(@class="author")]//text()',
+             None),
+            ("summary", '//meta[@name="description"]/@content', None),
+        ),
+        notes_const=("fetchtime delayed by slow feed",),
+    ),
+    # /root/reference/RISJbot/spiders/us/usatoday.py:10-69
+    "usatoday.com": SiteProfile(
+        name="usatoday",
+        allowed_domains=("usatoday.com",),
+        prune=(
+            '//*[contains(@class, "inline-share-tools")]',
+            '//*[contains(@class, "article-print-url")]',
+            "//aside",
+        ),
+        pre_rules=(
+            ("bylines", 'head/meta[@name="cXenseParse:author"]/@content', None),
+            ("section", 'head/meta[@itemprop="articleSection"]/@content',
+             _usatoday_section),
+            ("summary", '//p[contains(@class, "vgm-video-description")]//text()', None),
+            # ms-precision dates: the ms-strip is already inside
+            # parse_datetime (the same rewrite, usatoday.py:fix_usatoday_date)
+        ),
+    ),
+    # /root/reference/RISJbot/spiders/us/cbs.py
+    "cbsnews.com": SiteProfile(
+        name="cbs",
+        post_rules=(
+            ("bodytext", '//div[contains(@class, "post")]//text()', None),
+            ("bodytext", '//div[@itemid="#article-entry"]//text()', None),
+        ),
+    ),
+    # /root/reference/RISJbot/spiders/us/nbc.py
+    "nbcnews.com": SiteProfile(
+        name="nbc",
+        post_rules=(
+            ("bodytext", '//div[contains(@class, "article-body")]//text()', None),
+        ),
+    ),
+    # /root/reference/RISJbot/spiders/us/abc.py
+    "abcnews.go.com": SiteProfile(
+        name="abc",
+        post_rules=(
+            ("section", "//article/@data-section", None),
+            ("modtime", 'head/meta[@name="Last-Modified"]/@content', None),
+            ("firstpubtime",
+             '//div[contains(@class, "article-meta")]'
+             '//span[contains(@class, "timestamp")]/text()', _abc_strip_timestamp),
+        ),
+    ),
+    # /root/reference/RISJbot/spiders/us/yahoo.py
+    "yahoo.com": SiteProfile(
+        name="yahoo",
+        source="Yahoo! News [US]",
+        use_schemaorg=False,   # yahoo's parse skips add_schemaorg
+        post_rules=(
+            ("bodytext", '//div[contains(@class, "canvas-body")]/p/text()', None),
+            ("firstpubtime", '//div[contains(@class, "auth-attr")]//time/@datetime',
+             None),
+            ("bylines",
+             '//div[contains(@class, "auth-attr")]'
+             '//div[contains(@class, "author-name")]//text()', None),
+        ),
+    ),
+}
+REGISTRY.update(REGISTRY_EXTRA)
 
 
 def host_of(url: str) -> str:

@@ -1,21 +1,29 @@
-"""Partitioned bloom filter for the URL-seen pre-filter (north_star).
+"""Partitioned, incrementally-maintained bloom filter for URL-seen
+pre-filtering (north_star "partitioned cuckoo/bloom URL-seen set").
 
 At a 10^10-URL frontier, shuffling every candidate URL into the seen-set
-join is the dominant cost; most candidates are brand new. The filter is
-built per url_hash bucket from the seen table (one numpy bitmap per
-bucket, built distributedly with applyInPandas), broadcast, and probed
-with a vectorized UDF. Definite-new URLs skip the seen join entirely;
-possible-seen URLs fall through to the authoritative left-outer join —
-false positives cost a join row, never correctness
-(SURVEY.md §7 "cuckoo filter at 10^10 scale").
+join dominates round cost, and most candidates are brand new. Design:
 
-Sizing: bits_per_key≈10, k=7 → ~1% FP. At 10^10 keys that is ~12.5 GB of
-bitmap split across buckets; per-executor memory holds only the buckets
-it probes when the probe side is partitioned the same way (at this
-sandbox's scale we broadcast the whole dict). Filters serialize into the
-checkpoint and rebuild from the seen snapshot on resume."""
+  * one numpy bitmap per url_hash bucket, FIXED size (so bitmaps from
+    different rounds OR together);
+  * built distributedly (applyInPandas per bucket), merged on the driver
+    (the driver already holds the dict to broadcast it);
+  * maintained INCREMENTALLY: each round ORs in a delta built from that
+    round's fetched keys only — never a full seen-table rescan;
+  * serialized into the checkpoint warehouse and reloaded on resume;
+    a missing/stale file falls back to a rebuild from the seen snapshot;
+  * false positives fall through to the authoritative left-outer join —
+    the filter can only cost a join row, never correctness
+    (SURVEY.md §7 "cuckoo filter at 10^10 scale").
+
+Sizing: default 2^22 bits/bucket × 64 buckets = 32 MiB, ~26 M keys at
+10 bits/key. At 10^10 keys, scale n_buckets (one filter shard per
+url_hash range) and probe partition-aligned instead of broadcasting.
+"""
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -23,81 +31,111 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_K = 7  # hash probes
-
-
-def _bitmap_size(n_keys: int, bits_per_key: int = 10) -> int:
-    bits = max(1024, n_keys * bits_per_key)
-    return 1 << int(np.ceil(np.log2(bits)))  # power of two → mask, no mod
+_K = 7  # hash probes per key
 
 
 def _positions(hashes: np.ndarray, m: int) -> np.ndarray:
-    """Double hashing: k positions per 64-bit key, vectorized. → (k, n)."""
+    """Double hashing: k bit positions per 64-bit key, vectorized → (k, n)."""
     h = hashes.astype(np.uint64)
     h1 = h & np.uint64(0xFFFFFFFF)
-    h2 = ((h >> np.uint64(32)) | np.uint64(1))
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
     ks = np.arange(_K, dtype=np.uint64)[:, None]
     return ((h1[None, :] + ks * h2[None, :]) & np.uint64(m - 1)).astype(np.int64)
 
 
-def build_bloom(seen: DataFrame, n_buckets: int = 64,
-                bits_per_key: int = 10) -> dict[int, bytes]:
-    """seen(url_hash) → {bucket: bitmap bytes}. Distributed build: one
-    applyInPandas group per bucket, tiny result rows to the driver."""
-    n = seen.count()
-    if n == 0:
-        return {}
-    m = _bitmap_size(max(1, n // n_buckets) + 1, bits_per_key)
+class PartitionedBloom:
+    def __init__(self, n_buckets: int = 64, bits_per_bucket: int = 1 << 22):
+        assert bits_per_bucket & (bits_per_bucket - 1) == 0, "power of two"
+        self.n_buckets = n_buckets
+        self.m = bits_per_bucket
+        self.bitmaps: dict[int, np.ndarray] = {}
 
-    def make(pdf: pd.DataFrame) -> pd.DataFrame:
-        bits = np.zeros(m // 8, dtype=np.uint8)
-        pos = _positions(pdf["url_hash"].to_numpy(), m).ravel()
-        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
-                             "bitmap": [bits.tobytes()]})
+    # -- build / update ---------------------------------------------------
+    def add_df(self, keys: DataFrame) -> None:
+        """OR in url_hash keys from a DataFrame — distributed bitmap build
+        per bucket, tiny (bucket, bitmap) rows back to the driver."""
+        m = self.m
+        nb = self.n_buckets
 
-    rows = (
-        seen.select(F.col("url_hash"),
-                    F.pmod(F.col("url_hash"), F.lit(n_buckets)).alias("bucket"))
-        .groupBy("bucket")
-        .applyInPandas(make, schema="bucket int, bitmap binary")
-        .collect()
-    )
-    return {r["bucket"]: r["bitmap"] for r in rows}
+        def make(pdf: pd.DataFrame) -> pd.DataFrame:
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            pos = _positions(pdf["url_hash"].to_numpy(), m).ravel()
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+            return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                                 "bitmap": [bits.tobytes()]})
 
+        rows = (
+            keys.select(F.col("url_hash"),
+                        F.pmod(F.col("url_hash"), F.lit(nb)).alias("bucket"))
+            .groupBy("bucket")
+            .applyInPandas(make, schema="bucket int, bitmap binary")
+            .collect()
+        )
+        for r in rows:
+            delta = np.frombuffer(r["bitmap"], dtype=np.uint8)
+            cur = self.bitmaps.get(r["bucket"])
+            self.bitmaps[r["bucket"]] = delta.copy() if cur is None else cur | delta
 
-def split_by_bloom(frontier: DataFrame, bloom: dict[int, bytes],
-                   n_buckets: int, spark) -> tuple[DataFrame, DataFrame]:
-    """→ (maybe_seen, definite_new). Empty filter ⇒ everything is new."""
-    if not bloom:
-        return frontier.limit(0), frontier
+    # -- probe --------------------------------------------------------------
+    def split(self, frontier: DataFrame, spark) -> tuple[DataFrame, DataFrame]:
+        """→ (maybe_seen, definite_new); empty filter ⇒ everything new."""
+        if not self.bitmaps:
+            return frontier.limit(0), frontier
+        nb, m = self.n_buckets, self.m
+        bc = spark.sparkContext.broadcast(self.bitmaps)
 
-    bc = spark.sparkContext.broadcast(
-        {b: np.frombuffer(bm, dtype=np.uint8) for b, bm in bloom.items()}
-    )
+        @F.pandas_udf(T.BooleanType())
+        def maybe_seen(url_hash: pd.Series) -> pd.Series:
+            maps = bc.value
+            h = url_hash.to_numpy()
+            buckets = np.mod(h, nb)  # numpy mod is nonneg → matches F.pmod
+            out = np.zeros(len(h), dtype=bool)
+            for b in np.unique(buckets):
+                bits = maps.get(int(b))
+                if bits is None:
+                    continue
+                idx = np.nonzero(buckets == b)[0]
+                pos = _positions(h[idx], m)
+                hit = np.ones(len(idx), dtype=bool)
+                for kk in range(_K):
+                    p = pos[kk]
+                    hit &= (bits[p >> 3]
+                            & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
+                out[idx] = hit
+            return pd.Series(out)
 
-    @F.pandas_udf(T.BooleanType())
-    def maybe_seen(url_hash: pd.Series) -> pd.Series:
-        maps = bc.value
-        h = url_hash.to_numpy()
-        buckets = np.mod(h, n_buckets)  # match F.pmod semantics for int64
-        out = np.zeros(len(h), dtype=bool)
-        for b in np.unique(buckets):
-            bits = maps.get(int(b))
-            idx = np.nonzero(buckets == b)[0]
-            if bits is None:
-                continue
-            m = len(bits) * 8
-            pos = _positions(h[idx], m)
-            hit = np.ones(len(idx), dtype=bool)
-            for kk in range(_K):
-                p = pos[kk]
-                hit &= (bits[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
-            out[idx] = hit
-        return pd.Series(out)
+        flagged = frontier.withColumn("_maybe", maybe_seen(F.col("url_hash")))
+        return (flagged.filter(F.col("_maybe")).drop("_maybe"),
+                flagged.filter(~F.col("_maybe")).drop("_maybe"))
 
-    flagged = frontier.withColumn("_maybe_seen", maybe_seen(F.col("url_hash")))
-    return (
-        flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen"),
-        flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen"),
-    )
+    # -- checkpoint ---------------------------------------------------------
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, "bloom.tmp.npz")  # .npz suffix: numpy keeps it
+        np.savez_compressed(
+            tmp, meta=np.array([self.n_buckets, self.m], dtype=np.int64),
+            **{f"b{k}": v for k, v in self.bitmaps.items()},
+        )
+        os.replace(tmp, os.path.join(path, "bloom.npz"))
+
+    @classmethod
+    def load(cls, path: str) -> "PartitionedBloom | None":
+        f = os.path.join(path, "bloom.npz")
+        if not os.path.exists(f):
+            return None
+        with np.load(f) as z:
+            nb, m = (int(x) for x in z["meta"])
+            self = cls(nb, m)
+            for k in z.files:
+                if k.startswith("b"):
+                    self.bitmaps[int(k[1:])] = z[k].copy()
+        return self
+
+    @classmethod
+    def from_seen(cls, seen: DataFrame, n_buckets: int = 64,
+                  bits_per_bucket: int = 1 << 22) -> "PartitionedBloom":
+        """Rebuild-on-resume path: one full scan of the seen snapshot."""
+        self = cls(n_buckets, bits_per_bucket)
+        self.add_df(seen.select("url_hash"))
+        return self

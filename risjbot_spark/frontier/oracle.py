@@ -35,8 +35,10 @@ class CrawlOracle:
         cfg: RefetchConfig,
         default_budget: int,
         round_seconds: int,
+        fake404: set[str] | None = None,       # fetched but never itemized
     ):
         self.pages = pages
+        self.fake404 = fake404 or set()
         self.rules = { _norm(h): r for h, r in rules_map.items() }
         self.cfg = cfg
         self.default_budget = default_budget
@@ -117,12 +119,14 @@ class CrawlOracle:
             per_host[h] = per_host.get(h, 0) + 1
             taken.append(row)
 
-        # fetch (page must exist) + J2 upsert
+        # fetch (page must exist) + J2 upsert. fake404 pages are fetched
+        # (consume budget) but raise before the item path — no article, no
+        # seen upsert (fake404.py:48-58 + refetchcontrol.py:281-316).
         log = []
         seq = 0
         for row in taken:
             u = row["url_canon"]
-            if u not in self.pages:
+            if u not in self.pages or u in self.fake404:
                 continue
             nf, _ = self.seen.get(u, (0, None))
             self.seen[u] = (nf + 1, round_ts)

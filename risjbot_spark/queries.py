@@ -288,7 +288,10 @@ def _docs_with_mutants(spark, sf):
     )
     exact = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text")
-    return d.unionByName(near).unionByName(exact)
+    # documents.parquet is one small file → 1-2 scan partitions; fan out
+    # before the shingle/minhash expression work or it runs single-threaded
+    par = spark.sparkContext.defaultParallelism
+    return d.unionByName(near).unionByName(exact).repartition(par)
 
 
 def q_exact_dedup(spark, sf):
@@ -308,15 +311,27 @@ def _toks():
     return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 
 
-def _shingles_col():
-    """3-word shingles as array<string> (pure SQL transform+slice).
-    Guarded CASE: Spark's sequence(1, 0) counts DOWN, so short docs must
-    short-circuit to an empty array."""
-    return F.expr(
-        "CASE WHEN size(toks) >= 3 THEN "
-        "transform(sequence(1, size(toks) - 2),"
-        " i -> concat_ws(' ', slice(toks, i, 3))) "
+def _shingle_rows(d):
+    """(doc_id, toks) → exploded (doc_id, s) 3-word-shingle rows.
+
+    Construction is arrays_zip of THREE shifted slices — 3 array ops per
+    ROW — then explode + codegen'd concat. The obvious alternatives are
+    10-20× slower, measured: transform(sequence(...), i -> concat_ws(' ',
+    slice(toks,i,3))) does an interpreted per-SHINGLE slice (O(words²)
+    work), and a size(sh)>0 pre-filter gets pushdown-inlined into the
+    scan, re-evaluating the whole non-codegen expression per row. The
+    guarded CASE also matters: Spark's sequence(1, 0) counts DOWN."""
+    z = F.expr(
+        "CASE WHEN size(toks) >= 3 THEN arrays_zip("
+        "slice(toks, 1, size(toks)-2), "
+        "slice(toks, 2, size(toks)-2), "
+        "slice(toks, 3, size(toks)-2)) "
         "ELSE array() END"
+    )
+    return (
+        d.select("doc_id", F.explode(z).alias("t"))
+        .select("doc_id",
+                F.concat_ws(" ", "t.0", "t.1", "t.2").alias("s"))
     )
 
 
@@ -325,13 +340,12 @@ def q_minhash_signature(spark, sf):
     LSH bands of 3 each. Signature table (doc → bands) is the join key
     for bucket-join dedup — computable in ANSI SQL on both engines."""
     d = _docs_with_mutants(spark, sf).withColumn("toks", _toks())
-    d = d.withColumn("sh", _shingles_col()).filter(F.size("sh") > 0)
-    mins = [
-        F.array_min(F.expr(f"transform(sh, s -> md5(concat('{k}|', s)))")).alias(f"m{k}")
+    ex = _shingle_rows(d)
+    sig = ex.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"m{k}")
         for k in range(6)
-    ]
-    d = d.select("doc_id", *mins)
-    return d.select(
+    ])
+    return sig.select(
         "doc_id",
         F.md5(F.concat_ws("", "m0", "m1", "m2")).alias("band1"),
         F.md5(F.concat_ws("", "m3", "m4", "m5")).alias("band2"),
@@ -359,9 +373,8 @@ def q_ngram_jaccard_pairs(spark, sf):
     """Exact n-gram Jaccard verification over LSH candidates: shingle
     explode → pair join → |∩| / |∪| ≥ 0.5."""
     d = _docs_with_mutants(spark, sf).withColumn("toks", _toks())
-    d = d.withColumn("sh", F.array_distinct(_shingles_col())).filter(F.size("sh") > 0)
-    sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = d.select("doc_id", F.explode("sh").alias("s"))
+    ex = _shingle_rows(d).distinct()  # distinct shingles per doc
+    sizes = ex.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
     common = (

@@ -70,6 +70,9 @@ ARTICLE_STRUCT = T.StructType([
     T.StructField("fleschreadingease", T.DoubleType()),
     T.StructField("status", T.StringType()),       # ok | fake404 | empty
     T.StructField("jsonld_failed", T.IntegerType()),
+    # S6 outlinks (pre-prune, offsite-filtered) — engine plumbing, not a
+    # NewsItem field; feeds the next round's frontier when link-following
+    T.StructField("links", T.ArrayType(T.StringType())),
 ])
 
 # Per-partition, per-round lineage metrics (north_rule: frontier-in,

@@ -1,0 +1,11 @@
+from .ops import (
+    fetch_rate_metrics,
+    frontier_stream_dedup,
+    stateful_refetch_gate,
+)
+
+__all__ = [
+    "frontier_stream_dedup",
+    "fetch_rate_metrics",
+    "stateful_refetch_gate",
+]

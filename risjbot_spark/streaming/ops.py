@@ -1,0 +1,113 @@
+"""Structured Streaming variants of the crawl operators (SURVEY.md §2.9).
+
+The batch round loop is the primary execution mode (the north_rule's
+checkpointed-commit model); these streaming twins cover deployments where
+frontier discoveries arrive continuously:
+
+  * frontier_stream_dedup — watermarked streaming URL dedup (the seen-set
+    gate within the late-data horizon),
+  * stateful_refetch_gate — applyInPandasWithState keeping the per-URL
+    (fetches, last_fetch) state machine of RefetchControl
+    (/root/reference/RISJbot/spmiddlewares/refetchcontrol.py:227-316)
+    inside the stream,
+  * fetch_rate_metrics — event-time tumbling-window crawl telemetry (A1).
+
+All operators are tested with file sources + Trigger.AvailableNow in
+tests/test_streaming.py (no long-running cluster needed).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def frontier_stream_dedup(frontier: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming SO1/J1-lite: drop URL duplicates within the watermark
+    horizon. State is bounded by the watermark (late discoveries beyond it
+    fall through to the batch seen-table anti-join — correctness never
+    depends on this filter, same contract as the bloom pre-filter)."""
+    return (
+        frontier.withWatermark("discovered_ts", watermark)
+        .dropDuplicates(["url_hash"])
+    )
+
+
+_GATE_OUTPUT = T.StructType([
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("previousfetches", T.IntegerType()),
+    T.StructField("decision", T.StringType()),  # first|refetch|skip
+])
+_GATE_STATE = T.StructType([
+    T.StructField("fetches", T.IntegerType()),
+    T.StructField("last_fetch", T.LongType()),  # epoch seconds
+])
+
+
+def stateful_refetch_gate(
+    frontier: DataFrame,
+    maxfetches: int = 8,
+    refetchsecs: int = 10800,
+    agelimit: int | None = None,
+) -> DataFrame:
+    """Streaming J1+J2: per-url_hash fetch gate with persistent state.
+
+    Emits one row per candidate with the RefetchControl decision
+    (first fetch / refetch / skip) and updates (fetches, last_fetch) for
+    allowed rows — the arbitrary-stateful-op twin of the batch
+    seen_filter + merge_seen pair. Event time = discovered_ts."""
+    age_limit = agelimit or maxfetches * refetchsecs
+
+    def gate(key, pdfs, state: GroupState):
+        url_hash = key[0]
+        if state.exists:
+            fetches, last_fetch = state.get
+        else:
+            fetches, last_fetch = 0, None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("discovered_ts")
+            for _, row in pdf.iterrows():
+                ts = int(row["discovered_ts"].timestamp())
+                if fetches == 0:
+                    decision = "first"
+                else:
+                    age = ts - last_fetch
+                    if fetches >= maxfetches or age < refetchsecs or age > age_limit:
+                        decision = "skip"
+                    else:
+                        decision = "refetch"
+                prev = fetches
+                if decision != "skip":
+                    fetches += 1
+                    last_fetch = ts
+                rows.append((url_hash, row["url"], prev, decision))
+        state.update((fetches, last_fetch if last_fetch is not None else 0))
+        yield pd.DataFrame(rows, columns=[f.name for f in _GATE_OUTPUT.fields])
+
+    return (
+        frontier.groupBy("url_hash")
+        .applyInPandasWithState(
+            gate, _GATE_OUTPUT, _GATE_STATE, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def fetch_rate_metrics(articles: DataFrame, window: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """A1 streaming telemetry: per-window per-host fetched/extracted
+    counts with event-time watermarking for late arrivals."""
+    return (
+        articles.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("host"))
+        .agg(F.count("*").alias("fetched"),
+             F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("extracted"))
+        .select(F.col("w.start").alias("win_start"), "host", "fetched", "extracted")
+    )

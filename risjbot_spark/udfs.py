@@ -41,6 +41,7 @@ def _extract_one(html, url, fetchtime, meta_json) -> dict:
                 row[k] = v
     row["status"] = res.status
     row["jsonld_failed"] = res.jsonld_failed
+    row["links"] = res.links
     return row
 
 
@@ -57,6 +58,13 @@ def extract_article_udf(
         for h, u, ft, mj in zip(html, url, fetchtime, meta_json)
     ]
     return pd.DataFrame(rows, columns=_ARTICLE_FIELDS)
+
+
+# The UDF is pure, but we declare it nondeterministic so Catalyst never
+# duplicates it: a filter on a struct field (status != 'fake404') pushed
+# below a repartition Exchange re-evaluates the WHOLE extraction on both
+# sides of the exchange — measured 2× the round cost at 24k pages.
+extract_article_udf = extract_article_udf.asNondeterministic()
 
 
 # --- frontier-source / link UDFs -------------------------------------------

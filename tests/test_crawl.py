@@ -38,10 +38,16 @@ def engine(spark, corpus, tmp_path):
 
 
 def _oracle(cfg: CrawlConfig):
+    from risjbot_spark.corpus import host_lang_for, pathway_for
+
     rules = {r["host"]: parse_robots(r["robots_txt"]) for r in robots_rows()}
     pages = {canonicalize_py(url_for(i)) for i in range(N_PAGES)}
+    fake404 = {
+        canonicalize_py(url_for(i)) for i in range(N_PAGES)
+        if pathway_for(i, host_lang_for(i)[0]) == "fake404"
+    }
     return CrawlOracle(pages, rules, cfg.refetch, cfg.default_budget,
-                       cfg.round_seconds)
+                       cfg.round_seconds, fake404=fake404)
 
 
 def _seed_rows():
@@ -179,3 +185,35 @@ def test_lineage_recorded(engine, spark):
     assert man["lineage"]["round"] == 0
     assert man["lineage"]["extracted"] > 0
     assert man["lineage"]["per_partition_extracted"]  # per-partition counts
+
+
+def test_link_following_discovers_new_pages(spark, corpus, tmp_path):
+    """S6: outlinks of round-0 items become round-1 frontier; the offsite
+    link (offsite.invalid) never enters the frontier."""
+    cfg = CrawlConfig(
+        refetch=RefetchConfig(maxfetches=3, refetchsecs=3600),
+        default_budget=1000, num_partitions=4, follow_links=True,
+        collect_lineage=False,
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "whl"), corpus, None, cfg)
+    # seed only a handful of pages; their links point at other corpus pages
+    seeds = spark.createDataFrame(
+        [(url_for(i), 0) for i in range(0, 40, 4)], "url string, priority int")
+    eng.run(seeds, rounds=2, start_ts=START, round_gap_secs=60)
+    arts = eng.articles_table.read()
+    r0 = {r["url_canon"] for r in arts.filter("round = 0").collect()}
+    r1 = {r["url_canon"] for r in arts.filter("round = 1").collect()}
+    assert r1, "round 1 fetched nothing — links not followed"
+    assert r1 - r0, "round 1 only re-fetched seeds"
+    assert not any("offsite.invalid" in u for u in r0 | r1)
+
+
+def test_salted_layout_round_trip(spark, corpus, tmp_path):
+    """salt>0 (HTTP-mode layout) still produces correct results."""
+    cfg = CrawlConfig(refetch=RefetchConfig(), default_budget=1000,
+                      num_partitions=4, salt=8, collect_lineage=False)
+    eng = CrawlEngine(spark, str(tmp_path / "whs"), corpus, None, cfg)
+    seeds = spark.createDataFrame(
+        [(url_for(i), 0) for i in range(40)], "url string, priority int")
+    eng.run_round(seeds, 0, START)
+    assert eng.articles_table.read().count() > 0

@@ -1,0 +1,123 @@
+"""Per-site profile tests for the extended registry (SURVEY.md §2.8 X8/F8).
+Each asserts the site-specific behavior the reference spider implements."""
+
+from risjbot_spark.extract import extract_article, profile_for
+
+
+def wrap(body: str, head: str = "") -> bytes:
+    return f'<html lang="en"><head>{head}</head><body>{body}</body></html>'.encode()
+
+
+BODY = "<p itemprop='articleBody'>base body text</p>"
+
+
+def test_profile_resolution_suffix_match():
+    assert profile_for("https://www.telegraph.co.uk/x").name == "telegraph"
+    assert profile_for("https://uk.reuters.com/article/x").name == "reuters"
+    assert profile_for("https://unknown.example.org/x").name == "generic"
+
+
+def test_telegraph_paywall_note_and_section():
+    html = wrap(
+        f'<a class="header-breadcrumbs__link"> News </a>{BODY}'
+        '<div class="premium-paywall">subscribe!</div>'
+    )
+    item = extract_article(html, "https://www.telegraph.co.uk/news/1").item
+    assert item["section"] == "News"
+    assert item["notes"] == ["Premium paywall"]
+    # no paywall div → no note
+    html2 = wrap(f'<a class="header-breadcrumbs__link">News</a>{BODY}')
+    assert "notes" not in extract_article(html2, "https://www.telegraph.co.uk/news/1").item
+
+
+def test_mirror_prunes_read_more():
+    html = wrap(
+        '<div class="article-body"><p>story text</p>'
+        '<aside class="read-more-links">JUNK</aside></div>'
+    )
+    item = extract_article(html, "https://www.mirror.co.uk/news/1").item
+    assert "story text" in item["bodytext"]
+    assert "JUNK" not in item["bodytext"]
+
+
+def test_sun_title_cased_bylines():
+    html = wrap(
+        f'<span class="article__author-name">john smith</span>{BODY}',
+    )
+    item = extract_article(html, "https://www.thesun.co.uk/news/1").item
+    assert item["bylines"] == ["John Smith"]
+
+
+def test_metro_byline_dross():
+    html = wrap(
+        '<div class="article-body"><p>text</p></div>'
+        '<span class="byline"><a rel="author">Jo Bloggs For Metro.co.uk</a></span>'
+    )
+    item = extract_article(html, "https://metro.co.uk/2017/1").item
+    assert item["bylines"] == ["Jo Bloggs"]
+    assert item["bodytext"] == "text"
+
+
+def test_reuters_skips_opengraph():
+    html = wrap(
+        BODY,
+        head='<meta property="og:title" content="OG IGNORED">'
+             '<title>Reuters Title | Reuters</title>',
+    )
+    item = extract_article(html, "https://uk.reuters.com/article/1").item
+    assert item["source"] == "Reuters [UK]"
+    assert item.get("headline") != "OG IGNORED"  # OG battery disabled
+    assert item["notes"] == ["fetchtime delayed by slow feed"]
+
+
+def test_reuters_body_excludes_author_span():
+    html = wrap(
+        '<span id="article-text"><p>real text</p>'
+        '<p class="author">By Someone</p></span>'
+    )
+    item = extract_article(html, "https://uk.reuters.com/article/1").item
+    assert item["bodytext"] == "real text"
+
+
+def test_usatoday_section_split_title():
+    html = wrap(
+        BODY,
+        head='<meta itemprop="articleSection" content="news,world">'
+             '<meta name="cXenseParse:author" content="A Reporter">',
+    )
+    item = extract_article(html, "https://www.usatoday.com/story/1").item
+    assert item["section"] == "News"
+    assert item["bylines"] == ["A Reporter"]
+
+
+def test_abc_timestamp_strip():
+    html = wrap(
+        f'{BODY}<div class="article-meta">'
+        '<span class="timestamp">Politics — Mar 1, 2017, 2:04 PM</span></div>'
+    )
+    item = extract_article(html, "https://abcnews.go.com/Politics/story1").item
+    assert item["firstpubtime"] == "2017-03-01T14:04:00+00:00"
+
+
+def test_yahoo_skips_schemaorg():
+    html = wrap(
+        '<div class="canvas-body"><p>yahoo body</p></div>'
+        '<h1 itemprop="headline">MICRODATA IGNORED</h1>',
+        head='<meta property="og:title" content="OG Head">',
+    )
+    item = extract_article(html, "https://www.yahoo.com/news/1").item
+    assert item["source"] == "Yahoo! News [US]"
+    assert item["headline"] == "OG Head"      # OG still on, schema.org off
+    assert item["bodytext"] == "yahoo body"
+
+
+def test_cbs_nbc_body_xpaths():
+    cbs = wrap('<div class="post"><p>cbs text</p></div>')
+    assert extract_article(cbs, "https://www.cbsnews.com/news/1").item["bodytext"] == "cbs text"
+    nbc = wrap('<div class="article-body"><p>nbc text</p></div>')
+    assert extract_article(nbc, "https://www.nbcnews.com/news/1").item["bodytext"] == "nbc text"
+
+
+def test_independent_allowed_domains():
+    p = profile_for("https://www.independent.co.uk/news/1")
+    assert p.allowed_domains == ("independent.co.uk",)

@@ -1,0 +1,112 @@
+"""Frontier-source tests (S1-S5): RSS/Atom/sitemap parsing incl. gzipped
+sitemaps, sitemapindex expansion, Google News meta, alternate links."""
+
+import gzip
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from risjbot_spark.sources.feeds import expand_feeds, expand_sitemaps, parse_feed
+
+RSS = b"""<?xml version="1.0"?>
+<rss version="2.0"><channel><title>Feed</title>
+<item><title>Story One</title><link>https://h/a1</link>
+<description>Sum 1</description><pubDate>Mon, 27 Feb 2017 18:02:16 GMT</pubDate></item>
+<item><title>Story Two</title><link> https://h/a2 </link></item>
+<item><title>No link</title></item>
+</channel></rss>"""
+
+ATOM = b"""<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom"><title>F</title>
+<entry><link href="https://h/e1"/><title>E1</title></entry>
+<entry><link href="https://h/e2"/></entry>
+</feed>"""
+
+URLSET = b"""<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"
+        xmlns:news="http://www.google.com/schemas/sitemap-news/0.9"
+        xmlns:xhtml="http://www.w3.org/1999/xhtml">
+<url><loc>https://h/s1</loc><lastmod>2017-03-01T00:00:00Z</lastmod>
+  <news:news><news:title>SM Title</news:title>
+  <news:keywords>k1,k2</news:keywords>
+  <news:publication_date>2017-02-28</news:publication_date></news:news>
+  <xhtml:link rel="alternate" hreflang="de" href="https://h/s1-de"/></url>
+<url><loc>https://h/s2</loc></url>
+</urlset>"""
+
+SMINDEX = b"""<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<sitemap><loc>https://h/child1.xml</loc></sitemap>
+<sitemap><loc>https://h/child2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_rss_items():
+    rows = parse_feed(RSS)
+    # whitespace stripped like etree_to_recursive_dict (utils.py:86-88)
+    assert [r["url"] for r in rows] == ["https://h/a1", "https://h/a2"]
+    meta = rows[0]["meta"]["RSSFeed"]
+    assert meta["title"] == "Story One"
+    assert meta["description"] == "Sum 1"
+    assert meta["pubDate"] == "Mon, 27 Feb 2017 18:02:16 GMT"
+
+
+def test_atom_entries():
+    rows = parse_feed(ATOM)
+    assert [r["url"] for r in rows] == ["https://h/e1", "https://h/e2"]
+    assert all(r["kind"] == "atom" for r in rows)
+
+
+def test_urlset_news_meta_and_alternate():
+    rows = parse_feed(URLSET)
+    urls = [r["url"] for r in rows]
+    assert urls == ["https://h/s1", "https://h/s1-de", "https://h/s2"]
+    sm = rows[0]["meta"]["NewsSitemap"]
+    assert sm["lastmod"] == "2017-03-01T00:00:00Z"
+    assert sm["news"]["title"] == "SM Title"
+    assert sm["news"]["keywords"] == "k1,k2"
+    assert sm["alternatede"] == "https://h/s1-de"
+
+
+def test_gzipped_sitemap():
+    rows = parse_feed(gzip.compress(URLSET))
+    assert len(rows) == 3
+
+
+def test_sitemapindex_children():
+    rows = parse_feed(SMINDEX)
+    assert [r["kind"] for r in rows] == ["sitemapindex-child"] * 2
+
+
+def test_invalid_xml_yields_nothing():
+    assert parse_feed(b"this is not xml <<<") == []
+
+
+def test_expand_feeds_spark(spark):
+    feeds = spark.createDataFrame(
+        [("https://h/rss", RSS), ("https://h/atom", ATOM)],
+        "feed_url string, body binary",
+    )
+    rows = expand_feeds(feeds).collect()
+    got = {(r["feed_url"], r["url"]) for r in rows}
+    assert ("https://h/rss", "https://h/a1") in got
+    assert ("https://h/atom", "https://h/e2") in got
+    rss_meta = json.loads(
+        next(r["meta_json"] for r in rows if r["url"] == "https://h/a1"))
+    assert rss_meta["RSSFeed"]["title"] == "Story One"
+
+
+def test_expand_sitemaps_recursive(spark):
+    feeds = spark.createDataFrame(
+        [("https://h/index.xml", SMINDEX)], "feed_url string, body binary")
+    bodies = spark.createDataFrame(
+        [("https://h/child1.xml", URLSET),
+         ("https://h/child2.xml", gzip.compress(URLSET))],
+        "feed_url string, body binary",
+    )
+    rows = expand_sitemaps(feeds, bodies).collect()
+    urls = sorted(r["url"] for r in rows)
+    # two children × 3 leaf rows each
+    assert len(urls) == 6
+    assert urls[0] == "https://h/s1"

@@ -1,0 +1,162 @@
+"""Streaming operators (file source + AvailableNow → memory sink), the
+JSONL compat writer, and multimodal plumbing."""
+
+import base64
+import gzip
+import json
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from risjbot_spark.frontier.xxhash import xxhash64
+
+T0 = datetime(2017, 4, 1, tzinfo=timezone.utc)
+
+
+def _write_frontier(spark, path, rows):
+    spark.createDataFrame(
+        rows, "url_hash long, url string, discovered_ts timestamp"
+    ).write.mode("overwrite").parquet(path)
+
+
+def _run_stream(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_frontier_stream_dedup(spark, tmp_path):
+    from risjbot_spark.streaming import frontier_stream_dedup
+
+    src = str(tmp_path / "frontier")
+    rows = [
+        (xxhash64("https://h/a"), "https://h/a", T0),
+        (xxhash64("https://h/a"), "https://h/a", T0),  # dup
+        (xxhash64("https://h/b"), "https://h/b", T0),
+    ]
+    _write_frontier(spark, src, rows)
+    stream = spark.readStream.schema(
+        "url_hash long, url string, discovered_ts timestamp").parquet(src)
+    q = (frontier_stream_dedup(stream).writeStream
+         .format("memory").queryName("dedup_t")
+         .trigger(availableNow=True).start())
+    _run_stream(q)
+    got = {r["url"] for r in spark.sql("select * from dedup_t").collect()}
+    assert got == {"https://h/a", "https://h/b"}
+    assert spark.sql("select * from dedup_t").count() == 2
+
+
+def test_stateful_refetch_gate(spark, tmp_path):
+    from risjbot_spark.streaming import stateful_refetch_gate
+
+    src = str(tmp_path / "gate")
+    h = xxhash64("https://h/x")
+    rows = [
+        (h, "https://h/x", T0),                                   # first
+        (h, "https://h/x", T0.replace(hour=1)),                   # too soon
+        (h, "https://h/x", T0.replace(hour=4)),                   # refetch
+    ]
+    _write_frontier(spark, src, rows)
+    stream = spark.readStream.schema(
+        "url_hash long, url string, discovered_ts timestamp").parquet(src)
+    q = (stateful_refetch_gate(stream, maxfetches=8, refetchsecs=10800)
+         .writeStream.format("memory").queryName("gate_t")
+         .trigger(availableNow=True).start())
+    _run_stream(q)
+    got = [(r["decision"], r["previousfetches"])
+           for r in spark.sql(
+               "select * from gate_t order by previousfetches, decision").collect()]
+    assert ("first", 0) in got
+    assert ("skip", 1) in got
+    assert ("refetch", 1) in got
+
+
+def test_fetch_rate_metrics(spark, tmp_path):
+    from risjbot_spark.streaming import fetch_rate_metrics
+
+    src = str(tmp_path / "arts")
+    spark.createDataFrame(
+        [("h1", T0, "ok"), ("h1", T0, "ok"), ("h1", T0, "empty"),
+         ("h2", T0.replace(hour=2), "ok")],
+        "host string, warc_ts timestamp, status string",
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "host string, warc_ts timestamp, status string").parquet(src)
+    # complete mode: append only emits windows the watermark has closed,
+    # which never happens in a single availableNow micro-batch
+    q = (fetch_rate_metrics(stream).writeStream
+         .format("memory").queryName("rates_t").outputMode("complete")
+         .trigger(availableNow=True).start())
+    _run_stream(q)
+    rows = {(r["host"]): (r["fetched"], r["extracted"])
+            for r in spark.sql("select * from rates_t").collect()}
+    assert rows["h1"] == (3, 2)
+    assert rows["h2"] == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# JSONL compat sink
+# ---------------------------------------------------------------------------
+
+def test_jsonl_compat_roundtrip(spark):
+    from risjbot_spark.sinks import to_jsonl_compat
+
+    articles = spark.createDataFrame(
+        [("https://h/a", "https://h/a", "Src", "Head", "body text", 2,
+          ["Jo"], None)],
+        "url_canon string, url string, source string, headline string, "
+        "bodytext string, wordcount int, bylines array<string>, section string",
+    )
+    line = to_jsonl_compat(articles).first()["value"]
+    d = json.loads(line)
+    assert d["headline"] == "Head"
+    assert d["bylines"] == ["Jo"]
+    assert "section" not in d          # null omitted, Scrapy-exporter style
+    assert "url_canon" not in d        # engine column, not a NewsItem field
+
+
+def test_jsonl_rawpage_gzip_b64(spark):
+    from risjbot_spark.sinks import to_jsonl_compat
+
+    html = b"<html><body>raw</body></html>"
+    articles = spark.createDataFrame(
+        [("https://h/a", "https://h/a", "Head")],
+        "url_canon string, url string, headline string")
+    pages = spark.createDataFrame([("https://h/a", html)],
+                                  "url string, html binary")
+    line = to_jsonl_compat(articles, pages, strip_raw_page=False).first()["value"]
+    d = json.loads(line)
+    assert gzip.decompress(base64.b64decode(d["rawpagegzipb64"])) == html
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_decode_stubbed():
+    from risjbot_spark.multimodal import decode_audio, decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"png-bytes")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"wav-bytes")
+    assert decode_image(b"png-bytes", fake=True).shape == (8, 8, 3)
+    assert decode_audio(b"wav-bytes", fake=True).shape == (256,)
+
+
+def test_multimodal_features_and_dedup(spark):
+    from risjbot_spark.multimodal import (
+        exact_media_dedup,
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30, partitions=4)
+    feats = extract_features(media).cache()
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 64 for r in rows)
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-5 for r in rows)
+    dups = exact_media_dedup(feats).collect()
+    assert len(dups) == 3  # ids 9, 19, 29 duplicate 0, 10, 20
+    feats.unpersist()
