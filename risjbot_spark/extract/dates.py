@@ -24,6 +24,11 @@ _MS_RE = re.compile(
     r"^([0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2})\.[0-9]+"
 )
 
+# "Mon, 27 Feb 2017 18:02:16 GMT" / "27 Feb 2017 18:02:16 +0000"
+_RFC2822_RE = re.compile(
+    r"^(?:[A-Z][a-z]{2},\s+)?\d{1,2}\s+[A-Z][a-z]{2}\s+\d{4}\s+\d{2}:\d{2}"
+)
+
 _PLAIN_FORMATS = (
     "%b %d, %Y, %I:%M %p",
     "%B %d, %Y, %I:%M %p",
@@ -65,15 +70,25 @@ def parse_datetime(s) -> datetime | None:
     except ValueError:
         pass
 
-    # explicit formats BEFORE the RFC-2822 fallback: parsedate_to_datetime
-    # is lenient and silently mis-parses AM/PM editorial timestamps
+    # RFC 2822 ("Mon, 27 Feb 2017 18:02:16 GMT" — every HTTP Date header)
+    # is shape-gated so it runs FIRST for those strings (skipping 15
+    # doomed strptime attempts) but never swallows AM/PM editorial
+    # timestamps, which parsedate_to_datetime silently mis-parses.
+    if _RFC2822_RE.match(s):
+        try:
+            dt = parsedate_to_datetime(s)
+            if dt is not None:
+                return _aware(dt)
+        except (TypeError, ValueError):
+            pass
+
     for fmt in _PLAIN_FORMATS:
         try:
             return _aware(datetime.strptime(s, fmt))
         except ValueError:
             continue
 
-    try:  # RFC 2822 — HTTP Date headers ("Mon, 27 Feb 2017 18:02:16 GMT")
+    try:  # RFC-ish strings that failed the shape gate
         dt = parsedate_to_datetime(s)
         if dt is not None:
             return _aware(dt)

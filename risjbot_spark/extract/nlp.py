@@ -20,6 +20,7 @@ import re
 import string
 import unicodedata
 from collections.abc import Iterable
+from functools import lru_cache
 
 # ---------------------------------------------------------------------------
 # Word count — len(str.split()) exactly (wordcount.py:15)
@@ -106,13 +107,19 @@ def word_tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
 
 
+@lru_cache(maxsize=65536)
+def _strip_punct_one(tok: str) -> str:
+    """Identical algorithm to the reference (readingage.py:94-103);
+    token-level cache — natural text repeats tokens heavily."""
+    return "".join(
+        x for x in tok
+        if unicodedata.category(x) not in _PUNCT_CATS and x not in _PUNCT_ASCII
+    )
+
+
 def strip_punct_toks(toks: Iterable[str]) -> Iterable[str]:
-    """Identical algorithm to the reference (readingage.py:94-103)."""
     for tok in toks:
-        ntok = "".join(
-            x for x in tok
-            if unicodedata.category(x) not in _PUNCT_CATS and x not in _PUNCT_ASCII
-        )
+        ntok = _strip_punct_one(tok)
         if ntok:
             yield ntok
 
@@ -122,6 +129,7 @@ def split_hyphenated(toks: Iterable[str]) -> Iterable[str]:
         yield from tok.split("-")
 
 
+@lru_cache(maxsize=65536)
 def count_syllables(word: str) -> int | None:
     """Vowel-group heuristic (CMU-dictionary stand-in). Returns None for
     tokens with no letters — mirroring words absent from the CMU dict,

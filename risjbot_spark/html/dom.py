@@ -24,7 +24,8 @@ _RAWTEXT = frozenset({"script", "style"})
 
 
 class Node:
-    __slots__ = ("tag", "attrib", "children", "parent", "text", "tail")
+    __slots__ = ("tag", "attrib", "children", "parent", "text", "tail",
+                 "_tag_index")
 
     def __init__(self, tag: str, attrib: dict | None = None, parent: "Node | None" = None):
         self.tag = tag
@@ -33,6 +34,9 @@ class Node:
         self.parent = parent
         self.text: str | None = None
         self.tail: str | None = None
+        # root-only cache: tag → descendants in document order, built
+        # lazily by the selector engine, invalidated by remove_nodes()
+        self._tag_index: dict | None = None
 
     def get(self, key: str, default=None):
         return self.attrib.get(key, default)

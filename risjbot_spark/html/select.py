@@ -213,6 +213,27 @@ def _eval_attr(current: list[Node], steps, idx):
     return out
 
 
+def _tag_index(root: Node) -> dict:
+    """tag → descendants of root in document order (plus '*' = all
+    elements). Built once per document, reused by every first-step
+    descendant scan — the metadata batteries issue ~30 of those per page,
+    and this turns 30 tree walks into one."""
+    idx = root._tag_index
+    if idx is None:
+        idx = {"*": []}
+        stack = [root]
+        # iterative DFS preserving document order
+        def walk(n: Node):
+            for c in n.children:
+                if not c.tag.startswith("#"):
+                    idx["*"].append(c)
+                    idx.setdefault(c.tag, []).append(c)
+                walk(c)
+        walk(root)
+        root._tag_index = idx
+    return idx
+
+
 def xpath(root: Node, expr: str):
     """Evaluate ``expr`` with ``root`` as the context element.
 
@@ -230,6 +251,16 @@ def xpath(root: Node, expr: str):
                 return [root]
             return _eval_steps([root], steps[1:])
         return []
+    # fast path: leading '//tag'/'//*' from the root uses the tag index
+    first = steps[0] if steps else None
+    if (first is not None and first.axis == "descendant"
+            and not first.test.startswith("@") and first.test != "text()"):
+        pool = _tag_index(root).get(first.test, ())
+        ctx = [n for n in pool
+               if all(_pred_holds(n, p) for p in first.preds)]
+        if len(steps) == 1:
+            return ctx
+        return _eval_steps(ctx, steps[1:])
     return _eval_steps([root], steps)
 
 
@@ -243,4 +274,6 @@ def remove_nodes(root: Node, expr: str) -> int:
         if v.parent is not None:
             v.parent.remove(v)
             removed += 1
+    if removed:
+        root._tag_index = None  # invalidate the document index
     return removed

@@ -505,6 +505,53 @@ def q_ann_cosine_topk(spark, sf):
     )
 
 
+def q_ivf_centroids(spark, sf):
+    """IVF index build (scale path): per-label centroids via
+    posexplode + dimension-wise avg — one shuffle, map-side combinable;
+    at 10^9 vectors this replaces the brute-force cross join."""
+    e = _t(spark, sf, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .orderBy("label", "pos")
+    )
+
+
+def q_ivf_assign(spark, sf):
+    """IVF probe: assign each vector to its nearest centroid (squared L2)
+    — broadcast the (tiny) centroid table, JVM-side distance, argmin via
+    window. Returns cluster sizes + how many vectors moved label."""
+    e = _t(spark, sf, "embeddings").withColumn(
+        "emb", F.transform("embedding", lambda x: x.cast("double")))
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cents = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(F.col("label").alias("centroid"),
+                F.expr("transform(pc, x -> x.c)").alias("cvec"))
+    )
+    j = e.crossJoin(F.broadcast(cents))
+    dist = F.aggregate(
+        F.zip_with("emb", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("centroid").asc())
+    assigned = (
+        j.select("vec_id", "label", "centroid", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("centroid")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.when(F.col("label") != F.col("centroid"), 1).otherwise(0))
+             .alias("moved"))
+        .orderBy("centroid")
+    )
+
+
 def q_ann_lsh_bucket(spark, sf):
     """LSH-bucketed ANN scale path: sign pattern over 8 fixed hyperplanes
     (axis-aligned → deterministic and SQL-portable); bucket histogram."""
@@ -587,6 +634,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
+    "ivf_centroids": q_ivf_centroids,
+    "ivf_assign": q_ivf_assign,
     "knn_label_vote": q_knn_label_vote,
     "binary_meta": q_binary_meta,
 }
@@ -832,6 +881,41 @@ ORACLE_SQL = {
                         * sqrt(list_dot_product(qv, qv))), 6) AS cosine
         FROM e, q WHERE vec_id <> 0
         ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "ivf_centroids": """
+        SELECT label, pos - 1 AS pos, round(avg(CAST(v AS DOUBLE)), 6) AS c
+        FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY label, pos ORDER BY label, pos""",
+    "ivf_assign": """
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+        ex AS (
+          SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos
+          FROM e),
+        cent AS (
+          SELECT label AS centroid, pos, avg(v) AS c
+          FROM ex GROUP BY label, pos),
+        cvecs AS (
+          SELECT centroid, list(c ORDER BY pos) AS cvec
+          FROM cent GROUP BY centroid),
+        dists AS (
+          SELECT e.vec_id, e.label, c.centroid,
+                 list_sum(list_transform(
+                   list_zip(e.emb, c.cvec),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+          FROM e CROSS JOIN cvecs c),
+        best AS (
+          SELECT vec_id, label, centroid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d ASC, centroid ASC) AS rn
+          FROM dists)
+        SELECT centroid, count(*) AS n,
+               CAST(sum(CASE WHEN label <> centroid THEN 1 ELSE 0 END) AS BIGINT) AS moved
+        FROM best WHERE rn = 1
+        GROUP BY centroid ORDER BY centroid""",
     "ann_lsh_bucket": """
         WITH b AS (
           SELECT (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
