@@ -367,6 +367,119 @@ REGISTRY_EXTRA: dict[str, SiteProfile] = {
 REGISTRY.update(REGISTRY_EXTRA)
 
 
+def _unix_ts_iso(vals: list[str]) -> list[str]:
+    """X9 — unix-timestamp attributes → naive-UTC isoformat string (the
+    reference calls datetime.fromtimestamp(int(ts)).isoformat(); we pin
+    UTC for executor determinism —
+    /root/reference/RISJbot/spiders/base/businessinsiderspider.py:60-62,
+    buzzfeednewscrawlspider.py:47-50)."""
+    from datetime import datetime, timezone
+
+    out = []
+    for v in vals:
+        try:
+            out.append(datetime.fromtimestamp(
+                int(v), tz=timezone.utc).replace(tzinfo=None).isoformat())
+        except (ValueError, TypeError):
+            continue
+    return out
+
+
+REGISTRY_WAVE3: dict[str, SiteProfile] = {
+    # /root/reference/RISJbot/spiders/de/bild.py:11-67
+    "bild.de": SiteProfile(
+        name="bild",
+        allowed_domains=("www.bild.de",),
+        prune=(
+            '//noscript[contains(@class, "warning")]',
+            '//strong[contains(., "Ihre neuesten Erkenntnisse lesen Sie mit BILDplus.")]',
+            '//aside[contains(@class, "related-topics")]',
+            '//div[contains(@class, "tsr-info") and contains(., "Lesen Sie auch")]',
+        ),
+        pre_rules=(
+            ("section", '//div[@id="breadcrumb"]//a[@rel="home"]//text()', None),
+        ),
+        post_rules=(
+            ("bodytext", '//div[contains(@class, "txt")]//text()', None),
+            ("bodytext", '//div[contains(@class, "article-body")]//text()', None),
+            ("firstpubtime",
+             '//time[contains(@class, "authors__pubdate")]/@datetime', None),
+            ("firstpubtime",
+             '//div[contains(@class, "content")]//time[contains(@class, "date")]/@datetime',
+             None),
+        ),
+    ),
+    # /root/reference/RISJbot/spiders/base/businessinsiderspider.py:12-67
+    # (the IR=C URL normalization lives in urlnorm.canonicalize_*)
+    "businessinsider.com": SiteProfile(
+        name="businessinsider",
+        prune=(
+            '//div[@id="see-also-links"]',
+            '//div[contains(@class, "popular-video")]',
+            '//span[contains(@class, "caption-source")]',
+        ),
+        post_rules=(
+            ("bodytext", '//div[contains(@class, "post-content")]//text()', None),
+            ("bylines", '//a[@rel="author"]//text()', None),
+            ("modtime", '//span[@data-bi-format="date"]/@rel', _unix_ts_iso),
+            ("section", '//h2[contains(@class, "vert-name")]//text()', None),
+        ),
+    ),
+    # /root/reference/RISJbot/spiders/base/huffpospider.py
+    "huffpost.com": SiteProfile(
+        name="huffpo",
+        pre_rules=(
+            ("bylines",
+             '//*[contains(@class, "author-card__details__name")]//text()', None),
+            ("bodytext", '//div[contains(@class, "entry__body")]//text()', None),
+            ("bodytext", '//div[@id="mainentrycontent"]//text()', None),
+        ),
+    ),
+    # /root/reference/RISJbot/spiders/base/buzzfeedspider.py +
+    # buzzfeednewscrawlspider.py (link rules at :32-35)
+    "buzzfeed.com": SiteProfile(
+        name="buzzfeed",
+        allowed_domains=("buzzfeed.com",),
+        prune=('//*[contains(@class, "print") or contains(@class, "hidden")]',),
+        pre_rules=(
+            ("url", 'head/link[@rel="canonical"]/@href', None),
+        ),
+        post_rules=(
+            ("bodytext",
+             '//div[@data-print="body"]/*[not(contains(@class, "user-bio") or '
+             'contains(@class, "_shares") or contains(@class, "inline-promo"))]//text()',
+             None),
+            ("bodytext", '//div[contains(@class, "_item_text")]//text()', None),
+            ("bodytext",
+             '//article//*[contains(@class, "subbuzz-text") or '
+             'contains(@class, "subbuzz__title")]//text()', None),
+            ("modtime", "//time/@data-unix", _unix_ts_iso),
+        ),
+    ),
+    # /root/reference/RISJbot/spiders/base/vicespider.py — the Splash/JS
+    # fetch path is out of scope (S7); extraction battery is standard.
+    "vice.com": SiteProfile(
+        name="vice",
+        allowed_domains=("vice.com",),
+    ),
+    # /root/reference/RISJbot/spiders/uk/liverpoolecho.py:60-190 — the
+    # live comment-API chase (S8) is out of scope; articleid + body/byline
+    # selectors reproduced.
+    "liverpoolecho.co.uk": SiteProfile(
+        name="liverpoolecho",
+        pre_rules=(
+            ("articleid", '//meta[@property="article:id"]/@content', None),
+        ),
+    ),
+}
+REGISTRY.update(REGISTRY_WAVE3)
+# de/fr editions share the base parser (businessinsiderde.py / -fr.py)
+REGISTRY["businessinsider.de"] = REGISTRY["businessinsider.com"]
+REGISTRY["businessinsider.fr"] = REGISTRY["businessinsider.com"]
+REGISTRY["huffingtonpost.co.uk"] = REGISTRY["huffpost.com"]
+REGISTRY["huffingtonpost.fr"] = REGISTRY["huffpost.com"]
+
+
 def host_of(url: str) -> str:
     try:
         return urlparse(url).netloc.lower()

@@ -112,3 +112,25 @@ class SnapshotTable:
         return [
             {"id": m["id"], "lineage": m["lineage"]} for m in self.snapshots()
         ]
+
+    # -- maintenance --------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 3) -> list[int]:
+        """Iceberg `expire_snapshots` analogue (the reference's DB trim +
+        VACUUM, refetchcontrol.py:180-193 → SURVEY.md §4): drop manifests
+        older than the newest `keep_last` and delete data directories no
+        live manifest references. Returns expired snapshot ids."""
+        import shutil
+
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return []
+        live, dead = snaps[-keep_last:], snaps[:-keep_last]
+        live_files = {f for m in live for f in m["files"]}
+        expired = []
+        for m in dead:
+            for f in m["files"]:
+                if f not in live_files and os.path.isdir(f):
+                    shutil.rmtree(f, ignore_errors=True)
+            os.remove(self._manifest_path(m["id"]))
+            expired.append(m["id"])
+        return expired

@@ -31,6 +31,13 @@ EQUIVALENT_DOMAINS: dict[str, str] = {"www.cnn.com": "edition.cnn.com"}
 # keying (dailymail.py:16-20 does split('?')[0] on every feed URL).
 STRIP_QUERY_HOSTS: tuple[str, ...] = ("dailymail.co.uk",)
 
+# Hosts that must carry IR=C to defeat edition redirects — the reference
+# rewrites every request URL (businessinsiderspider.py:13-29), so the
+# canonical (seen-keyed) form includes it.
+FORCE_IRC_HOSTS: tuple[str, ...] = (
+    "businessinsider.com", "businessinsider.de", "businessinsider.fr",
+)
+
 
 def host_expr(url: Column) -> Column:
     """Host (netloc) of a URL as a Catalyst expression."""
@@ -56,6 +63,15 @@ def canonicalize_expr(url: Column) -> Column:
     # equivalent-domain rewrite: replace '<scheme>://olddomain' prefix
     for old, new in EQUIVALENT_DOMAINS.items():
         u = F.regexp_replace(u, rf"^(https?://){old}/", rf"$1{new}/")
+
+    # force IR=C for edition-redirect hosts (F6)
+    irc_pred = F.lit(False)
+    for h in FORCE_IRC_HOSTS:
+        irc_pred = irc_pred | host.endswith(F.lit(h))
+    needs_irc = irc_pred & ~u.contains("IR=C")
+    u = F.when(
+        needs_irc & u.contains("?"), F.concat(u, F.lit("&IR=C"))
+    ).when(needs_irc, F.concat(u, F.lit("?IR=C"))).otherwise(u)
     return u
 
 
@@ -86,6 +102,8 @@ def canonicalize_py(url: str) -> str:
     if parts.netloc in EQUIVALENT_DOMAINS:
         parts = parts._replace(netloc=EQUIVALENT_DOMAINS[parts.netloc])
         url = urlunparse(parts)
+    if any(host.endswith(h) for h in FORCE_IRC_HOSTS) and "IR=C" not in url:
+        url += "&IR=C" if "?" in url else "?IR=C"
     return url
 
 

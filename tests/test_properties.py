@@ -1,0 +1,99 @@
+"""Property-based robustness tests (hypothesis): the extraction surface
+must never raise on arbitrary web bytes — a crawler that crashes on one
+malformed page out of 10^10 loses the partition."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from risjbot_spark.extract import extract_article
+from risjbot_spark.extract.dates import parse_datetime
+from risjbot_spark.extract.loader import NewsItemLoader
+from risjbot_spark.extract.nlp import named_people, reading_scores, sentiment, wordcount
+from risjbot_spark.frontier.politeness import parse_robots
+from risjbot_spark.frontier.xxhash import xxhash64
+from risjbot_spark.html import parse_html, xpath
+from risjbot_spark.sources.feeds import parse_feed
+from risjbot_spark.urlnorm import canonicalize_py
+
+_HTMLISH = st.text(
+    alphabet=string.ascii_letters + string.digits + "<>/=\"'& \n\t\x00;#?-.",
+    max_size=400,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_parse_html_never_raises(data):
+    root = parse_html(data)
+    list(root.itertext())
+
+
+@settings(max_examples=150, deadline=None)
+@given(_HTMLISH)
+def test_extract_article_never_raises(markup):
+    res = extract_article(markup.encode(), "https://h.example/x")
+    assert res.status in ("ok", "empty", "fake404")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=60))
+def test_parse_datetime_never_raises(s):
+    dt = parse_datetime(s)
+    if dt is not None:
+        assert dt.tzinfo is not None  # always tz-aware (determinism)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=500))
+def test_nlp_never_raises(text):
+    assert wordcount(text) >= 0
+    pol, subj = sentiment(text)
+    assert -1.0 <= pol <= 1.0 and 0.0 <= subj <= 1.0
+    named_people(text)
+    rs = reading_scores(text)
+    if rs is not None:
+        assert all(isinstance(x, float) for x in rs)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=string.printable, max_size=120))
+def test_canonicalize_idempotent(path):
+    url = "https://www.example.com/" + path.replace("\n", "").replace("\r", "")
+    try:
+        once = canonicalize_py(url)
+    except ValueError:
+        return  # urlsplit rejects some hostile bracket sequences — fine
+    assert canonicalize_py(once) == once
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=200))
+def test_parse_feed_never_raises(body):
+    assert isinstance(parse_feed(body), list)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=300))
+def test_parse_robots_never_raises(txt):
+    rules = parse_robots(txt)
+    assert isinstance(rules.allowed("/any/path"), bool)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=30)), max_size=8))
+def test_loader_takefirst_invariant(values):
+    l = NewsItemLoader()
+    for v in values:
+        l.add_value("section", v)
+    out = l.get_output_value("section")
+    non_empty = [v for v in values if v]  # TakeFirst skips None and ''
+    assert out == (non_empty[0] if non_empty else None)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=64))
+def test_xxhash64_is_signed_64bit(data):
+    h = xxhash64(data)
+    assert -(1 << 63) <= h < (1 << 63)

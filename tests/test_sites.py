@@ -121,3 +121,48 @@ def test_cbs_nbc_body_xpaths():
 def test_independent_allowed_domains():
     p = profile_for("https://www.independent.co.uk/news/1")
     assert p.allowed_domains == ("independent.co.uk",)
+
+
+def test_bild_prune_and_breadcrumb():
+    html = wrap(
+        '<div id="breadcrumb"><a rel="home">Politik</a></div>'
+        '<div class="article-body"><p>Deutscher Text hier.</p></div>'
+        '<noscript class="warning">JS WARNUNG</noscript>'
+        '<aside class="related-topics">MEHR</aside>'
+    )
+    item = extract_article(html, "https://www.bild.de/politik/a-1.bild.html").item
+    assert item["section"] == "Politik"
+    assert item["bodytext"] == "Deutscher Text hier."
+
+
+def test_businessinsider_unix_ts_and_body():
+    html = wrap(
+        '<div class="post-content"><p>bi body</p></div>'
+        '<a rel="author">BI Author</a>'
+        '<span data-bi-format="date" rel="1488218536"></span>'
+    )
+    item = extract_article(html, "https://www.businessinsider.com/x?IR=C").item
+    assert item["bodytext"] == "bi body"
+    assert item["bylines"] == ["BI Author"]
+    assert item["modtime"] == "2017-02-27T18:02:16+00:00"
+
+
+def test_buzzfeed_body_excludes_promo():
+    html = wrap(
+        '<div data-print="body"><div class="text"><p>buzz text</p></div>'
+        '<div class="inline-promo">PROMO</div></div>',
+        head='<link rel="canonical" href="https://www.buzzfeed.com/canon/x">',
+    )
+    item = extract_article(html, "https://www.buzzfeed.com/a/x").item
+    assert item["url"] == "https://www.buzzfeed.com/canon/x"
+    assert "buzz text" in item["bodytext"]
+    assert "PROMO" not in item["bodytext"]
+
+
+def test_liverpoolecho_articleid():
+    html = wrap(
+        "<p itemprop='articleBody'>echo body</p>"
+        '<meta property="article:id" content="19660932">'
+    )
+    item = extract_article(html, "https://www.liverpoolecho.co.uk/news/1").item
+    assert item["articleid"] == "19660932"

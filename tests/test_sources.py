@@ -110,3 +110,17 @@ def test_expand_sitemaps_recursive(spark):
     # two children × 3 leaf rows each
     assert len(urls) == 6
     assert urls[0] == "https://h/s1"
+
+
+def test_seeds_from_csv_and_textfile(spark, tmp_path):
+    from risjbot_spark.sources import seeds_from_csv, seeds_from_textfile
+
+    csv = tmp_path / "seeds.csv"
+    csv.write_text("url,extra\nhttps://h/a,1\n ,2\nhttps://h/b ,3\n")
+    got = {r["url"] for r in seeds_from_csv(spark, str(csv)).collect()}
+    assert got == {"https://h/a", "https://h/b"}
+
+    txt = tmp_path / "seeds.txt"
+    txt.write_text("https://h/x\n\n  https://h/y  \n")
+    got = {r["url"] for r in seeds_from_textfile(spark, str(txt)).collect()}
+    assert got == {"https://h/x", "https://h/y"}
