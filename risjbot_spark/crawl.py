@@ -253,6 +253,12 @@ class CrawlEngine:
             lineage["fetched"] = articles.count()
             lineage["extracted"] = articles.filter(F.col("status") == "ok").count()
             lineage["fake404_dropped"] = lineage["fetched"] - items.count()
+            # F9 CheckContent (pipelines/checkcontent.py:6-12): flag items
+            # without bodytext unless the URL is picture/video/gallery
+            lineage["no_bodytext"] = items.filter(
+                F.col("bodytext").isNull()
+                & ~F.col("url_canon").rlike("picture|video|gallery")
+            ).count()
 
         # ---- commit articles FIRST, then derive the seen MERGE input from
         # the committed files: extraction runs exactly once per round (the

@@ -177,3 +177,36 @@ def seeds_from_textfile(spark, path: str) -> DataFrame:
         .select(F.trim(F.col("value")).alias("url"))
         .filter(F.col("url") != "")
     )
+
+
+def sitemaps_from_robots(robots: DataFrame) -> DataFrame:
+    """S3 robots-discovery path: hosts' robots.txt `Sitemap:` lines become
+    sitemap seeds (the reference gets this from
+    scrapy.utils.sitemap.sitemap_urls_from_robots via
+    /root/reference/RISJbot/spiders/newssitemapspider.py:36-39)."""
+    sm = F.expr(
+        r"""filter(transform(split(robots_txt, '\n'),
+                   l -> CASE WHEN lower(trim(l)) LIKE 'sitemap:%'
+                             THEN trim(substring(trim(l), 9)) END),
+                   x -> x IS NOT NULL)"""
+    )
+    return (
+        robots.select("host", F.explode(sm).alias("url"))
+        .withColumn("kind", F.lit("sitemap"))
+    )
+
+
+def recent_sitemap_filter(sitemap_urls: DataFrame, days: int,
+                          today) -> DataFrame:
+    """L2 — date-based sitemap pruning: keep only sitemap URLs whose
+    embedded yyyymmdd date falls within the last `days` days of `today`
+    (the reference generates a regex of recent dates,
+    /root/reference/RISJbot/spiders/uk/reuters.py:11-19,40; `today` is
+    passed explicitly — determinism). At the table level the same
+    predicate becomes partition pruning on days(warc_ts)."""
+    from datetime import timedelta
+
+    dates = [(today - timedelta(days=n)).strftime("%Y%m%d")
+             for n in range(days + 1)]
+    pattern = "(" + "|".join(dates) + r")\.xml$"
+    return sitemap_urls.filter(F.col("url").rlike(pattern))

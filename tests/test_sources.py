@@ -124,3 +124,31 @@ def test_seeds_from_csv_and_textfile(spark, tmp_path):
     txt.write_text("https://h/x\n\n  https://h/y  \n")
     got = {r["url"] for r in seeds_from_textfile(spark, str(txt)).collect()}
     assert got == {"https://h/x", "https://h/y"}
+
+
+def test_sitemaps_from_robots(spark):
+    from risjbot_spark.sources.feeds import sitemaps_from_robots
+
+    robots = spark.createDataFrame(
+        [("h1", "User-agent: *\nSitemap: https://h1/sm.xml\nDisallow: /x"),
+         ("h2", "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    got = {(r["host"], r["url"]) for r in sitemaps_from_robots(robots).collect()}
+    assert got == {("h1", "https://h1/sm.xml")}
+
+
+def test_recent_sitemap_filter(spark):
+    from datetime import date
+
+    from risjbot_spark.sources.feeds import recent_sitemap_filter
+
+    urls = spark.createDataFrame(
+        [("https://h/sitemap_20170308-20170309.xml",),
+         ("https://h/sitemap_20170301-20170302.xml",),
+         ("https://h/other.xml",)],
+        "url string",
+    )
+    got = {r["url"] for r in recent_sitemap_filter(
+        urls, days=1, today=date(2017, 3, 9)).collect()}
+    assert got == {"https://h/sitemap_20170308-20170309.xml"}
