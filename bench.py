@@ -102,6 +102,19 @@ def main() -> None:
         _noop(QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # multimodal feature-extraction throughput (binary → 64-d features)
+    from risjbot_spark.multimodal import extract_features, synthetic_media
+    media = synthetic_media(spark, int(N_PAGES // 2), partitions=max(CPUS, 8))
+    t0 = time.monotonic()
+    _noop(extract_features(media))
+    timings["multimodal_features"] = round(time.monotonic() - t0, 3)
+
+    # JSONL compat sink over one round of articles
+    from risjbot_spark.sinks import to_jsonl_compat
+    t0 = time.monotonic()
+    _noop(to_jsonl_compat(eng.articles_table.read()))
+    timings["jsonl_sink"] = round(time.monotonic() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_bench_seconds",

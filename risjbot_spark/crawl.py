@@ -302,6 +302,14 @@ class CrawlEngine:
         return lineage
 
     # ------------------------------------------------------------------
+    def export_jsonl(self, path: str, strip_raw_page: bool = True) -> None:
+        """S9 — RISJbot-compatible JSONLines export of the articles table
+        (see risjbot_spark.sinks for the raw-page option)."""
+        from .sinks import write_jsonl
+
+        write_jsonl(self.articles_table.read(), path,
+                    strip_raw_page=strip_raw_page)
+
     def discovered_frontier(self) -> DataFrame | None:
         """S6 — outlinks of the last round's items as next-round seeds:
         explode the committed delta's `links`, distinct, allow/deny regex

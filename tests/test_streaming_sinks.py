@@ -160,3 +160,26 @@ def test_multimodal_features_and_dedup(spark):
     dups = exact_media_dedup(feats).collect()
     assert len(dups) == 3  # ids 9, 19, 29 duplicate 0, 10, 20
     feats.unpersist()
+
+
+def test_engine_export_jsonl(spark, tmp_path):
+    import json as _json
+
+    from risjbot_spark.corpus import pages_df
+    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
+    from risjbot_spark.frontier.state import RefetchConfig
+    from datetime import datetime, timezone
+    from pyspark.sql import functions as F
+
+    pages = pages_df(spark, 30, partitions=2)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), pages, None,
+                      CrawlConfig(refetch=RefetchConfig(), num_partitions=2,
+                                  collect_lineage=False))
+    eng.run_round(pages.select("url").withColumn("priority", F.lit(0)), 0,
+                  datetime(2017, 4, 1, tzinfo=timezone.utc))
+    out = tmp_path / "jsonl"
+    eng.export_jsonl(str(out))
+    lines = [l for f in out.glob("part-*") for l in f.read_text().splitlines()]
+    assert lines
+    d = _json.loads(lines[0])
+    assert "url" in d and "fetchtime" in d
