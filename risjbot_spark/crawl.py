@@ -295,7 +295,9 @@ class CrawlEngine:
         )
         _mark("seen_merge_commit")
         if self.bloom is not None:
-            self.bloom.add_df(fetched_keys)   # incremental, this round only
+            # incremental, this round's keys only; small rounds update on
+            # the driver (no extra Spark job)
+            self.bloom.add_df(fetched_keys, driver_threshold=2_000_000)
             _mark("bloom_update")
             self.bloom.save(self._bloom_dir)  # checkpointed with the round
             _mark("bloom_save")

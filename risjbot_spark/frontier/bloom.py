@@ -51,11 +51,35 @@ class PartitionedBloom:
         self.bitmaps: dict[int, np.ndarray] = {}
 
     # -- build / update ---------------------------------------------------
-    def add_df(self, keys: DataFrame) -> None:
+    def add_local(self, hashes: np.ndarray) -> None:
+        """OR in keys already on the driver (vectorized numpy bit-set)."""
+        m = self.m
+        buckets = np.mod(hashes, self.n_buckets)
+        for b in np.unique(buckets):
+            bits = self.bitmaps.get(int(b))
+            if bits is None:
+                bits = np.zeros(m // 8, dtype=np.uint8)
+                self.bitmaps[int(b)] = bits
+            pos = _positions(hashes[buckets == b], m).ravel()
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    def add_df(self, keys: DataFrame, driver_threshold: int = 0) -> None:
         """OR in url_hash keys from a DataFrame — distributed bitmap build
-        per bucket, tiny (bucket, bitmap) rows back to the driver."""
+        per bucket, tiny (bucket, bitmap) rows back to the driver.
+
+        driver_threshold > 0: when the key count is at or below it, skip
+        the Spark job and set bits on the driver (a per-round frontier is
+        usually small relative to the seen table; pulling N longs costs
+        ~8N bytes vs. a full applyInPandas job)."""
         m = self.m
         nb = self.n_buckets
+        if driver_threshold > 0:
+            pdf = keys.select("url_hash").limit(driver_threshold + 1).toPandas()
+            if len(pdf) <= driver_threshold:
+                self.add_local(pdf["url_hash"].to_numpy())
+                return
+            # over threshold → fall through to the distributed build
 
         def make(pdf: pd.DataFrame) -> pd.DataFrame:
             bits = np.zeros(m // 8, dtype=np.uint8)
