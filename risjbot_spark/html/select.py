@@ -213,25 +213,53 @@ def _eval_attr(current: list[Node], steps, idx):
     return out
 
 
-def _tag_index(root: Node) -> dict:
-    """tag → descendants of root in document order (plus '*' = all
-    elements). Built once per document, reused by every first-step
-    descendant scan — the metadata batteries issue ~30 of those per page,
-    and this turns 30 tree walks into one."""
+# attributes worth indexing: the metadata batteries select on these
+_INDEXED_ATTRS = ("itemprop", "property", "name")
+
+
+def _doc_index(root: Node) -> tuple[dict, dict, dict]:
+    """(tag→nodes, (attr,value)→nodes, id(node)→doc-order seq), built once
+    per document and reused by every first-step descendant scan — the
+    metadata batteries issue ~30 tree scans per page; this makes each one
+    a dict lookup."""
     idx = root._tag_index
     if idx is None:
-        idx = {"*": []}
-        stack = [root]
-        # iterative DFS preserving document order
+        tag_idx: dict = {"*": []}
+        attr_idx: dict = {}
+        ord_map: dict = {}
+        seq = 0
+
         def walk(n: Node):
+            nonlocal seq
             for c in n.children:
                 if not c.tag.startswith("#"):
-                    idx["*"].append(c)
-                    idx.setdefault(c.tag, []).append(c)
+                    ord_map[id(c)] = seq
+                    seq += 1
+                    tag_idx["*"].append(c)
+                    tag_idx.setdefault(c.tag, []).append(c)
+                    for a in _INDEXED_ATTRS:
+                        v = c.attrib.get(a)
+                        if v is not None:
+                            attr_idx.setdefault((a, v), []).append(c)
                 walk(c)
+
         walk(root)
+        idx = (tag_idx, attr_idx, ord_map)
         root._tag_index = idx
     return idx
+
+
+def _attr_eq_leaves(ast) -> list | None:
+    """Flatten an or-chain of attr_eq predicates on indexed attributes;
+    None when the predicate has any other shape."""
+    if ast[0] == "attr_eq":
+        return [ast] if ast[1] in _INDEXED_ATTRS else None
+    if ast[0] == "or":
+        left = _attr_eq_leaves(ast[1])
+        right = _attr_eq_leaves(ast[2])
+        if left is not None and right is not None:
+            return left + right
+    return None
 
 
 def xpath(root: Node, expr: str):
@@ -251,13 +279,31 @@ def xpath(root: Node, expr: str):
                 return [root]
             return _eval_steps([root], steps[1:])
         return []
-    # fast path: leading '//tag'/'//*' from the root uses the tag index
+    # fast path: leading '//tag'/'//*' from the root uses the doc index
     first = steps[0] if steps else None
     if (first is not None and first.axis == "descendant"
             and not first.test.startswith("@") and first.test != "text()"):
-        pool = _tag_index(root).get(first.test, ())
-        ctx = [n for n in pool
-               if all(_pred_holds(n, p) for p in first.preds)]
+        tag_idx, attr_idx, ord_map = _doc_index(root)
+        ctx = None
+        # faster still: a single or-chain of attr_eq preds on indexed
+        # attributes ('//*[@itemprop="x" or @property="x"]') resolves via
+        # the attribute index — no pool scan at all
+        if len(first.preds) == 1:
+            leaves = _attr_eq_leaves(first.preds[0])
+            if leaves is not None:
+                seen_ids = set()
+                cand = []
+                for _, attr, val in leaves:
+                    for n in attr_idx.get((attr, val), ()):
+                        if id(n) not in seen_ids and _match_test(n, first.test):
+                            seen_ids.add(id(n))
+                            cand.append(n)
+                cand.sort(key=lambda n: ord_map[id(n)])
+                ctx = cand
+        if ctx is None:
+            pool = tag_idx.get(first.test, ())
+            ctx = [n for n in pool
+                   if all(_pred_holds(n, p) for p in first.preds)]
         if len(steps) == 1:
             return ctx
         return _eval_steps(ctx, steps[1:])
