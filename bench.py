@@ -94,7 +94,8 @@ def main() -> None:
     bench_queries = [
         "tpch_pricing", "region_revenue", "politeness_window",
         "customer_top_order", "sessionize", "exact_dedup",
-        "minhash_signature", "lsh_dup_pairs", "ann_cosine_topk",
+        "minhash_signature", "lsh_dup_pairs", "simhash_dup_pairs",
+        "embedding_near_dup", "ann_cosine_topk",
         "quality_score", "token_count",
     ]
     for name in bench_queries:

@@ -25,6 +25,8 @@ Operator mapping (reference → query):
   exact dedup                    → q_exact_dedup
   minhash/LSH near-dup           → q_minhash_signature, q_lsh_dup_pairs
   n-gram Jaccard                 → q_ngram_jaccard_pairs
+  simhash near-dup               → q_simhash_fingerprint, q_simhash_dup_pairs
+  embedding-cosine near-dup      → q_embedding_near_dup
   text analysis                  → q_lang_id, q_quality_score,
                                    q_token_count, q_doc_fingerprint
   similarity search              → q_ann_cosine_topk, q_ann_lsh_bucket
@@ -395,6 +397,115 @@ def q_ngram_jaccard_pairs(spark, sf):
     )
 
 
+def _simhash_fp(spark, sf):
+    """32-bit SimHash per doc over distinct 3-token shingles: md5-prefix
+    shingle hash (32 bits, engine-portable), per-bit ±1 majority vote
+    (Charikar's scheme; bit b of the fingerprint is 1 iff the sum of
+    ±1 votes for bit b is > 0). Shingles, not single tokens: with a
+    small shared vocabulary the unweighted-token vote degenerates toward
+    the corpus-majority fingerprint (measured: 13% of all pairs at
+    hamming<=3); shingles are doc-specific so unrelated docs separate.
+    One explode + one groupBy — map-side combinable, no skew (hashes are
+    uniform), linear in corpus tokens. Docs under 3 tokens produce no
+    shingles and go unfingerprinted (exact dedup covers them)."""
+    d = _docs_with_mutants(spark, sf).withColumn("toks", _toks())
+    sh = _shingle_rows(d).distinct()
+    h = sh.withColumn(
+        "h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long"))
+    votes = h.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1))
+        .alias(f"v{b}")
+        for b in range(32)
+    ])
+    fp = sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        for b in range(32)
+    )
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def q_simhash_fingerprint(spark, sf):
+    """SimHash fingerprint table (doc_id → 32-bit simhash)."""
+    return _simhash_fp(spark, sf).orderBy("doc_id")
+
+
+def q_simhash_dup_pairs(spark, sf):
+    """SimHash near-dup pairs: banded LSH self-join (4 bands × 8 bits —
+    pigeonhole: hamming ≤ 3 over 32 bits ⇒ ≥ 1 band identical, so the
+    band join loses no qualifying pair) then exact hamming verify via
+    xor + bit_count. At 10^10 docs the band join shuffles only
+    (band_idx, band_val) buckets instead of the full cross join."""
+    fp = _simhash_fp(spark, sf)
+    band_arr = F.array(*[
+        (F.shiftright(F.col("simhash"), 8 * i) % 256).cast("int")
+        for i in range(4)
+    ])
+    bl = fp.select("doc_id", "simhash",
+                   F.posexplode(band_arr).alias("bi", "bv"))
+    a, b = bl.alias("a"), bl.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bi") == F.col("b.bi"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("ha"),
+                F.col("b.simhash").alias("hb"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _emb_with_mutants(spark, sf):
+    """embeddings ∪ planted near-duplicates: for vec_id % 10 == 0, a copy
+    (vec_id+100000) perturbed by +0.01·sign(x) per element. The
+    perturbation preserves every element's sign, so a mutant lands in the
+    same sign-LSH bucket as its original by construction (recall 1.0)."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
+    mut = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("emb", lambda x: x + 0.01 * F.signum(x)).alias("emb"))
+    return e.unionByName(mut)
+
+
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-dup: sign-pattern LSH bucket (8 fixed
+    hyperplanes) → in-bucket pair join → cosine ≥ 0.99. The bucket join
+    turns the O(n²) cross join into per-bucket blocks — the 10^9-vector
+    scale path; the brute-force twin (q_ann_cosine_topk) is the recall
+    baseline. JVM higher-order functions only, no Python."""
+    e = _emb_with_mutants(spark, sf)
+    bits = [
+        F.when(F.element_at("emb", i + 1) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        for i in range(8)
+    ]
+    b = e.withColumn("bucket", sum(bits).cast("int"))
+    x, y = b.alias("x"), b.alias("y")
+    j = x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col("x.vec_id") < F.col("y.vec_id")))
+    dot = F.aggregate(
+        F.zip_with(F.col("x.emb"), F.col("y.emb"), lambda p, q: p * q),
+        F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v))
+    cos = F.round(dot / (norm(F.col("x.emb")) * norm(F.col("y.emb"))), 6)
+    return (
+        j.select(F.col("x.vec_id").alias("vec_a"),
+                 F.col("y.vec_id").alias("vec_b"),
+                 cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.99)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: text analysis
 # ---------------------------------------------------------------------------
@@ -627,6 +738,9 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "lsh_dup_pairs": q_lsh_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
     "wordcount": q_wordcount,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -682,6 +796,41 @@ SELECT doc_id,
        md5(concat(m0, m1, m2)) AS band1,
        md5(concat(m3, m4, m5)) AS band2
 FROM m ORDER BY doc_id"""
+
+
+_HEX32 = " + ".join(
+    f"(instr('0123456789abcdef', substring(md5(s),{i + 1},1))-1)*{16 ** (7 - i)}"
+    for i in range(8)
+)
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(32)
+)
+
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32)
+)
+
+_SIMHASH_FP_SQL = f"""
+WITH {_MUTANTS_CTE},
+{_SHINGLE_CTE},
+tt AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh),
+th AS (SELECT doc_id, {_HEX32} AS h FROM tt),
+v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM th GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM v)
+SELECT doc_id, simhash FROM fp ORDER BY doc_id"""
+
+_EMB_MUTANTS_CTE = """
+e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+e AS (
+  SELECT vec_id, emb FROM e0
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(emb, x -> x + 0.01 * sign(x))
+  FROM e0 WHERE vec_id % 10 = 0)"""
 
 
 ORACLE_SQL = {
@@ -799,6 +948,43 @@ ORACLE_SQL = {
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""",
     "minhash_signature": _SIG_SQL,
+    "simhash_fingerprint": _SIMHASH_FP_SQL,
+    "simhash_dup_pairs": f"""
+        WITH fp AS ({_SIMHASH_FP_SQL.replace('ORDER BY doc_id', '')}),
+        bl AS (
+          SELECT doc_id, simhash, i AS bi, (simhash >> (8*i)) % 256 AS bv
+          FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
+        p AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS ha, b.simhash AS hb
+          FROM bl a JOIN bl b
+            ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM p WHERE bit_count(xor(ha, hb)) <= 3
+        ORDER BY doc_a, doc_b""",
+    "embedding_near_dup": f"""
+        WITH {_EMB_MUTANTS_CTE},
+        b AS (
+          SELECT vec_id, emb,
+                 (CASE WHEN emb[1] >= 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN emb[2] >= 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN emb[3] >= 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN emb[4] >= 0 THEN 8 ELSE 0 END)
+               + (CASE WHEN emb[5] >= 0 THEN 16 ELSE 0 END)
+               + (CASE WHEN emb[6] >= 0 THEN 32 ELSE 0 END)
+               + (CASE WHEN emb[7] >= 0 THEN 64 ELSE 0 END)
+               + (CASE WHEN emb[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+          FROM e),
+        p AS (
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                 round(list_dot_product(x.emb, y.emb)
+                       / (sqrt(list_dot_product(x.emb, x.emb))
+                          * sqrt(list_dot_product(y.emb, y.emb))), 6) AS cosine
+          FROM b x JOIN b y
+            ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        SELECT vec_a, vec_b, cosine FROM p
+        WHERE cosine >= 0.99 ORDER BY vec_a, vec_b""",
     "lsh_dup_pairs": f"""
         WITH sig AS ({_SIG_SQL.replace('ORDER BY doc_id', '')}),
         bands AS (
