@@ -471,6 +471,37 @@ REGISTRY_WAVE3: dict[str, SiteProfile] = {
             ("articleid", '//meta[@property="article:id"]/@content', None),
         ),
     ),
+    # /root/reference/RISJbot/spiders/us/prnewswire.py:15-50 — sitemap
+    # source; summary/bylines xpaths run BEFORE the standard batteries
+    # (they precede add_fromresponse in the reference, so TakeFirst lets
+    # them win), firstpubtime after.
+    "prnewswire.com": SiteProfile(
+        name="prnewswire",
+        source="PR Newswire",
+        pre_rules=(
+            ("summary", '//meta[@name="description"]/@content', None),
+            ("bylines", '//meta[@name="author"]/@content', None),
+        ),
+        post_rules=(
+            ("firstpubtime", '//meta[@name="date"]/@content', None),
+        ),
+    ),
+    # /root/reference/RISJbot/spiders/uk/prnewswireuk.py:9-55 — RSS
+    # source; adds keywords meta + explicit bodytext/headline xpaths.
+    "prnewswire.co.uk": SiteProfile(
+        name="prnewswireuk",
+        source="PR Newswire [UK]",
+        pre_rules=(
+            ("summary", '//meta[@name="description"]/@content', None),
+            ("bylines", '//meta[@name="author"]/@content', None),
+            ("keywords", '//meta[@name="keywords"]/@content', None),
+        ),
+        post_rules=(
+            ("firstpubtime", '//meta[@name="date"]/@content', None),
+            ("bodytext", '//div[contains(@class, "news-col")]//text()', None),
+            ("headline", "//h1/text()", None),
+        ),
+    ),
 }
 REGISTRY.update(REGISTRY_WAVE3)
 # de/fr editions share the base parser (businessinsiderde.py / -fr.py)

@@ -166,3 +166,37 @@ def test_liverpoolecho_articleid():
     )
     item = extract_article(html, "https://www.liverpoolecho.co.uk/news/1").item
     assert item["articleid"] == "19660932"
+
+
+def test_prnewswire_meta_bylines_and_date():
+    # /root/reference/RISJbot/spiders/us/prnewswire.py:15-50
+    html = wrap(
+        BODY,
+        head='<meta name="description" content="Release summary.">'
+             '<meta name="author" content="PRN Editorial">'
+             '<meta name="date" content="2017-03-20T10:00:00+00:00">',
+    )
+    item = extract_article(
+        html, "https://www.prnewswire.com/news-releases/x-1.html").item
+    assert item["source"] == "PR Newswire"
+    assert item["summary"] == "Release summary."
+    assert item["bylines"] == ["PRN Editorial"]
+    assert item["firstpubtime"].startswith("2017-03-20T10:00:00")
+
+
+def test_prnewswireuk_bodytext_headline_keywords():
+    # /root/reference/RISJbot/spiders/uk/prnewswireuk.py:9-55
+    html = wrap(
+        '<h1>UK Release</h1>'
+        '<div class="news-col"><p>uk release text</p></div>',
+        head='<meta name="keywords" content="vr, investment">',
+    )
+    item = extract_article(
+        html, "https://www.prnewswire.co.uk/news-releases/y-2.html").item
+    assert item["source"] == "PR Newswire [UK]"
+    assert item["headline"] == "UK Release"
+    assert item["bodytext"] == "uk release text"
+    # reference parity: keywords_in strips whole added strings then
+    # Join(',')s; keywords_out splits on bare ',' — so the space after
+    # the comma inside a single meta value survives (loaders.py:118-125)
+    assert item["keywords"] == ["vr", " investment"]
