@@ -71,6 +71,55 @@ def sample_video_frames(content: bytes, n_frames: int = 4,
     return [decode_image(content + bytes([i]), fake=True) for i in range(n_frames)]
 
 
+def resize_image(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of an HWC array. REAL (pure numpy index
+    arithmetic), not a stub — only the decode step needs external libs."""
+    h, w = arr.shape[:2]
+    rows = np.arange(height) * h // height
+    cols = np.arange(width) * w // width
+    return arr[rows][:, cols]
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("pixels", T.BinaryType()),     # raw HWC uint8 bytes
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+])
+
+
+def resize_images(media: DataFrame, width: int = 4, height: int = 4,
+                  batch_partitions: int | None = None) -> DataFrame:
+    """Image rows → decoded (stub) → nearest-neighbor resize → raw pixel
+    bytes + updated meta, via mapInPandas. Non-image rows are dropped
+    (filter pushed before the Python stage, so audio/video bytes never
+    cross the Arrow boundary)."""
+    df = media.filter(F.col("kind") == "image")
+    if batch_partitions:
+        df = df.repartition(batch_partitions)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"],
+                                          pdf["meta"]):
+                content = bytes(content) if content is not None else b""
+                arr = resize_image(decode_image(content, fake=True),
+                                   width, height)
+                meta = dict(meta or {})
+                meta.update({"w": str(width), "h": str(height),
+                             "layout": "hwc-uint8"})
+                rows.append({
+                    "media_id": int(mid), "width": width, "height": height,
+                    "pixels": arr.tobytes(), "meta": meta,
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def _feature_of(kind: str, content: bytes) -> np.ndarray:
     """64-d feature from the (fake-)decoded media: byte-histogram features
     — the real pipeline would run a model here; the SHAPE and batch flow

@@ -183,3 +183,36 @@ def test_engine_export_jsonl(spark, tmp_path):
     assert lines
     d = _json.loads(lines[0])
     assert "url" in d and "fetchtime" in d
+
+
+def test_resize_image_nearest_neighbor_exact():
+    import numpy as np
+
+    from risjbot_spark.multimodal import resize_image
+
+    arr = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    # identity resize returns the same pixels
+    assert (resize_image(arr, 8, 8) == arr).all()
+    # 2x downsample picks rows/cols 0,2,4,6 (nearest-neighbor index math)
+    small = resize_image(arr, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert (small == arr[::2, ::2]).all()
+    # upsample duplicates pixels, never invents values
+    big = resize_image(arr, 16, 16)
+    assert big.shape == (16, 16, 3)
+    assert set(np.unique(big)) <= set(np.unique(arr))
+
+
+def test_resize_images_spark_plumbing(spark):
+    from risjbot_spark.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, 30, partitions=2)
+    out = resize_images(media, width=4, height=4)
+    rows = out.collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images and n_images > 0
+    for r in rows:
+        assert r.width == 4 and r.height == 4
+        assert len(r.pixels) == 4 * 4 * 3  # HWC uint8 contract
+        assert r.meta["layout"] == "hwc-uint8"
+        assert r.meta["w"] == "4" and r.meta["h"] == "4"
