@@ -154,7 +154,10 @@ def politeness_schedule(
     deterministic crawl order (north_rule: ordering never depends on
     partition arrival). Scales: the window shuffles by host only — no
     global sort; the global order is the lexicographic key
-    (priority DESC, discovered_ts, url_hash), materialized on demand."""
+    (priority DESC, discovered_ts, url_hash), materialized on demand.
+    Budgets ship as a create_map literal (fine while Crawl-delay hosts
+    number in the thousands — robots with delays are rare); past that,
+    swap to a broadcast join on host — same plan shape either way."""
     budget_items = [(h, b) for h, b in budgets.items()]
     if budget_items:
         budget_map = F.create_map(

@@ -13,7 +13,7 @@ frontier discoveries arrive continuously:
   * fetch_rate_metrics — event-time tumbling-window crawl telemetry (A1).
 
 All operators are tested with file sources + Trigger.AvailableNow in
-tests/test_streaming.py (no long-running cluster needed).
+tests/test_streaming_sinks.py (no long-running cluster needed).
 """
 
 from __future__ import annotations

@@ -84,6 +84,20 @@ def main() -> None:
     check("seen_antijoin", "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in p,
           "orders filter pushed")
 
+    # --- near-dup self-joins: must be EQUI joins on band/bucket keys.
+    # A CartesianProduct/BroadcastNestedLoopJoin here means the LSH
+    # banding failed to become the join key and the op is O(n²) at scale.
+    for qname, extra in [("lsh_dup_pairs", "band"),
+                         ("simhash_dup_pairs", "band"),
+                         ("embedding_near_dup", "bucket")]:
+        p = plan_of(QUERIES[qname](spark, SF))
+        sections.append((f"{qname} ({extra}-keyed self-join)", p))
+        check(qname, "CartesianProduct" not in p
+              and "BroadcastNestedLoopJoin" not in p,
+              f"self-join is {extra}-keyed equi join, not O(n²)")
+        check(qname, "SortMergeJoin" in p or "BroadcastHashJoin" in p
+              or "ShuffledHashJoin" in p, "hash/merge join strategy chosen")
+
     # --- crawl round: one Python stage, pages never shuffle
     pages_path = "/tmp/risjbot_plans_pages"
     if not os.path.exists(pages_path + "/_SUCCESS"):
