@@ -55,7 +55,7 @@ class CrawlConfig:
     broadcast_frontier: bool = True  # per-round frontier → broadcast join
     use_bloom: bool = True
     bloom_buckets: int = 64
-    bloom_bits_per_bucket: int = 1 << 22
+    bloom_bits_per_bucket: int = 1 << 18  # adaptive: grows 4× when full
     trim_every: int = 4                  # J3b cadence (rounds)
     collect_lineage: bool = True
     # S6 link following: discovered outlinks feed the next round's frontier
@@ -298,6 +298,13 @@ class CrawlEngine:
             # incremental, this round's keys only; small rounds update on
             # the driver (no extra Spark job)
             self.bloom.add_df(fetched_keys, driver_threshold=2_000_000)
+            if self.bloom.overfull():
+                # adaptive growth: rebuild 4× larger from the seen
+                # snapshot (one scan, amortized over the rounds the
+                # quadrupling buys); keeps the per-round broadcast +
+                # checkpoint sized to the table, not worst-case
+                self.bloom = PartitionedBloom.from_seen(
+                    self.seen(), self.bloom.n_buckets, self.bloom.m * 4)
             _mark("bloom_update")
             self.bloom.save(self._bloom_dir)  # checkpointed with the round
             _mark("bloom_save")

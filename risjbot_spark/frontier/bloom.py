@@ -16,9 +16,15 @@ join dominates round cost, and most candidates are brand new. Design:
     the filter can only cost a join row, never correctness
     (SURVEY.md §7 "cuckoo filter at 10^10 scale").
 
-Sizing: default 2^22 bits/bucket × 64 buckets = 32 MiB, ~26 M keys at
-10 bits/key. At 10^10 keys, scale n_buckets (one filter shard per
-url_hash range) and probe partition-aligned instead of broadcasting.
+Sizing is ADAPTIVE: the filter starts small (default 2^18 bits/bucket ×
+64 buckets = 2 MiB, ~1.6 M keys at 10 bits/key) and, when the tracked
+key count crosses capacity, the engine rebuilds it 4× larger from the
+seen snapshot (one scan, amortized over the rounds that quadrupling
+buys). A right-sized filter matters on the round critical path: the
+probe broadcasts the bitmaps every round, and a 32 MiB broadcast +
+checkpoint for a 200 k-key table cost ~1 s/round of pure Amdahl drag.
+At 10^10 keys, scale n_buckets as well (one filter shard per url_hash
+range) and probe partition-aligned instead of broadcasting.
 """
 
 from __future__ import annotations
@@ -44,16 +50,24 @@ def _positions(hashes: np.ndarray, m: int) -> np.ndarray:
 
 
 class PartitionedBloom:
-    def __init__(self, n_buckets: int = 64, bits_per_bucket: int = 1 << 22):
+    def __init__(self, n_buckets: int = 64, bits_per_bucket: int = 1 << 18):
         assert bits_per_bucket & (bits_per_bucket - 1) == 0, "power of two"
         self.n_buckets = n_buckets
         self.m = bits_per_bucket
         self.bitmaps: dict[int, np.ndarray] = {}
+        # inserted-key upper bound (re-adds counted again); drives growth
+        self.n_keys = 0
+
+    def overfull(self) -> bool:
+        """True when inserts exceed ~capacity (10 bits/key target, the
+        ~1% false-positive point for k=7) — time to rebuild larger."""
+        return self.n_keys * 10 > self.n_buckets * self.m
 
     # -- build / update ---------------------------------------------------
     def add_local(self, hashes: np.ndarray) -> None:
         """OR in keys already on the driver (vectorized numpy bit-set)."""
         m = self.m
+        self.n_keys += len(hashes)
         buckets = np.mod(hashes, self.n_buckets)
         for b in np.unique(buckets):
             bits = self.bitmaps.get(int(b))
@@ -87,19 +101,21 @@ class PartitionedBloom:
             np.bitwise_or.at(bits, pos >> 3,
                              np.uint8(1) << (pos & 7).astype(np.uint8))
             return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
-                                 "bitmap": [bits.tobytes()]})
+                                 "bitmap": [bits.tobytes()],
+                                 "n": [len(pdf)]})
 
         rows = (
             keys.select(F.col("url_hash"),
                         F.pmod(F.col("url_hash"), F.lit(nb)).alias("bucket"))
             .groupBy("bucket")
-            .applyInPandas(make, schema="bucket int, bitmap binary")
+            .applyInPandas(make, schema="bucket int, bitmap binary, n long")
             .collect()
         )
         for r in rows:
             delta = np.frombuffer(r["bitmap"], dtype=np.uint8)
             cur = self.bitmaps.get(r["bucket"])
             self.bitmaps[r["bucket"]] = delta.copy() if cur is None else cur | delta
+            self.n_keys += r["n"]
 
     # -- probe --------------------------------------------------------------
     def split(self, frontier: DataFrame, spark) -> tuple[DataFrame, DataFrame]:
@@ -141,7 +157,9 @@ class PartitionedBloom:
         os.makedirs(path, exist_ok=True)
         tmp = os.path.join(path, "bloom.tmp.npz")  # .npz suffix: numpy keeps it
         np.savez(
-            tmp, meta=np.array([self.n_buckets, self.m], dtype=np.int64),
+            tmp,
+            meta=np.array([self.n_buckets, self.m, self.n_keys],
+                          dtype=np.int64),
             **{f"b{k}": v for k, v in self.bitmaps.items()},
         )
         os.replace(tmp, os.path.join(path, "bloom.npz"))
@@ -152,8 +170,10 @@ class PartitionedBloom:
         if not os.path.exists(f):
             return None
         with np.load(f) as z:
-            nb, m = (int(x) for x in z["meta"])
+            meta = [int(x) for x in z["meta"]]
+            nb, m = meta[0], meta[1]
             self = cls(nb, m)
+            self.n_keys = meta[2] if len(meta) > 2 else 0
             for k in z.files:
                 if k.startswith("b"):
                     self.bitmaps[int(k[1:])] = z[k].copy()
@@ -161,7 +181,7 @@ class PartitionedBloom:
 
     @classmethod
     def from_seen(cls, seen: DataFrame, n_buckets: int = 64,
-                  bits_per_bucket: int = 1 << 22) -> "PartitionedBloom":
+                  bits_per_bucket: int = 1 << 18) -> "PartitionedBloom":
         """Rebuild-on-resume path: one full scan of the seen snapshot."""
         self = cls(n_buckets, bits_per_bucket)
         self.add_df(seen.select("url_hash"))

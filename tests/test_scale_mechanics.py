@@ -87,3 +87,46 @@ def test_bloom_driver_path_equivalent(spark):
     assert set(a.bitmaps) == set(b.bitmaps)
     for k in a.bitmaps:
         assert (a.bitmaps[k] == b.bitmaps[k]).all()
+
+
+def test_bloom_key_tracking_and_overfull(spark):
+    df = spark.createDataFrame(
+        [(xxhash64(f"u{i}"),) for i in range(500)], "url_hash long")
+    b = PartitionedBloom(4, 1 << 10)         # capacity ~409 keys at 10 b/key
+    assert not b.overfull()
+    b.add_df(df, driver_threshold=10_000)    # driver path counts keys
+    assert b.n_keys == 500 and b.overfull()
+    c = PartitionedBloom(4, 1 << 10)
+    c.add_df(df)                             # distributed path counts too
+    assert c.n_keys == 500 and c.overfull()
+
+
+def test_bloom_n_keys_survives_checkpoint(spark, tmp_path):
+    b = PartitionedBloom(4, 1 << 12)
+    import numpy as np
+    b.add_local(np.array([xxhash64(f"u{i}") for i in range(50)], dtype=np.int64))
+    b.save(str(tmp_path))
+    r = PartitionedBloom.load(str(tmp_path))
+    assert r is not None and r.n_keys == 50 and r.m == 1 << 12
+
+
+def test_engine_grows_bloom_when_full(spark, tmp_path):
+    """Adaptive sizing: a deliberately tiny filter must rebuild larger
+    from the seen snapshot once the round's keys exceed capacity — and
+    the rebuilt filter must still contain every seen key (no false
+    negatives: a missed seen URL would skip the authoritative join and
+    double-fetch)."""
+    pages = pages_df(spark, 600, partitions=4)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh"), pages, None,
+        CrawlConfig(refetch=RefetchConfig(), num_partitions=4,
+                    collect_lineage=False, bloom_buckets=4,
+                    bloom_bits_per_bucket=1 << 10),  # capacity ~409 < 600
+    )
+    seeds = pages.select("url").withColumn("priority", F.lit(0))
+    eng.run_round(seeds, 0, START)
+    assert eng.bloom.m == 1 << 12            # grew 4x
+    assert not eng.bloom.overfull()
+    # every committed seen key still probes as maybe-seen
+    maybe, fresh = eng.bloom.split(eng.seen().select("url_hash"), spark)
+    assert fresh.count() == 0
