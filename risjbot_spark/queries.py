@@ -20,7 +20,8 @@ Operator mapping (reference → query):
   A2 wordcount                   → q_wordcount
   F1/F2 URL regex/offsite filter → q_url_filter
   agg/join coverage              → q_tpch_pricing, q_region_revenue,
-                                   q_customer_top_order
+                                   q_customer_top_order,
+                                   q_brand_supplier_revenue
   sessionization/event-time      → q_sessionize, q_tumbling_window
   exact dedup                    → q_exact_dedup
   minhash/LSH near-dup           → q_minhash_signature, q_lsh_dup_pairs
@@ -226,6 +227,27 @@ def q_region_revenue(spark, sf):
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
              .alias("revenue"))
         .orderBy("r_name")
+    )
+
+
+def q_brand_supplier_revenue(spark, sf):
+    """TPC-H Q9-shaped star join covering the remaining dimensions (part,
+    supplier, nation): revenue by part brand × supplier nation. Both
+    dims broadcast into the lineitem scan — the fact side never
+    shuffles; the only shuffle is the final two-key aggregation."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").select("p_partkey", "p_brand")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(F.round(rev, 4).alias("revenue"),
+             F.count("*").alias("n_lines"))
+        .orderBy("p_brand", "n_name")
     )
 
 
@@ -737,6 +759,7 @@ QUERIES = {
     "url_filter": q_url_filter,
     "tpch_pricing": q_tpch_pricing,
     "region_revenue": q_region_revenue,
+    "brand_supplier_revenue": q_brand_supplier_revenue,
     "customer_top_order": q_customer_top_order,
     "sessionize": q_sessionize,
     "tumbling_window": q_tumbling_window,
@@ -922,6 +945,16 @@ ORACLE_SQL = {
         JOIN nation   ON c_nationkey = n_nationkey
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name""",
+    "brand_supplier_revenue": """
+        SELECT p_brand, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY p_brand, n_name
+        ORDER BY p_brand, n_name""",
     "customer_top_order": """
         SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total FROM (
           SELECT *, row_number() OVER (PARTITION BY o_custkey
