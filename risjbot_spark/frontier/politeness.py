@@ -148,6 +148,8 @@ def politeness_schedule(
     budgets: dict[str, int],
     default_budget: int,
     spark,
+    presplit_threshold: int = 100_000,
+    presplit_salt: int = 32,
 ) -> DataFrame:
     """W1/W3 — per-host window rank by (priority DESC, discovered_ts,
     url_hash); keep rows within the host's budget. The rank IS the
@@ -157,7 +159,17 @@ def politeness_schedule(
     (priority DESC, discovered_ts, url_hash), materialized on demand.
     Budgets ship as a create_map literal (fine while Crawl-delay hosts
     number in the thousands — robots with delays are rare); past that,
-    swap to a broadcast join on host — same plan shape either way."""
+    swap to a broadcast join on host — same plan shape either way.
+
+    Hot-host bound: a plain per-host window puts ALL of a host's rows in
+    one task — a host owning half a 10^10 frontier is an OOM, not a
+    skew. When every budget ≤ `presplit_threshold`, a salted pre-rank
+    runs first: rank within (host, url_hash % salt) and cut to the
+    budget. A row's salted-partition rank never exceeds its true
+    per-host rank (same order key, subset of the rows), so only rows
+    already past budget are cut and the result is bit-identical; the
+    exact window then sees ≤ salt×budget rows per host. Unbounded
+    budgets (this harness's corpus-join mode) skip the extra shuffle."""
     budget_items = [(h, b) for h, b in budgets.items()]
     if budget_items:
         budget_map = F.create_map(
@@ -169,6 +181,17 @@ def politeness_schedule(
         )
     else:
         budget_col = F.lit(default_budget)
+
+    max_budget = max([default_budget, *budgets.values()])
+    if max_budget <= presplit_threshold:
+        pre = Window.partitionBy(
+            "host", F.pmod(F.col("url_hash"), F.lit(presplit_salt))
+        ).orderBy(*order_cols())
+        frontier = (
+            frontier.withColumn("_pre_rank", F.row_number().over(pre))
+            .filter(F.col("_pre_rank") <= budget_col)
+            .drop("_pre_rank")
+        )
 
     w = Window.partitionBy("host").orderBy(*order_cols())
     return (

@@ -130,3 +130,37 @@ def test_engine_grows_bloom_when_full(spark, tmp_path):
     # every committed seen key still probes as maybe-seen
     maybe, fresh = eng.bloom.split(eng.seen().select("url_hash"), spark)
     assert fresh.count() == 0
+
+
+def test_politeness_two_phase_equals_exact(spark):
+    """The salted pre-rank cut must be bit-identical to the plain
+    per-host window: a row's rank within any (host, salt) subset never
+    exceeds its true per-host rank, so only rows already past budget
+    are cut."""
+    from risjbot_spark.frontier.politeness import politeness_schedule
+
+    rows = []
+    for i in range(5000):
+        host = "hot.example.com" if i % 2 == 0 else f"h{i % 7}.example.com"
+        rows.append((f"https://{host}/{i}", xxhash64(f"https://{host}/{i}"),
+                     host, (i * 13) % 5, i % 100))
+    fr = spark.createDataFrame(
+        rows, "url_canon string, url_hash long, host string, "
+              "priority int, off int"
+    ).withColumn(
+        "discovered_ts",
+        F.expr("timestamp '2017-04-01 00:00:00' + make_interval(0,0,0,0,0,0,off)")
+    ).drop("off")
+
+    budgets = {"hot.example.com": 7}
+    exact = politeness_schedule(fr, budgets, 25, spark,
+                                presplit_threshold=0)       # pre-phase off
+    two = politeness_schedule(fr, budgets, 25, spark,
+                              presplit_threshold=10_000)    # pre-phase on
+    key = lambda df: sorted((r.url_hash, r.host_rank) for r in df.collect())
+    assert key(two) == key(exact)
+    # budgets actually bind
+    per_host = {r["host"]: r["n"] for r in
+                two.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host["hot.example.com"] == 7
+    assert all(v <= 25 for v in per_host.values())
