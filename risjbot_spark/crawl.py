@@ -36,6 +36,8 @@ from .frontier.state import (
     RefetchConfig,
     merge_seen,
     seen_filter,
+    seen_state,
+    seen_updates,
     trawl_candidates,
     trim_seen,
 )
@@ -106,7 +108,13 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def seen(self) -> DataFrame:
-        return self.seen_table.read(schema=SEEN_SCHEMA)
+        """Current per-key seen state — merge-on-read: the table holds a
+        compacted base plus per-round update deltas (Iceberg MoR
+        pattern); `seen_state` resolves them. Idempotent over a freshly
+        compacted table, and the groupBy hash-partitions by url_hash —
+        the same key the J1 join shuffles on, so Catalyst reuses the
+        exchange rather than shuffling twice."""
+        return seen_state(self.seen_table.read(schema=SEEN_SCHEMA))
 
     def run_round(
         self,
@@ -285,14 +293,30 @@ class CrawlEngine:
         fetched_keys = self.spark.read.parquet(delta_dir).select(
             "url_hash", "url_canon", "host")  # column-pruned delta scan
 
-        # ---- seen MERGE (J2) + optional trim (J3b) + bloom delta
-        new_seen = merge_seen(seen, fetched_keys, round_ts)
-        if cfg.refetch.trimdb and round_no > 0 and round_no % cfg.trim_every == 0:
-            new_seen = trim_seen(new_seen, fetched_keys, cfg.refetch, round_ts)
-        self.seen_table.commit(
-            new_seen, lineage={"round": round_no, "counters": lineage},
-            mode="replace",
-        )
+        # ---- seen MERGE (J2): merge-on-read. Normal rounds append only
+        # this round's delta — the write is O(round keys), never
+        # O(table) (at 10^10 keys a full rewrite per round is the
+        # dominant cost; Iceberg MoR has the same shape). Trim rounds
+        # (J3b) materialize full state anyway, so they double as the
+        # compaction: one replace-commit folds base + deltas back into
+        # a single snapshot.
+        compact = round_no > 0 and round_no % cfg.trim_every == 0
+        if compact:
+            new_seen = merge_seen(seen, fetched_keys, round_ts)
+            if cfg.refetch.trimdb:
+                new_seen = trim_seen(new_seen, fetched_keys, cfg.refetch,
+                                     round_ts)
+            self.seen_table.commit(
+                new_seen, lineage={"round": round_no, "counters": lineage,
+                                   "compacted": True},
+                mode="replace",
+            )
+        else:
+            self.seen_table.commit(
+                seen_updates(fetched_keys, round_ts),
+                lineage={"round": round_no, "counters": lineage},
+                mode="append",
+            )
         _mark("seen_merge_commit")
         if self.bloom is not None:
             # incremental, this round's keys only; small rounds update on

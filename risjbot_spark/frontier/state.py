@@ -73,19 +73,11 @@ def seen_filter(
     )
 
 
-def merge_seen(
-    seen: DataFrame, fetched: DataFrame, round_ts: datetime
-) -> DataFrame:
-    """J2 — fetch-history upsert: `INSERT OR REPLACE ... fetches+1, now()`
-    (refetchcontrol.py:302-313) as a single hash aggregation.
-
-    Iceberg SQL equivalent (production):
-      MERGE INTO seen s USING fetched f ON s.url_hash = f.url_hash
-      WHEN MATCHED THEN UPDATE SET fetches = s.fetches + 1, last_fetch = :ts
-      WHEN NOT MATCHED THEN INSERT (url_hash, url, host, fetches, last_fetch)
-      VALUES (f.url_hash, f.url_canon, f.host, 1, :ts)
-    """
-    updates = (
+def seen_updates(fetched: DataFrame, round_ts: datetime) -> DataFrame:
+    """One round's seen-table delta: (url_hash, url, host, 1, round_ts)
+    per fetched key. This is the merge-on-read write unit — O(round
+    keys), never O(table)."""
+    return (
         fetched.select(
             "url_hash",
             F.col("url_canon").alias("url"),
@@ -95,9 +87,17 @@ def merge_seen(
         )
         .dropDuplicates(["url_hash"])  # one fetch per key per round
     )
+
+
+def seen_state(rows: DataFrame) -> DataFrame:
+    """Resolve (base ∪ deltas) rows into current per-key state — the
+    merge-on-read view. Associative and idempotent (a compacted base is
+    a fixed point), so it applies uniformly whether the table holds one
+    compacted snapshot or base + K round deltas. Ties cannot occur on
+    last_fetch across deltas (round timestamps strictly increase) so
+    max_by is deterministic."""
     return (
-        seen.unionByName(updates)
-        .groupBy("url_hash")
+        rows.groupBy("url_hash")
         .agg(
             F.max_by("url", "last_fetch").alias("url"),
             F.max_by("host", "last_fetch").alias("host"),
@@ -106,6 +106,22 @@ def merge_seen(
         )
         .select("url_hash", "url", "host", "fetches", "last_fetch")
     )
+
+
+def merge_seen(
+    seen: DataFrame, fetched: DataFrame, round_ts: datetime
+) -> DataFrame:
+    """J2 — fetch-history upsert: `INSERT OR REPLACE ... fetches+1, now()`
+    (refetchcontrol.py:302-313) as a single hash aggregation — the
+    compaction path (copy-on-write form of the MERGE).
+
+    Iceberg SQL equivalent (production):
+      MERGE INTO seen s USING fetched f ON s.url_hash = f.url_hash
+      WHEN MATCHED THEN UPDATE SET fetches = s.fetches + 1, last_fetch = :ts
+      WHEN NOT MATCHED THEN INSERT (url_hash, url, host, fetches, last_fetch)
+      VALUES (f.url_hash, f.url_canon, f.host, 1, :ts)
+    """
+    return seen_state(seen.unionByName(seen_updates(fetched, round_ts)))
 
 
 def trawl_candidates(

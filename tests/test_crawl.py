@@ -83,9 +83,10 @@ def test_crawl_matches_oracle(spark, engine):
         want = [u for (_, u, _) in olog]
         assert got == want, f"round {rnd} ordering diverged"
 
-    # final seen-set identical: url → fetches
+    # final seen-set identical: url → fetches (engine.seen() is the
+    # public merge-on-read view; the raw table holds base + round deltas)
     got_seen = {
-        r["url"]: r["fetches"] for r in engine.seen_table.read().collect()
+        r["url"]: r["fetches"] for r in engine.seen().collect()
     }
     want_seen = {u: nf for u, (nf, _) in oracle.seen.items()}
     assert got_seen == want_seen
@@ -96,7 +97,7 @@ def test_refetch_caps_at_maxfetches(spark, engine):
         _seed_rows(), "url string, source_kind string, priority int"
     ).select("url", "priority")
     engine.run(seeds, rounds=5, start_ts=START)
-    mx = engine.seen_table.read().agg(F.max("fetches")).first()[0]
+    mx = engine.seen().agg(F.max("fetches")).first()[0]
     assert mx == engine.cfg.refetch.maxfetches
 
 
@@ -217,3 +218,30 @@ def test_salted_layout_round_trip(spark, corpus, tmp_path):
         [(url_for(i), 0) for i in range(40)], "url string, priority int")
     eng.run_round(seeds, 0, START)
     assert eng.articles_table.read().count() > 0
+
+
+def test_seen_merge_on_read_deltas_and_compaction(spark, corpus, tmp_path):
+    """J2 at scale: normal rounds append an O(round-keys) delta (never a
+    table rewrite); the trim round folds base + deltas into one compacted
+    snapshot; the resolved view is identical either way."""
+    cfg = CrawlConfig(refetch=RefetchConfig(maxfetches=8, refetchsecs=3600),
+                      num_partitions=4, collect_lineage=False,
+                      use_bloom=False, trim_every=4)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), corpus, None, cfg)
+    seeds = corpus.select("url").withColumn("priority", F.lit(0))
+    for r in range(4):
+        eng.run_round(seeds, r, START + timedelta(seconds=r * 3600))
+    snaps = eng.seen_table.snapshots()
+    # rounds 0-2 appended deltas; round 3 has not hit trim_every yet
+    assert [m["mode"] for m in snaps[:3]] == ["append"] * 3
+    # raw rows across base+deltas exceed distinct keys (deltas stack)
+    n_keys = eng.seen().count()
+    assert eng.seen_table.read().count() > n_keys
+    # the resolved view counts every fetch exactly once per round
+    fetched_rounds = eng.seen().agg(F.max("fetches")).first()[0]
+    assert fetched_rounds == 4
+    # round 4 = trim_every → compaction: one snapshot, raw == resolved
+    eng.run_round(seeds, 4, START + timedelta(seconds=4 * 3600))
+    man = eng.seen_table.manifest()
+    assert man["mode"] == "replace" and man["lineage"].get("compacted")
+    assert eng.seen_table.read().count() == eng.seen().count()
