@@ -99,10 +99,11 @@ def main() -> None:
 
     # ---- relational / training-data operator suite on the sf tables
     bench_queries = [
-        "tpch_pricing", "region_revenue", "politeness_window",
-        "customer_top_order", "sessionize", "exact_dedup",
-        "minhash_signature", "lsh_dup_pairs", "simhash_dup_pairs",
-        "embedding_near_dup", "ann_cosine_topk",
+        "tpch_pricing", "region_revenue", "brand_supplier_revenue",
+        "politeness_window", "customer_top_order", "sessionize",
+        "exact_dedup", "minhash_signature", "lsh_dup_pairs",
+        "ngram_jaccard_pairs", "simhash_dup_pairs", "embedding_near_dup",
+        "ann_cosine_topk", "ivf_assign", "lang_id", "doc_fingerprint",
         "quality_score", "token_count",
     ]
     for name in bench_queries:

@@ -376,8 +376,8 @@ def q_minhash_signature(spark, sf):
     ).orderBy("doc_id")
 
 
-def q_lsh_dup_pairs(spark, sf):
-    """LSH bucket-join: candidate near-dup pairs sharing either band."""
+def _lsh_candidate_pairs(spark, sf):
+    """Candidate near-dup pairs sharing either LSH band (unordered)."""
     sig = q_minhash_signature(spark, sf)
     b1 = sig.select("doc_id", F.col("band1").alias("band"))
     b2 = sig.select("doc_id", F.col("band2").alias("band"))
@@ -389,30 +389,34 @@ def q_lsh_dup_pairs(spark, sf):
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def q_lsh_dup_pairs(spark, sf):
+    """LSH bucket-join: candidate near-dup pairs sharing either band."""
+    return _lsh_candidate_pairs(spark, sf).orderBy("doc_a", "doc_b")
 
 
 def q_ngram_jaccard_pairs(spark, sf):
-    """Exact n-gram Jaccard verification over LSH candidates: shingle
-    explode → pair join → |∩| / |∪| ≥ 0.5."""
+    """Exact n-gram Jaccard verification over the LSH candidate pairs —
+    the dedup pipeline's verify stage. Never all-pairs: the unrestricted
+    shingle self-join is the quadratic trap (measured 16.7 s vs 3 s at
+    sf0.1; at 10^10 docs it is simply impossible), while candidates ≪
+    pairs. Each candidate joins two per-doc distinct-shingle arrays;
+    |∩| via array_intersect, keep |∩|/|∪| ≥ 0.5."""
     d = _docs_with_mutants(spark, sf).withColumn("toks", _toks())
-    ex = _shingle_rows(d).distinct()  # distinct shingles per doc
-    sizes = ex.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_sh"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+    sh_arr = (
+        _shingle_rows(d).distinct()
+        .groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    cands = _lsh_candidate_pairs(spark, sf)
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
     return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", F.round(
-            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6))
+        cands.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -808,9 +812,7 @@ sh AS (
   WHERE len(toks) >= 3
 )"""
 
-_SIG_SQL = f"""
-WITH {_MUTANTS_CTE},
-{_SHINGLE_CTE},
+_M_CTE = """
 m AS (
   SELECT doc_id,
          list_min(list_transform(sh, s -> md5(concat('0|', s)))) AS m0,
@@ -820,11 +822,19 @@ m AS (
          list_min(list_transform(sh, s -> md5(concat('4|', s)))) AS m4,
          list_min(list_transform(sh, s -> md5(concat('5|', s)))) AS m5
   FROM sh
-)
+)"""
+
+_SIG_SELECT = """
 SELECT doc_id,
        md5(concat(m0, m1, m2)) AS band1,
        md5(concat(m3, m4, m5)) AS band2
-FROM m ORDER BY doc_id"""
+FROM m"""
+
+_SIG_SQL = f"""
+WITH {_MUTANTS_CTE},
+{_SHINGLE_CTE},
+{_M_CTE}
+{_SIG_SELECT} ORDER BY doc_id"""
 
 
 _HEX32 = " + ".join(
@@ -1036,19 +1046,27 @@ ORACLE_SQL = {
     "ngram_jaccard_pairs": f"""
         WITH {_MUTANTS_CTE},
         {_SHINGLE_CTE},
+        {_M_CTE},
+        sig AS ({_SIG_SELECT}),
+        bands AS (
+          SELECT doc_id, band1 AS band FROM sig
+          UNION ALL SELECT doc_id, band2 FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.doc_id < b.doc_id),
         dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
-        sizes AS (SELECT doc_id, len(sh) AS n_sh FROM dsh),
-        ex AS (SELECT doc_id, unnest(sh) AS s FROM dsh),
-        common AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+        j AS (
+          SELECT doc_a, doc_b,
+                 len(list_intersect(a.sh, b.sh)) AS n_common,
+                 len(a.sh) AS na, len(b.sh) AS nb
+          FROM cand
+          JOIN dsh a ON a.doc_id = doc_a
+          JOIN dsh b ON b.doc_id = doc_b)
         SELECT doc_a, doc_b,
-               round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-        FROM common
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+               round(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+        FROM j
+        WHERE n_common * 1.0 / (na + nb - n_common) >= 0.5
         ORDER BY doc_a, doc_b""",
     "wordcount": """
         SELECT doc_id,
