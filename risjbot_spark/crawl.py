@@ -95,16 +95,38 @@ class CrawlEngine:
             self.rules_map, self.cfg.round_seconds, self.cfg.default_budget
         )
         # bloom: reload from checkpoint; rebuild from the seen snapshot when
-        # missing (resume path); empty table → empty filter
+        # missing OR when the checkpoint was taken against a different seen
+        # snapshot (time-travel resume / rollback). A bloom MISSING seen
+        # keys is a correctness bug — false negatives bypass the
+        # authoritative join and re-fetch early — so staleness in either
+        # direction forces a rebuild; empty table → empty filter.
         self._bloom_dir = os.path.join(warehouse, "bloom")
         self.bloom: PartitionedBloom | None = None
         if self.cfg.use_bloom:
+            cur = self.seen_table.current_snapshot_id()
             self.bloom = PartitionedBloom.load(self._bloom_dir)
+            if self.bloom is not None and self._bloom_marker() != cur:
+                self.bloom = None
             if self.bloom is None:
                 self.bloom = PartitionedBloom(
                     self.cfg.bloom_buckets, self.cfg.bloom_bits_per_bucket)
-                if self.seen_table.current_snapshot_id() is not None:
+                if cur is not None:
                     self.bloom.add_df(self.seen().select("url_hash"))
+
+    def _bloom_marker(self) -> int | None:
+        """Seen-table snapshot id the bloom checkpoint was written against."""
+        try:
+            with open(os.path.join(self._bloom_dir, "seen_snapshot")) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _write_bloom_marker(self) -> None:
+        path = os.path.join(self._bloom_dir, "seen_snapshot")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(self.seen_table.current_snapshot_id()))
+        os.replace(tmp, path)
 
     # ------------------------------------------------------------------
     def seen(self) -> DataFrame:
@@ -331,6 +353,7 @@ class CrawlEngine:
                     self.seen(), self.bloom.n_buckets, self.bloom.m * 4)
             _mark("bloom_update")
             self.bloom.save(self._bloom_dir)  # checkpointed with the round
+            self._write_bloom_marker()        # ties bloom ↔ seen snapshot
             _mark("bloom_save")
         return lineage
 

@@ -113,6 +113,18 @@ class SnapshotTable:
             {"id": m["id"], "lineage": m["lineage"]} for m in self.snapshots()
         ]
 
+    def rollback(self, snapshot_id: int) -> None:
+        """Point CURRENT at an earlier snapshot (Iceberg
+        `rollback_to_snapshot`). Data files and manifests are immutable,
+        so this is just the atomic catalog swap; later snapshots remain
+        readable until expired."""
+        if self.manifest(snapshot_id) is None:
+            raise ValueError(f"no snapshot {snapshot_id} in {self.name}")
+        tmp = self._current_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(snapshot_id))
+        os.replace(tmp, self._current_path())
+
     # -- maintenance --------------------------------------------------------
     def expire_snapshots(self, keep_last: int = 3) -> list[int]:
         """Iceberg `expire_snapshots` analogue (the reference's DB trim +
