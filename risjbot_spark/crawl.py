@@ -59,6 +59,11 @@ class CrawlConfig:
     bloom_buckets: int = 64
     bloom_bits_per_bucket: int = 1 << 18  # adaptive: grows 4× when full
     trim_every: int = 4                  # J3b cadence (rounds)
+    # snapshot retention: expire seen snapshots beyond the newest K after
+    # each compaction (SURVEY §4 maintenance action; 0 → keep forever).
+    # Generous default so time-travel resume stays available across
+    # recent rounds; the checkpoint a rollback targets must still exist.
+    expire_keep_last: int = 8
     collect_lineage: bool = True
     # S6 link following: discovered outlinks feed the next round's frontier
     follow_links: bool = False
@@ -333,6 +338,10 @@ class CrawlEngine:
                                    "compacted": True},
                 mode="replace",
             )
+            if cfg.expire_keep_last > 0:
+                # maintenance rides the compaction commit: pre-compaction
+                # delta snapshots age out once K newer ones exist
+                self.seen_table.expire_snapshots(cfg.expire_keep_last)
         else:
             self.seen_table.commit(
                 seen_updates(fetched_keys, round_ts),

@@ -283,3 +283,29 @@ def test_resume_from_any_snapshot_time_travel(spark, corpus, tmp_path):
         r["url_canon"]
         for r in eng2.articles_table.read().filter("round = 1").collect())
     assert replay_r1 == orig_r1, "time-travel replay diverged"
+
+
+def test_engine_expires_old_seen_snapshots(spark, corpus, tmp_path):
+    """Maintenance rides compaction: with a tight retention, rounds past
+    trim_every leave only the newest K seen snapshots on disk, and the
+    expired deltas' data dirs are gone."""
+    import os
+
+    cfg = CrawlConfig(refetch=RefetchConfig(maxfetches=16, refetchsecs=3600),
+                      num_partitions=4, collect_lineage=False,
+                      use_bloom=False, trim_every=2, expire_keep_last=2)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), corpus, None, cfg)
+    seeds = corpus.select("url").withColumn("priority", F.lit(0))
+    for r in range(5):
+        eng.run_round(seeds, r, START + timedelta(seconds=r * 3600))
+    snaps = eng.seen_table.snapshots()
+    assert len(snaps) == 2                       # newest K only
+    assert snaps[-1]["lineage"].get("compacted")  # round 4 compaction
+    # expired delta data dirs actually deleted
+    live = {f for m in snaps for f in m["files"]}
+    on_disk = {os.path.join(eng.seen_table.dir, d)
+               for d in os.listdir(eng.seen_table.dir)
+               if d.startswith("snap-") and not d.endswith(".json")}
+    assert on_disk == live
+    # state still correct after expiry
+    assert eng.seen().agg(F.max("fetches")).first()[0] == 5
