@@ -62,6 +62,12 @@ ARTICLE_STRUCT = T.StructType([
     T.StructField("notes", T.ArrayType(T.StringType())),
     T.StructField("language", T.StringType()),
     T.StructField("articleid", T.StringType()),
+    # comment blobs/text (items.py:36-37; populated by the reference's
+    # live comment-API chase, liverpoolecho.py:154-165 — out of scope
+    # S8 here, but the columns exist so loader rules can fill them and
+    # reference users keep their schema)
+    T.StructField("rawcomments", T.ArrayType(T.StringType())),
+    T.StructField("comments", T.ArrayType(T.StringType())),
     T.StructField("wordcount", T.IntegerType()),
     T.StructField("sentiment", T.DoubleType()),
     T.StructField("subjectivity", T.DoubleType()),

@@ -24,6 +24,7 @@ _EXPORT_FIELDS = (
     "source", "url", "originalurl", "fetchtime", "modtime", "firstpubtime",
     "section", "headline", "summary", "bylines", "bodytext", "keywords",
     "rawpagegzipb64", "previousfetches", "notes", "language", "articleid",
+    "rawcomments", "comments",
     "wordcount", "sentiment", "subjectivity", "namedpeople",
     "kincaidgradelevel", "fleschreadingease",
 )

@@ -256,3 +256,21 @@ def test_compose_bodytext_escapes_and_entities():
 
 def test_unpack_csv():
     assert unpack_csv("a, b,c") == ["a", " b", "c"]
+
+
+def test_comments_fields_flow_identity_multivalued():
+    """rawcomments/comments are Identity-out multi-valued fields
+    (loaders.py:130-131): every added value survives in order, no
+    TakeFirst — and the article schema carries them end to end."""
+    from risjbot_spark.extract.loader import NewsItemLoader
+    from risjbot_spark.schema import ARTICLE_STRUCT
+
+    l = NewsItemLoader()
+    l.add_value("rawcomments", '{"comments": []}')
+    l.add_value("rawcomments", '{"comments": ["a"]}')
+    l.add_value("comments", ["first comment", "second comment"])
+    item = l.load_item()
+    assert item["rawcomments"] == ['{"comments": []}', '{"comments": ["a"]}']
+    assert item["comments"] == ["first comment", "second comment"]
+    names = [f.name for f in ARTICLE_STRUCT.fields]
+    assert "rawcomments" in names and "comments" in names
