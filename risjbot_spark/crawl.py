@@ -416,14 +416,82 @@ class CrawlEngine:
         return out
 
 
-def fetch_via_http(urls_df: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """Production fetch stage: paced HTTP over the salted-host layout —
-    `mapInPandas` batches per partition, sleeping Crawl-delay between
-    same-host requests (W3 pacing inside the task). Deliberately not
-    implemented in this sandbox (no network I/O); the corpus join in
-    `CrawlEngine.run_round` is the test-harness stand-in with identical
-    schema: (frontier cols) + (html, warc_ts)."""
-    raise NotImplementedError(
-        "live HTTP fetching is out of scope in the offline sandbox; "
-        "CrawlEngine joins the pages corpus instead (same contract)"
+def fetch_stage(
+    scheduled: DataFrame,
+    fetcher,
+    rules_map: dict | None = None,
+    num_partitions: int = 32,
+    salt: int = 8,
+    default_delay: float = 0.0,
+    sleep_fn=None,
+) -> DataFrame:
+    """The paced fetch stage (W3 pacing inside the task): `mapInPandas`
+    over the salted-host layout, fetching each partition's rows in the
+    deterministic crawl order and sleeping Crawl-delay between
+    consecutive same-host requests.
+
+    `fetcher(url) -> (status:int, body:bytes, date_header:str)` is
+    injected — a live deployment passes an HTTP client; tests pass a
+    corpus-backed fake (this sandbox has no network, so the engine's
+    corpus join remains the default fetch, same output contract).
+
+    Politeness accounting: the salted layout spreads one host over at
+    most `salt` tasks, so each task sleeps `salt × crawl_delay` between
+    its same-host fetches — the global per-host request rate stays
+    ≤ 1/crawl_delay regardless of parallelism. `sleep_fn` is injectable
+    so pacing is unit-testable without wall-clock sleeps."""
+    import time as _t
+
+    from pyspark.sql import types as T
+
+    do_sleep = sleep_fn or _t.sleep
+    delays = {
+        host: (r.crawl_delay or default_delay)
+        for host, r in (rules_map or {}).items()
+    }
+    out_schema = T.StructType(
+        scheduled.schema.fields
+        + [T.StructField("status", T.IntegerType()),
+           T.StructField("html", T.BinaryType()),
+           T.StructField("fetchtime_str", T.StringType())]
     )
+    in_cols = [f.name for f in scheduled.schema.fields]
+    out_cols = [f.name for f in out_schema.fields]
+    laid_out = salted_repartition(scheduled, num_partitions, salt)
+
+    def run(batches):
+        for pdf in batches:
+            yield _paced_fetch_partition(
+                pdf, in_cols, out_cols, delays, salt, default_delay,
+                fetcher, do_sleep)
+
+    return laid_out.mapInPandas(run, schema=out_schema)
+
+
+def _paced_fetch_partition(pdf, in_cols, out_cols, delays, salt,
+                           default_delay, fetcher, do_sleep):
+    """One task's paced fetch loop (unit-testable without Spark): sort
+    into the deterministic crawl order, fetch, sleep salt×Crawl-delay
+    between consecutive same-host requests."""
+    import time as _t
+
+    import pandas as pd
+
+    pdf = pdf.sort_values(
+        ["priority", "discovered_ts", "url_hash"],
+        ascending=[False, True, True])
+    last_fetch_at: dict[str, float] = {}
+    rows = []
+    for rec in pdf.to_dict("records"):
+        host = rec["host"]
+        delay = delays.get(host, default_delay) * salt
+        if delay > 0 and host in last_fetch_at:
+            wait = delay - (_t.monotonic() - last_fetch_at[host])
+            if wait > 0:
+                do_sleep(wait)
+        status, body, date_hdr = fetcher(rec["url_canon"])
+        last_fetch_at[host] = _t.monotonic()
+        rows.append({**{c: rec[c] for c in in_cols},
+                     "status": int(status), "html": body,
+                     "fetchtime_str": date_hdr})
+    return pd.DataFrame(rows, columns=out_cols)

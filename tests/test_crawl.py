@@ -309,3 +309,67 @@ def test_engine_expires_old_seen_snapshots(spark, corpus, tmp_path):
     assert on_disk == live
     # state still correct after expiry
     assert eng.seen().agg(F.max("fetches")).first()[0] == 5
+
+
+def test_paced_fetch_partition_order_and_pacing():
+    """Per-task fetch pacing (W3): rows fetch in the deterministic crawl
+    order; consecutive same-host fetches sleep salt × Crawl-delay (the
+    salted layout spreads a host over ≤ salt tasks, so the global rate
+    stays ≤ 1/delay). Injected clockless sleep keeps the test exact."""
+    import pandas as pd
+
+    from risjbot_spark.crawl import _paced_fetch_partition
+
+    rows = []
+    for i in range(6):
+        host = "slow.example.com" if i % 2 == 0 else "fast.example.com"
+        rows.append({"url_canon": f"https://{host}/{i}", "host": host,
+                     "priority": i % 2, "discovered_ts": i, "url_hash": i})
+    pdf = pd.DataFrame(rows)
+    fetched, sleeps = [], []
+    out = _paced_fetch_partition(
+        pdf, list(pdf.columns),
+        list(pdf.columns) + ["status", "html", "fetchtime_str"],
+        delays={"slow.example.com": 0.5}, salt=8, default_delay=0.0,
+        fetcher=lambda u: (200, u.encode(), "Sat, 01 Apr 2017 12:00:00 GMT"),
+        do_sleep=sleeps.append)
+    # order: priority DESC (fast=1 first), then discovered_ts, url_hash
+    assert list(out["url_hash"]) == [1, 3, 5, 0, 2, 4]
+    # slow host fetched 3× ⇒ 2 pacing sleeps of ~salt×delay; fast host none
+    assert len(sleeps) == 2
+    assert all(3.9 <= s <= 4.0 for s in sleeps)   # 8 × 0.5, minus ε elapsed
+    assert (out["status"] == 200).all()
+    assert bytes(out["html"].iloc[0]) == b"https://fast.example.com/1"
+
+
+def test_fetch_stage_spark_contract(spark, corpus):
+    """fetch_stage end to end on Spark with an injected corpus-backed
+    fetcher: every scheduled row comes back with status/html/fetchtime,
+    html matching the corpus byte-for-byte."""
+    from risjbot_spark.crawl import fetch_stage
+    from risjbot_spark.urlnorm import with_canonical
+
+    # the fake web is keyed by CANONICAL url — fetches go out canonical
+    # (canonicalize-before-seen-check ordering, urlnorm docstring)
+    pages = {canonicalize_py(r["url"]): bytes(r["html"])
+             for r in corpus.select("url", "html").collect()}
+    sched = (
+        with_canonical(corpus.select("url"))
+        .withColumn("priority", F.lit(0))
+        .withColumn("discovered_ts", F.lit(START).cast("timestamp"))
+        .select("url_canon", "url_hash", "host", "priority", "discovered_ts")
+    )
+
+    def fake_fetch(url):
+        body = pages.get(url)
+        return (200, body, "Sat, 01 Apr 2017 12:00:00 GMT") if body \
+            else (404, None, "")
+
+    out = fetch_stage(sched, fake_fetch, rules_map=None,
+                      num_partitions=4, salt=4).collect()
+    assert len(out) == len(pages)
+    ok = [r for r in out if r.status == 200]
+    assert len(ok) == len(pages)
+    for r in ok[:10]:
+        assert bytes(r.html) == pages[r.url_canon]
+        assert r.fetchtime_str.endswith("GMT")
