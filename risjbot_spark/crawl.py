@@ -75,24 +75,30 @@ class CrawlEngine:
     """Crawl over a Common-Crawl-style pages table.
 
     `pages` carries the fetchable universe (url, warc_ts, html, ...); the
-    fetch stage joins against it — in a live deployment that join is
-    replaced by a paced HTTP `mapInPandas` over the same salted layout
-    (see `fetch_via_http`)."""
+    fetch stage joins against it — in a live deployment pass `fetcher`
+    (a `url -> (status, body, date_header)` callable) and the engine runs
+    the paced `fetch_stage` mapInPandas over the same salted layout
+    instead; both modes share every other stage and produce the same
+    output contract."""
 
     def __init__(
         self,
         spark: SparkSession,
         warehouse: str,
-        pages: DataFrame,
+        pages: DataFrame | None,
         robots: DataFrame | None,
         cfg: CrawlConfig | None = None,
+        fetcher=None,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
+        self.fetcher = fetcher
+        if pages is None and fetcher is None:
+            raise ValueError("need a pages corpus or a fetcher")
         self.seen_table = SnapshotTable(spark, warehouse, "seen")
         self.articles_table = SnapshotTable(spark, warehouse, "articles")
         # pages keyed by canonical URL once, up front (column-pruned scan)
-        self.pages = with_canonical(pages).select(
+        self.pages = None if pages is None else with_canonical(pages).select(
             F.col("url_canon").alias("page_url"), "warc_ts", "html"
         )
         self.rules_map = build_rules_map(robots) if robots is not None else {}
@@ -242,21 +248,43 @@ class CrawlEngine:
         # itself AQE broadcast the PAGES (html!) side here. At frontier
         # sizes beyond broadcast limits set broadcast_frontier=False →
         # shuffled hash join (or pre-bucket both sides by url_canon).
-        sched_side = F.broadcast(scheduled) if cfg.broadcast_frontier else scheduled
-        fetched = self.pages.join(
-            sched_side, self.pages.page_url == sched_side.url_canon, "inner"
-        ).drop("page_url")
-        # HTTP-fetch mode: salted-host layout before the fetch stage —
-        # bound any host to ≤salt concurrent tasks (politeness) while
-        # spreading rows (skew). Off (salt=0) for corpus-join mode, where
-        # it would only add a full shuffle of the html payload.
-        if cfg.salt > 0:
-            fetched = salted_repartition(fetched, cfg.num_partitions, cfg.salt)
-        # HTTP Date header analogue: the page's warc_ts (fetch time)
+        if self.fetcher is not None:
+            # paced-fetch mode: salted layout + in-task Crawl-delay pacing;
+            # non-2xx responses drop here (Scrapy's HttpError default —
+            # they never reach the spider, so no item and no seen upsert)
+            fetched = (
+                fetch_stage(
+                    scheduled, self.fetcher, rules_map=self.rules_map,
+                    num_partitions=cfg.num_partitions, salt=cfg.salt or 8,
+                )
+                .filter((F.col("status") >= 200) & (F.col("status") < 300))
+                .drop("status")
+            )
+            # RFC-1123 Date header → timestamp; weekday prefix stripped
+            # ('EEE' is a format-only symbol — Spark's parser rejects it)
+            fetched = fetched.withColumn(
+                "warc_ts",
+                F.to_timestamp(
+                    F.substring_index("fetchtime_str", ", ", -1),
+                    "dd MMM yyyy HH:mm:ss 'GMT'"))
+        else:
+            sched_side = (F.broadcast(scheduled) if cfg.broadcast_frontier
+                          else scheduled)
+            fetched = self.pages.join(
+                sched_side, self.pages.page_url == sched_side.url_canon,
+                "inner",
+            ).drop("page_url")
+            # corpus-join mode skips the salted shuffle unless asked
+            # (salt>0) — it would only move the html payload
+            if cfg.salt > 0:
+                fetched = salted_repartition(
+                    fetched, cfg.num_partitions, cfg.salt)
+            # HTTP Date header analogue: the page's warc_ts (fetch time)
+            fetched = fetched.withColumn(
+                "fetchtime_str",
+                F.date_format("warc_ts", "EEE, dd MMM yyyy HH:mm:ss 'GMT'"),
+            )
         fetched = fetched.withColumn(
-            "fetchtime_str",
-            F.date_format("warc_ts", "EEE, dd MMM yyyy HH:mm:ss 'GMT'"),
-        ).withColumn(
             "meta_json",
             F.to_json(
                 F.struct(F.col("url_canon").alias("originalurl"),

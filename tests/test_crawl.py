@@ -373,3 +373,54 @@ def test_fetch_stage_spark_contract(spark, corpus):
     for r in ok[:10]:
         assert bytes(r.html) == pages[r.url_canon]
         assert r.fetchtime_str.endswith("GMT")
+
+
+def test_fetcher_mode_matches_corpus_join_mode(spark, corpus, tmp_path):
+    """The two fetch modes are interchangeable: a round fetched via the
+    injected paced fetcher produces the same articles and the same seen
+    state as the corpus-join round (same seeds, same budgets)."""
+    cfg = CrawlConfig(refetch=RefetchConfig(maxfetches=3, refetchsecs=3600),
+                      num_partitions=4, collect_lineage=False,
+                      use_bloom=False)
+    seeds = corpus.select("url").withColumn("priority", F.lit(0))
+
+    eng_join = CrawlEngine(spark, str(tmp_path / "wh_join"), corpus, None, cfg)
+    eng_join.run_round(seeds, 0, START)
+
+    web = {canonicalize_py(r["url"]): (bytes(r["html"]), r["warc_ts"])
+           for r in corpus.select("url", "html", "warc_ts").collect()}
+
+    def fake_fetch(url):
+        hit = web.get(url)
+        if hit is None:
+            return (404, None, "")
+        body, ts = hit
+        return (200, body, ts.strftime("%a, %d %b %Y %H:%M:%S GMT"))
+
+    eng_http = CrawlEngine(spark, str(tmp_path / "wh_http"), corpus, None,
+                           cfg, fetcher=fake_fetch)
+    eng_http.run_round(seeds, 0, START)
+
+    def snap(eng):
+        return sorted(
+            (r["url_canon"], r["headline"], r["wordcount"], r["status"])
+            for r in eng.articles_table.read().collect())
+
+    assert snap(eng_http) == snap(eng_join)
+    seen_a = {r["url"]: r["fetches"] for r in eng_join.seen().collect()}
+    seen_b = {r["url"]: r["fetches"] for r in eng_http.seen().collect()}
+    assert seen_a == seen_b
+
+
+def test_fetcher_mode_drops_non_2xx(spark, corpus, tmp_path):
+    """Non-2xx responses never become items nor seen upserts (the
+    reference's HttpError default) — they stay eligible for retry."""
+    cfg = CrawlConfig(refetch=RefetchConfig(maxfetches=3, refetchsecs=3600),
+                      num_partitions=4, collect_lineage=False,
+                      use_bloom=False)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), corpus, None, cfg,
+                      fetcher=lambda u: (503, None, ""))
+    seeds = corpus.select("url").withColumn("priority", F.lit(0))
+    eng.run_round(seeds, 0, START)
+    assert eng.articles_table.read().count() == 0
+    assert eng.seen().count() == 0
