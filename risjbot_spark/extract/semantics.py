@@ -273,6 +273,9 @@ def extract_article(
     _add_scrapymeta(loader, meta)
 
     _apply_rules(loader, root, profile.post_rules)
+    for expr, fld, value in profile.conditional_values:
+        if xpath(root, expr):
+            loader.add_value(fld, value)
 
     for note in profile.notes_const:
         loader.add_value("notes", note)

@@ -40,6 +40,11 @@ class SiteProfile:
     # (xpath, note) — note added when xpath matches (telegraph paywall,
     # /root/reference/RISJbot/spiders/uk/telegraph.py:46-47)
     notes_conditional: tuple[tuple[str, str], ...] = ()
+    # (xpath, field, value) — constant added to a field when the xpath
+    # matches (BBC Newsbeat section,
+    # /root/reference/RISJbot/spiders/uk/bbc.py:61-62); applied after
+    # post_rules, matching the reference's post-battery call position
+    conditional_values: tuple[tuple[str, str, str], ...] = ()
     # offsite filter (F2): drop followed links whose host isn't suffixed by
     # one of these (/root/reference/RISJbot/spiders/uk/independent.py:13-14)
     allowed_domains: tuple[str, ...] = ()
@@ -127,6 +132,15 @@ REGISTRY: dict[str, SiteProfile] = {
             ("bodytext", '//div[contains(@class, "vxp-media__summary")]//text()', None),
             ("bylines", '//span[contains(@class, "byline__name")]/text()', None),
             ("bylines", '//p[contains(@class, "byline")]/text()', None),
+            # Sport: byline selected by layout class (bbc.py:69)
+            ("bylines",
+             '//*[contains(@class, "story__byline")]'
+             '//p[contains(@class, "gel-long-primer") and '
+             'not(contains(@class, "gel-long-primer-bold"))]/text()', None),
+        ),
+        conditional_values=(
+            # Newsbeat CMS ships no standard metadata (bbc.py:58-62)
+            ('//div[contains(@class, "newsbeatlogo")]', "section", "Newsbeat"),
         ),
     ),
     # /root/reference/RISJbot/spiders/us/cnn.py:9-40
@@ -196,6 +210,10 @@ REGISTRY: dict[str, SiteProfile] = {
             ("bodytext", '//*[contains(@class, "article-text")]//text()', None),
             ("section", '//*[contains(@class, "section-title")]//text()', None),
             ("section", 'head/meta[@name="prism-section"]/@content', None),
+            # bylines not in metadata nor class-labelled (foxnews.py:35)
+            ("bylines",
+             '//div[contains(@class, "article-info")]'
+             '//p[contains(., "By")]/span//text()', None),
         ),
     ),
 }
@@ -461,6 +479,14 @@ REGISTRY_WAVE3: dict[str, SiteProfile] = {
     "vice.com": SiteProfile(
         name="vice",
         allowed_domains=("vice.com",),
+        post_rules=(
+            # vicespider.py:44 uses positional `(//article)[1]`; vice
+            # pages carry one article, so the unpositioned form extracts
+            # identically (mini-xpath has no positional predicate)
+            ("bodytext",
+             '//article//div[contains(@class, "article__body") and '
+             'contains(@class, "bod-")]//text()', None),
+        ),
     ),
     # /root/reference/RISJbot/spiders/uk/liverpoolecho.py:60-190 — the
     # live comment-API chase (S8) is out of scope; articleid + body/byline

@@ -200,3 +200,46 @@ def test_prnewswireuk_bodytext_headline_keywords():
     # Join(',')s; keywords_out splits on bare ',' — so the space after
     # the comma inside a single meta value survives (loaders.py:118-125)
     assert item["keywords"] == ["vr", " investment"]
+
+
+def test_foxnews_unlabelled_bylines():
+    # /root/reference/RISJbot/spiders/us/foxnews.py:35 — bylines live in
+    # an unlabelled <p> containing "By" inside .article-info
+    html = wrap(
+        '<div class="article-text"><p>fox body</p></div>'
+        '<div class="article-info"><p>By <span>Jane Reporter</span></p></div>'
+    )
+    item = extract_article(html, "https://www.foxnews.com/us/story.html").item
+    assert item["bylines"] == ["Jane Reporter"]
+    assert item["bodytext"] == "fox body"
+
+
+def test_bbc_newsbeat_conditional_section_and_sport_byline():
+    # /root/reference/RISJbot/spiders/uk/bbc.py:58-69 — Newsbeat pages
+    # get section='Newsbeat' only when the logo div is present; Sport
+    # bylines select on layout classes excluding the bold variant.
+    newsbeat = wrap(
+        '<div class="newsbeatlogo"></div>'
+        '<div class="main_article_text"><p>beat text</p></div>'
+    )
+    item = extract_article(newsbeat, "https://www.bbc.co.uk/newsbeat/1").item
+    assert item["section"] == "Newsbeat"
+    assert item["bodytext"] == "beat text"
+    plain = wrap('<div class="story-body"><p>sport text</p></div>'
+                 '<div class="story__byline">'
+                 '<p class="gel-long-primer">Sport Writer</p>'
+                 '<p class="gel-long-primer gel-long-primer-bold">IGNORED</p>'
+                 '</div>')
+    item2 = extract_article(plain, "https://www.bbc.co.uk/sport/1").item
+    assert "section" not in item2
+    assert item2["bylines"] == ["Sport Writer"]
+
+
+def test_vice_article_body():
+    # /root/reference/RISJbot/spiders/base/vicespider.py:44
+    html = wrap(
+        '<article><div class="article__body bod-x"><p>vice text</p></div>'
+        '</article>'
+    )
+    item = extract_article(html, "https://www.vice.com/en/article/1").item
+    assert item["bodytext"] == "vice text"
