@@ -42,3 +42,36 @@ def test_idempotent():
     for u in CASES:
         once = canonicalize_py(u)
         assert canonicalize_py(once) == once
+
+
+def test_py_twin_matches_spark_fuzz(spark):
+    """Seeded fuzz over the rewrite-relevant host set × random URL-safe
+    paths/queries/fragments: the JVM expression chain and the Python twin
+    must agree byte-for-byte on every generated URL (the seen-key
+    invariant does not tolerate a single divergence)."""
+    import random
+
+    rnd = random.Random(42)
+    hosts = [
+        "www.cnn.com", "edition.cnn.com", "www.dailymail.co.uk",
+        "dailymail.co.uk", "www.businessinsider.com", "businessinsider.de",
+        "www.businessinsider.fr", "example.org", "sub.a.example.com",
+        "www.theguardian.com",
+    ]
+    chars = "abcdefXYZ0123456789-_.~"
+    urls = []
+    for _ in range(400):
+        h = rnd.choice(hosts)
+        segs = ["".join(rnd.choice(chars) for _ in range(rnd.randint(1, 10)))
+                for _ in range(rnd.randint(0, 4))]
+        q = ("" if rnd.random() < 0.4 else
+             "?" + "&".join(f"k{j}={rnd.randint(0, 99)}"
+                            for j in range(rnd.randint(1, 3))))
+        frag = "" if rnd.random() < 0.5 else "#s" + rnd.choice(chars)
+        scheme = "https" if rnd.random() < 0.7 else "http"
+        urls.append(f"{scheme}://{h}/{'/'.join(segs)}{q}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {r["url"]: r["c"] for r in
+           df.select("url", canonicalize_expr(F.col("url")).alias("c")).collect()}
+    for u in urls:
+        assert got[u] == canonicalize_py(u), u
