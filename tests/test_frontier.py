@@ -118,3 +118,23 @@ def test_robots_parser():
     assert r.allowed("/public")
     # the bot-specific Disallow:/ must not leak into *
     assert r.allowed("/")
+
+
+def test_xxhash64_matches_spark_fuzz(spark):
+    """Pure-Python xxhash64 must be bit-equal to Spark's for arbitrary
+    UTF-8 strings across the seed-block/stripe boundaries (lengths 0-64+
+    cover the <32-byte fast path, one full stripe, and multi-stripe)."""
+    import random
+
+    rnd = random.Random(7)
+    pool = "abcdefghijklmnopqrstuvwxyz0123456789:/?#[]@!$&'()*+,;=%-._~äöü中"
+    urls = [""]
+    for n in list(range(1, 70)) + [100, 255, 1000]:
+        urls.append("".join(rnd.choice(pool) for _ in range(n)))
+    got = {
+        r["u"]: r["h"]
+        for r in spark.createDataFrame([(u,) for u in urls], ["u"])
+        .select("u", F.xxhash64("u").alias("h")).collect()
+    }
+    for u in urls:
+        assert xxhash64(u) == got[u], repr(u)
