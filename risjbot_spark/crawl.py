@@ -56,6 +56,10 @@ class CrawlConfig:
     salt: int = 0                 # >0 → salted-host fetch layout (HTTP mode)
     broadcast_frontier: bool = True  # per-round frontier → broadcast join
     use_bloom: bool = True
+    # partition-aligned bloom probe (bucket-shipped bitmaps via cogroup)
+    # instead of broadcasting the whole filter — switch on when the
+    # filter outgrows what executors can hold broadcast
+    bloom_aligned_probe: bool = False
     bloom_buckets: int = 64
     bloom_bits_per_bucket: int = 1 << 18  # adaptive: grows 4× when full
     trim_every: int = 4                  # J3b cadence (rounds)
@@ -221,7 +225,9 @@ class CrawlEngine:
         # Definite-new URLs skip the join shuffle entirely; the filter is
         # maintained incrementally across rounds (no per-round rebuild).
         if cfg.use_bloom and self.bloom is not None:
-            maybe, fresh = self.bloom.split(fr, self.spark)
+            split = (self.bloom.split_aligned if cfg.bloom_aligned_probe
+                     else self.bloom.split)
+            maybe, fresh = split(fr, self.spark)
             gated = seen_filter(maybe, seen, cfg.refetch, round_ts)
             eligible = gated.unionByName(
                 fresh.withColumn("previousfetches", F.lit(0).cast("int"))
