@@ -2,10 +2,12 @@ from .ops import (
     fetch_rate_metrics,
     frontier_stream_dedup,
     stateful_refetch_gate,
+    stream_extract_articles,
 )
 
 __all__ = [
     "frontier_stream_dedup",
     "fetch_rate_metrics",
     "stateful_refetch_gate",
+    "stream_extract_articles",
 ]

@@ -100,6 +100,25 @@ def stateful_refetch_gate(
     )
 
 
+def stream_extract_articles(pages_stream: DataFrame) -> DataFrame:
+    """Continuous-ingest twin of the batch extract stage: the SAME
+    vectorized extraction UDF (byte-identity surface included) applied to
+    a readStream of pages rows — new WARC drops become article rows as
+    they land, no round loop. Pure per-row transformation: no state, no
+    watermark; the seen-gate/dedup stages above compose upstream."""
+    from ..udfs import extract_article_udf
+
+    fetchtime = F.date_format("warc_ts", "EEE, dd MMM yyyy HH:mm:ss 'GMT'")
+    return (
+        pages_stream.withColumn(
+            "article",
+            extract_article_udf(F.col("html"), F.col("url"), fetchtime,
+                                F.lit(None).cast("string")),
+        )
+        .select("url", "warc_ts", "article.*")
+    )
+
+
 def fetch_rate_metrics(articles: DataFrame, window: str = "1 hour",
                        watermark: str = "2 hours") -> DataFrame:
     """A1 streaming telemetry: per-window per-host fetched/extracted

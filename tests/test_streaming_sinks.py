@@ -216,3 +216,29 @@ def test_resize_images_spark_plumbing(spark):
         assert len(r.pixels) == 4 * 4 * 3  # HWC uint8 contract
         assert r.meta["layout"] == "hwc-uint8"
         assert r.meta["w"] == "4" and r.meta["h"] == "4"
+
+
+def test_stream_extract_articles_matches_batch(spark, tmp_path):
+    """§2.9 end to end: readStream pages → the SAME extraction UDF →
+    streaming sink; output rows equal the batch extraction of the same
+    corpus (headline + byte-identical bodytext vs the generator-known
+    text)."""
+    from risjbot_spark.corpus import pages_df
+    from risjbot_spark.streaming import stream_extract_articles
+
+    src = str(tmp_path / "pages")
+    pages_df(spark, 40, partitions=2).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (stream_extract_articles(stream).writeStream
+         .format("memory").queryName("stream_articles")
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r["url"]: (r["headline"], r["bodytext"], r["status"])
+           for r in spark.sql("select * from stream_articles").collect()}
+    want = {r["url"]: r["text"] for r in batch.select("url", "text").collect()}
+    assert len(got) == 40
+    for url, (_, bodytext, status) in got.items():
+        if status == "ok":
+            assert bodytext == want[url], url   # byte identity holds in-stream
