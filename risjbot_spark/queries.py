@@ -30,7 +30,8 @@ Operator mapping (reference → query):
   embedding-cosine near-dup      → q_embedding_near_dup
   text analysis                  → q_lang_id, q_quality_score,
                                    q_token_count, q_doc_fingerprint
-  similarity search              → q_ann_cosine_topk, q_ann_lsh_bucket
+  similarity search              → q_ann_cosine_topk, q_ann_lsh_bucket,
+                                   q_ivf_centroids/assign/search
   multimodal binary plumbing     → q_binary_meta
 """
 
@@ -695,6 +696,49 @@ def q_ivf_assign(spark, sf):
     )
 
 
+def q_ivf_search(spark, sf):
+    """IVF top-k search (the 10^9-vector search path): rank centroids
+    against the query vector, probe only the nprobe=3 nearest inverted
+    lists, exact cosine within those candidates, top-10. Compare with
+    q_ann_cosine_topk (exact brute force) to read off recall. Centroid
+    table is tiny → broadcast; the candidate scan touches ~nprobe/K of
+    the vectors instead of all of them."""
+    e = _t(spark, sf, "embeddings").withColumn(
+        "emb", F.transform("embedding", lambda x: x.cast("double")))
+    ex = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    cents = (
+        ex.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(F.col("label").alias("centroid"),
+                F.expr("transform(pc, x -> x.c)").alias("cvec"))
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, v: acc + v)
+    nrm = lambda c: F.sqrt(dot(c, c))
+    ccos = dot(F.col("cvec"), F.col("qv")) / (nrm(F.col("cvec")) * nrm(F.col("qv")))
+    top_cents = (
+        cents.crossJoin(F.broadcast(q))
+        .select("centroid", ccos.alias("ccos"))
+        .orderBy(F.col("ccos").desc(), F.col("centroid").asc())
+        .limit(3)
+        .select("centroid")
+    )
+    cands = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(top_cents), e.label == F.col("centroid"))
+        .crossJoin(F.broadcast(q))
+    )
+    vcos = dot(F.col("emb"), F.col("qv")) / (nrm(F.col("emb")) * nrm(F.col("qv")))
+    return (
+        cands.select("vec_id", F.round(vcos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 def q_ann_lsh_bucket(spark, sf):
     """LSH-bucketed ANN scale path: sign pattern over 8 fixed hyperplanes
     (axis-aligned → deterministic and SQL-portable); bucket histogram."""
@@ -783,6 +827,7 @@ QUERIES = {
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ivf_centroids": q_ivf_centroids,
     "ivf_assign": q_ivf_assign,
+    "ivf_search": q_ivf_search,
     "knn_label_vote": q_knn_label_vote,
     "binary_meta": q_binary_meta,
 }
@@ -1159,6 +1204,35 @@ ORACLE_SQL = {
                CAST(sum(CASE WHEN label <> centroid THEN 1 ELSE 0 END) AS BIGINT) AS moved
         FROM best WHERE rn = 1
         GROUP BY centroid ORDER BY centroid""",
+    "ivf_search": """
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+        ex AS (
+          SELECT label, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos
+          FROM e),
+        cent AS (
+          SELECT label AS centroid, pos, avg(v) AS c
+          FROM ex GROUP BY label, pos),
+        cvecs AS (
+          SELECT centroid, list(c ORDER BY pos) AS cvec
+          FROM cent GROUP BY centroid),
+        q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+        topc AS (
+          SELECT centroid
+          FROM cvecs, q
+          ORDER BY list_dot_product(cvec, qv)
+                   / (sqrt(list_dot_product(cvec, cvec))
+                      * sqrt(list_dot_product(qv, qv))) DESC, centroid ASC
+          LIMIT 3)
+        SELECT vec_id,
+               round(list_dot_product(emb, qv)
+                     / (sqrt(list_dot_product(emb, emb))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+        FROM e JOIN topc ON e.label = topc.centroid, q
+        WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
     "ann_lsh_bucket": """
         WITH b AS (
           SELECT (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
