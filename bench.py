@@ -103,7 +103,7 @@ def main() -> None:
         "politeness_window", "customer_top_order", "sessionize",
         "exact_dedup", "minhash_signature", "lsh_dup_pairs",
         "ngram_jaccard_pairs", "simhash_dup_pairs", "embedding_near_dup",
-        "ann_cosine_topk", "ivf_assign", "lang_id", "doc_fingerprint",
+        "ann_cosine_topk", "ivf_assign", "ivf_search", "lang_id", "doc_fingerprint",
         "quality_score", "token_count",
     ]
     for name in bench_queries:

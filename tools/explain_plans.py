@@ -98,6 +98,14 @@ def main() -> None:
         check(qname, "SortMergeJoin" in p or "BroadcastHashJoin" in p
               or "ShuffledHashJoin" in p, "hash/merge join strategy chosen")
 
+    # --- ivf_search: centroid table broadcasts; candidate join must be
+    # an equi join on the probed centroid labels
+    p = plan_of(QUERIES["ivf_search"](spark, SF))
+    sections.append(("ivf_search (probe join)", p))
+    check("ivf_search", "BroadcastHashJoin" in p, "probed centroids broadcast")
+    check("ivf_search", "CartesianProduct" not in p,
+          "no cartesian in candidate selection")
+
     # --- crawl round: one Python stage, pages never shuffle
     pages_path = "/tmp/risjbot_plans_pages"
     if not os.path.exists(pages_path + "/_SUCCESS"):
