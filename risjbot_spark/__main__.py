@@ -1,0 +1,126 @@
+"""CLI — the engine's `scrapy crawl` analogue.
+
+The reference is driven as `scrapy crawl <spider>` with settings.py
+(/root/reference/RISJbot/README.md:26-60); here:
+
+    python -m risjbot_spark crawl --pages pages.parquet \
+        --seeds seeds.txt --warehouse ./wh --rounds 3 [--robots robots.parquet]
+        [--jsonl out_dir] [--follow-links] [--budget N] [--refetchsecs S]
+
+    python -m risjbot_spark extract --pages pages.parquet --out articles.parquet
+
+`crawl` runs the round loop over a Common-Crawl-style pages table
+(url, warc_ts, html, ...) and commits seen/articles snapshots into the
+warehouse; `extract` is the one-shot extraction of a pages table with no
+frontier state (the NewsSpecifiedSpider shape,
+/root/reference/RISJbot/spiders/newsspecifiedspider.py:14-42).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="risjbot_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="round-based crawl over a pages table")
+    c.add_argument("--pages", required=True, help="pages parquet path")
+    c.add_argument("--seeds", required=True,
+                   help="seed URL file (newline-delimited) or .csv with a url column")
+    c.add_argument("--warehouse", required=True, help="snapshot warehouse dir")
+    c.add_argument("--rounds", type=int, default=1)
+    c.add_argument("--robots", default=None, help="robots parquet (host, robots_txt)")
+    c.add_argument("--jsonl", default=None, help="also export articles as JSONL here")
+    c.add_argument("--follow-links", action="store_true")
+    c.add_argument("--budget", type=int, default=1_000_000,
+                   help="default per-host per-round fetch budget")
+    c.add_argument("--refetchsecs", type=int, default=10_800)
+    c.add_argument("--maxfetches", type=int, default=8)
+    c.add_argument("--partitions", type=int, default=32)
+
+    e = sub.add_parser("extract", help="one-shot extraction, no frontier state")
+    e.add_argument("--pages", required=True)
+    e.add_argument("--out", required=True, help="articles parquet output path")
+    return p
+
+
+def _session(partitions: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder
+        .appName("risjbot_spark")
+        .config("spark.sql.shuffle.partitions", str(partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main(argv=None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    own_session = spark is None
+
+    if args.cmd == "extract":
+        spark = spark or _session(32)
+        from pyspark.sql import functions as F
+
+        from .udfs import extract_article_udf
+
+        pages = spark.read.parquet(args.pages)
+        out = pages.withColumn(
+            "article",
+            extract_article_udf(
+                F.col("html"), F.col("url"),
+                F.date_format("warc_ts", "EEE, dd MMM yyyy HH:mm:ss 'GMT'"),
+                F.lit(None).cast("string")),
+        ).select(F.col("url").alias("fetch_url"), "warc_ts", "article.*")
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"extracted {n} articles -> {args.out}")
+        if own_session:
+            spark.stop()
+        return 0
+
+    # crawl
+    spark = spark or _session(args.partitions)
+    from datetime import datetime, timezone
+
+    from .crawl import CrawlConfig, CrawlEngine
+    from .frontier.state import RefetchConfig
+    from .sources import seeds_from_csv, seeds_from_textfile
+
+    pages = spark.read.parquet(args.pages)
+    robots = (spark.read.parquet(args.robots).select("host", "robots_txt")
+              if args.robots else None)
+    seeds = (seeds_from_csv(spark, args.seeds) if args.seeds.endswith(".csv")
+             else seeds_from_textfile(spark, args.seeds))
+    from pyspark.sql import functions as F
+    seeds = seeds.select("url").withColumn("priority", F.lit(0))
+
+    cfg = CrawlConfig(
+        refetch=RefetchConfig(maxfetches=args.maxfetches,
+                              refetchsecs=args.refetchsecs),
+        default_budget=args.budget,
+        num_partitions=args.partitions,
+        follow_links=args.follow_links,
+    )
+    eng = CrawlEngine(spark, args.warehouse, pages, robots, cfg)
+    start = datetime.now(timezone.utc).replace(microsecond=0)
+    lineages = eng.run(seeds, rounds=args.rounds, start_ts=start)
+    n = eng.articles_table.read().count()
+    print(f"crawled {args.rounds} round(s): {n} articles; "
+          f"lineage: {lineages}")
+    if args.jsonl:
+        eng.export_jsonl(args.jsonl)
+        print(f"JSONL -> {args.jsonl}")
+    if own_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -115,7 +115,9 @@ def stream_extract_articles(pages_stream: DataFrame) -> DataFrame:
             extract_article_udf(F.col("html"), F.col("url"), fetchtime,
                                 F.lit(None).cast("string")),
         )
-        .select("url", "warc_ts", "article.*")
+        # the struct carries its own `url` (canonical-link override,
+        # loaders.py:145) — keep the fetched URL under a distinct name
+        .select(F.col("url").alias("fetch_url"), "warc_ts", "article.*")
     )
 
 

@@ -235,7 +235,7 @@ def test_stream_extract_articles_matches_batch(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.processAllAvailable()
     q.stop()
-    got = {r["url"]: (r["headline"], r["bodytext"], r["status"])
+    got = {r["fetch_url"]: (r["headline"], r["bodytext"], r["status"])
            for r in spark.sql("select * from stream_articles").collect()}
     want = {r["url"]: r["text"] for r in batch.select("url", "text").collect()}
     assert len(got) == 40
