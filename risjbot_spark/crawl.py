@@ -109,6 +109,9 @@ class CrawlEngine:
         self.budgets = host_budgets(
             self.rules_map, self.cfg.round_seconds, self.cfg.default_budget
         )
+        # crash recovery BEFORE bloom setup: if a prior run died between
+        # the articles commit and the seen commit, roll the round forward
+        self._recover_incomplete_round()
         # bloom: reload from checkpoint; rebuild from the seen snapshot when
         # missing OR when the checkpoint was taken against a different seen
         # snapshot (time-travel resume / rollback). A bloom MISSING seen
@@ -127,6 +130,37 @@ class CrawlEngine:
                     self.cfg.bloom_buckets, self.cfg.bloom_bits_per_bucket)
                 if cur is not None:
                     self.bloom.add_df(self.seen().select("url_hash"))
+
+    def _recover_incomplete_round(self) -> None:
+        """Roll-forward recovery for the round's two-commit sequence.
+
+        run_round commits articles FIRST (carrying round + round_ts in
+        its manifest — the write-ahead record), then seen. A crash in
+        between leaves articles one round ahead of seen: on resume the
+        URLs would count as unfetched, get re-fetched, and append a
+        duplicate delta. Detect the gap by comparing the last committed
+        round on each table and complete the seen MERGE from the already-
+        committed articles delta — the same derivation run_round does,
+        so recovery is idempotent and deterministic."""
+        a_man = self.articles_table.manifest()
+        if a_man is None:
+            return
+        a_round = a_man.get("lineage", {}).get("round")
+        a_ts = a_man.get("lineage", {}).get("round_ts")
+        if a_round is None or a_ts is None:
+            return
+        s_man = self.seen_table.manifest()
+        s_round = (s_man or {}).get("lineage", {}).get("round")
+        if s_round is not None and s_round >= a_round:
+            return
+        delta_dir = a_man["files"][-1]
+        fetched_keys = self.spark.read.parquet(delta_dir).select(
+            "url_hash", "url_canon", "host")
+        self.seen_table.commit(
+            seen_updates(fetched_keys, datetime.fromisoformat(a_ts)),
+            lineage={"round": a_round, "recovered": True},
+            mode="append",
+        )
 
     def _bloom_marker(self) -> int | None:
         """Seen-table snapshot id the bloom checkpoint was written against."""
@@ -214,7 +248,28 @@ class CrawlEngine:
                 F.min_by("host", "_ord").alias("host"),
             )
         )
+        # lineage counters: downstream gate/schedule counts attach as
+        # Observation metrics riding the commit action (eager .count()s
+        # re-ran the whole frontier assembly per counter). frontier_in
+        # itself is counted eagerly on a CACHED fr: the bloom split's
+        # union-of-filters evaluates its upstream once per branch, so an
+        # observe node under it would double-count (and the cache also
+        # stops the double execution of canonicalize+dedup+robots).
+        observations = {}
+
+        def _observe(df, name):
+            if not cfg.collect_lineage:
+                return df
+            from pyspark.sql import Observation
+
+            obs = Observation(name)
+            observations[name] = obs
+            return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+        fr_cached = None
         if cfg.collect_lineage:
+            fr_cached = fr.cache()
+            fr = fr_cached
             lineage["frontier_in"] = fr.count()
 
         # ---- robots (F11/J5)
@@ -234,8 +289,7 @@ class CrawlEngine:
             )
         else:
             eligible = seen_filter(fr, seen, cfg.refetch, round_ts)
-        if cfg.collect_lineage:
-            lineage["after_seen_gate"] = eligible.count()
+        eligible = _observe(eligible, "after_seen_gate")
 
         # ---- politeness (W1/W3) + deterministic order
         scheduled = politeness_schedule(
@@ -243,8 +297,10 @@ class CrawlEngine:
         )
         if with_order_audit:
             scheduled = fetch_order_key(scheduled)
-        if cfg.collect_lineage:
-            lineage["scheduled"] = scheduled.count()
+        # the trim path re-executes `scheduled` on compaction rounds; an
+        # Observation is single-action, so only the fetch path is observed
+        scheduled_plain = scheduled
+        scheduled = _observe(scheduled, "scheduled")
 
         # ---- fetch stage. Corpus-join mode (this harness): the per-round
         # frontier (bounded by politeness budgets) broadcasts into the
@@ -341,14 +397,22 @@ class CrawlEngine:
                 ).agg(F.count("*").alias("n")).collect()
             }
         _mark("plan_build")
+        # round_ts rides the manifest: the articles commit doubles as the
+        # round's write-ahead record, and crash recovery (see
+        # _recover_incomplete_round) replays the seen MERGE from it
         self.articles_table.commit(
             items, lineage={"round": round_no, **lineage,
+                            "round_ts": round_ts.isoformat(),
                             "per_partition_extracted": part_lineage},
             mode="append",
         )
         _mark("extract_and_commit_articles")
         if cfg.collect_lineage:
             articles.unpersist()
+            for name, obs in observations.items():
+                lineage[name] = obs.get["n"]
+            if fr_cached is not None:
+                fr_cached.unpersist()
         delta_dir = self.articles_table.manifest()["files"][-1]
         self.last_delta_dir = delta_dir
         fetched_keys = self.spark.read.parquet(delta_dir).select(
@@ -365,8 +429,16 @@ class CrawlEngine:
         if compact:
             new_seen = merge_seen(seen, fetched_keys, round_ts)
             if cfg.refetch.trimdb:
-                new_seen = trim_seen(new_seen, fetched_keys, cfg.refetch,
-                                     round_ts)
+                # protect REQUESTED keys, as the reference's keysrqd does
+                # (refetchcontrol.py:150-193) — a scheduled key whose
+                # fetch failed (missing page, fake404) must survive the
+                # trim to be retried. Fetched keys can never be stale
+                # (their last_fetch is this round), so passing them here
+                # was a no-op; `scheduled` recomputes the gate pipeline,
+                # acceptable on the rare compaction round.
+                new_seen = trim_seen(
+                    new_seen, scheduled_plain.select("url_hash"),
+                    cfg.refetch, round_ts)
             self.seen_table.commit(
                 new_seen, lineage={"round": round_no, "counters": lineage,
                                    "compacted": True},
@@ -437,6 +509,15 @@ class CrawlEngine:
         eligible each round) and are passed as literals — determinism."""
         start_ts = start_ts or datetime(2017, 4, 1, tzinfo=timezone.utc)
         gap = round_gap_secs or self.cfg.refetch.refetchsecs
+        # normalize the seed shape ONCE: run_round accepts bare-url seeds
+        # (it defaults priority/discovered_ts), so the link-following
+        # union must too — selecting a missing priority column crashed,
+        # and re-selecting url+priority dropped a caller's discovered_ts
+        keep = [c for c in ("url", "priority", "discovered_ts")
+                if c in seeds.columns]
+        seeds = seeds.select(*keep)
+        if "priority" not in seeds.columns:
+            seeds = seeds.withColumn("priority", F.lit(0))
         out = []
         for r in range(rounds):
             ts = start_ts + timedelta(seconds=r * gap)
@@ -444,8 +525,13 @@ class CrawlEngine:
             if self.cfg.follow_links and r > 0:
                 disc = self.discovered_frontier()
                 if disc is not None:
-                    round_seeds = seeds.select("url", "priority").unionByName(
-                        disc.select("url", "priority"))
+                    sd = seeds
+                    if "discovered_ts" in sd.columns:
+                        # outlinks carry no discovery time; stamp with the
+                        # round literal so the union stays deterministic
+                        disc = disc.withColumn(
+                            "discovered_ts", F.lit(ts).cast("timestamp"))
+                    round_seeds = sd.unionByName(disc)
             out.append(self.run_round(round_seeds, r, ts))
         return out
 
@@ -478,9 +564,14 @@ def fetch_stage(
 
     from pyspark.sql import types as T
 
+    from .frontier.politeness import _norm_host
+
     do_sleep = sleep_fn or _t.sleep
+    # normalize both the rule keys and (below) the row hosts the same way
+    # every other robots consumer does — an un-normalized 'www.' mismatch
+    # would silently zero the Crawl-delay and break the rate bound
     delays = {
-        host: (r.crawl_delay or default_delay)
+        _norm_host(host): (r.crawl_delay or default_delay)
         for host, r in (rules_map or {}).items()
     }
     out_schema = T.StructType(
@@ -511,6 +602,8 @@ def _paced_fetch_partition(pdf, in_cols, out_cols, delays, salt,
 
     import pandas as pd
 
+    from .frontier.politeness import _norm_host
+
     pdf = pdf.sort_values(
         ["priority", "discovered_ts", "url_hash"],
         ascending=[False, True, True])
@@ -518,7 +611,7 @@ def _paced_fetch_partition(pdf, in_cols, out_cols, delays, salt,
     rows = []
     for rec in pdf.to_dict("records"):
         host = rec["host"]
-        delay = delays.get(host, default_delay) * salt
+        delay = delays.get(_norm_host(host or ""), default_delay) * salt
         if delay > 0 and host in last_fetch_at:
             wait = delay - (_t.monotonic() - last_fetch_at[host])
             if wait > 0:

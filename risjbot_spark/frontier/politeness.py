@@ -54,11 +54,17 @@ class RobotsRules:
 
 
 def parse_robots(robots_txt: str) -> RobotsRules:
+    """RFC 9309 grouping: consecutive ``User-agent`` lines share ONE rule
+    set; the group applies to us if ANY of its agents is ``*``. A
+    ``User-agent`` line after rules starts a new group (a naive
+    per-line ``applies = (val == '*')`` drops the rules of
+    ``User-agent: *\\nUser-agent: SomeBot\\nDisallow: /x`` groups)."""
     disallow: list[str] = []
     allow: list[str] = []
     delay: float | None = None
     sitemaps: list[str] = []
-    applies = False
+    applies = False        # current group contains '*'
+    in_ua_block = False    # last significant line was a User-agent line
     for raw in (robots_txt or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -66,8 +72,13 @@ def parse_robots(robots_txt: str) -> RobotsRules:
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
-            applies = val == "*"
-        elif key == "sitemap":
+            if not in_ua_block:       # new group starts
+                applies = False
+                in_ua_block = True
+            applies = applies or val == "*"
+            continue
+        in_ua_block = False
+        if key == "sitemap":
             sitemaps.append(val)
         elif applies and key == "disallow" and val:
             disallow.append(val)
@@ -105,6 +116,8 @@ def robots_filter(frontier: DataFrame, rules_map: dict[str, RobotsRules],
 
     @pandas_udf(T.BooleanType())
     def robots_allowed(host: pd.Series, url: pd.Series) -> pd.Series:
+        from urllib.parse import urlparse
+
         rules = bc.value
         out = []
         for h, u in zip(host, url):
@@ -112,7 +125,11 @@ def robots_filter(frontier: DataFrame, rules_map: dict[str, RobotsRules],
             if r is None:
                 out.append(True)
                 continue
-            path = "/" + u.split("://", 1)[-1].split("/", 1)[-1] if "/" in u.split("://", 1)[-1] else "/"
+            # urlparse, not string splitting: a hand-rolled split let the
+            # query string leak into the matched path (and mis-derived it
+            # entirely when the first '/' sat inside the query), diverging
+            # from the oracle's urlparse(url).path
+            path = urlparse(u).path or "/"
             out.append(r.allowed(path))
         return pd.Series(out)
 

@@ -424,3 +424,79 @@ def test_fetcher_mode_drops_non_2xx(spark, corpus, tmp_path):
     eng.run_round(seeds, 0, START)
     assert eng.articles_table.read().count() == 0
     assert eng.seen().count() == 0
+
+
+def test_follow_links_with_bare_url_seeds(spark, corpus, tmp_path):
+    """run() with follow_links must accept seeds without a priority
+    column (run_round defaults it) — the link-following union used to
+    crash selecting the missing column on round 1."""
+    cfg = CrawlConfig(refetch=RefetchConfig(maxfetches=3, refetchsecs=3600),
+                      default_budget=1000, num_partitions=4,
+                      follow_links=True, collect_lineage=False)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), corpus, None, cfg)
+    eng.run(corpus.select("url"), rounds=2, start_ts=START)  # bare url col
+    assert eng.articles_table.read().count() > 0
+
+
+def test_paced_fetch_delay_hits_www_hosts():
+    """Crawl-delay rules keyed by bare host must pace www.-host rows —
+    the raw-host lookup silently zeroed the delay."""
+    import pandas as pd
+
+    from risjbot_spark.crawl import _paced_fetch_partition
+    from risjbot_spark.frontier.politeness import _norm_host
+
+    rows = [{"url_canon": f"https://www.slow.example.com/{i}",
+             "host": "www.slow.example.com", "priority": 0,
+             "discovered_ts": i, "url_hash": i} for i in range(3)]
+    pdf = pd.DataFrame(rows)
+    sleeps = []
+    _paced_fetch_partition(
+        pdf, list(pdf.columns),
+        list(pdf.columns) + ["status", "html", "fetchtime_str"],
+        delays={_norm_host("slow.example.com"): 1.0}, salt=2,
+        default_delay=0.0,
+        fetcher=lambda u: (200, b"", "x GMT"), do_sleep=sleeps.append)
+    assert len(sleeps) == 2 and all(1.9 <= s <= 2.0 for s in sleeps)
+
+
+def test_crash_between_commits_recovers_without_duplicates(spark, corpus,
+                                                           tmp_path):
+    """Roll-forward recovery: a crash after the articles commit but
+    before the seen commit must not re-fetch the round's URLs — the new
+    engine completes the seen MERGE from the committed articles delta."""
+    from risjbot_spark.store.snapshots import SnapshotTable
+
+    cfg = CrawlConfig(refetch=RefetchConfig(maxfetches=3, refetchsecs=3600),
+                      num_partitions=4, collect_lineage=False,
+                      use_bloom=True, bloom_buckets=8)
+    wh = str(tmp_path / "wh")
+    eng = CrawlEngine(spark, wh, corpus, None, cfg)
+    seeds = corpus.select("url").withColumn("priority", F.lit(0))
+
+    orig = SnapshotTable.commit
+
+    def crash_on_seen(self, df, lineage=None, mode="replace"):
+        if self.name == "seen":
+            raise RuntimeError("simulated crash between commits")
+        return orig(self, df, lineage=lineage, mode=mode)
+
+    SnapshotTable.commit = crash_on_seen
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            eng.run_round(seeds, 0, START)
+    finally:
+        SnapshotTable.commit = orig
+    assert eng.articles_table.read().count() > 0
+    assert eng.seen_table.current_snapshot_id() is None   # crash state
+
+    # resume: recovery completes round 0's seen MERGE; round 1 inside
+    # refetchsecs must fetch nothing new
+    eng2 = CrawlEngine(spark, wh, corpus, None, cfg)
+    man = eng2.seen_table.manifest()
+    assert man["lineage"].get("recovered") and man["lineage"]["round"] == 0
+    n_before = eng2.articles_table.read().count()
+    assert eng2.seen().count() == n_before
+    eng2.run_round(seeds, 1, START + timedelta(seconds=60))
+    arts = eng2.articles_table.read()
+    assert arts.count() == n_before, "recovered engine re-fetched the round"

@@ -138,3 +138,39 @@ def test_xxhash64_matches_spark_fuzz(spark):
     }
     for u in urls:
         assert xxhash64(u) == got[u], repr(u)
+
+
+def test_parse_robots_multi_agent_group():
+    """RFC 9309: consecutive User-agent lines share one rule group; the
+    group applies when ANY of its agents is '*'."""
+    from risjbot_spark.frontier.politeness import parse_robots
+
+    r = parse_robots(
+        "User-agent: *\nUser-agent: SomeBot\nDisallow: /private\n\n"
+        "User-agent: OtherBot\nDisallow: /other\n")
+    assert r.disallow == ("/private",)      # group rules kept; OtherBot's not
+    r2 = parse_robots(
+        "User-agent: SomeBot\nUser-agent: *\nCrawl-delay: 2\nDisallow: /x\n")
+    assert r2.disallow == ("/x",) and r2.crawl_delay == 2.0
+    # a User-agent line AFTER rules starts a fresh group
+    r3 = parse_robots(
+        "User-agent: *\nDisallow: /a\nUser-agent: Bot\nDisallow: /b\n")
+    assert r3.disallow == ("/a",)
+
+
+def test_robots_filter_matches_path_not_query(spark):
+    """The matched path is urlparse().path — query strings neither leak
+    into the prefix match nor derail it (oracle parity)."""
+    from risjbot_spark.frontier.politeness import RobotsRules, robots_filter
+
+    rules = {"h.example.com": RobotsRules(disallow=("/private", "/y"))}
+    fr = spark.createDataFrame(
+        [("https://h.example.com/search?q=/private", "h.example.com"),
+         ("https://h.example.com/private/x", "h.example.com"),
+         ("https://h.example.com?x=/y", "h.example.com"),
+         ("https://h.example.com/ok", "h.example.com")],
+        "url_canon string, host string")
+    kept = {r.url_canon for r in robots_filter(fr, rules, spark).collect()}
+    assert kept == {"https://h.example.com/search?q=/private",
+                    "https://h.example.com?x=/y",
+                    "https://h.example.com/ok"}
