@@ -68,7 +68,10 @@ def _extract_links(root: Node, base_url: str, profile: SiteProfile) -> list[str]
             continue
         seen.add(absu)
         if profile.allowed_domains:
-            host = urlparse(absu).netloc.lower()
+            # hostname, not netloc: Scrapy's OffsiteMiddleware matches
+            # the port-free, userinfo-free hostname — netloc would drop
+            # on-site links like http://host:8080/x
+            host = (urlparse(absu).hostname or "").lower()
             if not any(host == d or host.endswith("." + d)
                        for d in profile.allowed_domains):
                 continue
@@ -113,7 +116,12 @@ def _add_schemaorg(loader: NewsItemLoader, root: Node, jsonld_blobs: list) -> No
     loader.add_value("keywords", data.get("keywords"))
     loader.add_value("headline", data.get("headline"))
     body = data.get("articleBody")
-    if isinstance(body, str):
+    if isinstance(body, list):
+        # array-valued articleBody: the reference passes it through
+        # unconditionally and bodytext_in's Join(' ') flattens it — a
+        # str-only gate dropped the highest-priority body try entirely
+        body = [b for b in body if isinstance(b, str)]
+    if body:
         loader.add_value("bodytext", body)
     loader.add_value("section", data.get("articleSection"))
     try:

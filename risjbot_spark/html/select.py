@@ -50,16 +50,30 @@ class _Step:
 
 
 def _parse_predicate(src: str, pos: int):
-    """Parse one boolean expression; returns (ast, new_pos)."""
-    node, pos = _parse_term(src, pos)
+    """Parse one boolean expression; returns (ast, new_pos).
+
+    XPath precedence: ``and`` binds tighter than ``or`` — a flat
+    left-associative chain evaluated ``a or b and c`` as
+    ``(a or b) and c`` and silently matched nothing."""
+    node, pos = _parse_and(src, pos)
     while True:
-        m = re.match(r"\s+(or|and)\s+", src[pos:])
+        m = re.match(r"\s+or\s+", src[pos:])
         if not m:
             return node, pos
-        op = m.group(1)
+        pos += m.end()
+        rhs, pos = _parse_and(src, pos)
+        node = ("or", node, rhs)
+
+
+def _parse_and(src: str, pos: int):
+    node, pos = _parse_term(src, pos)
+    while True:
+        m = re.match(r"\s+and\s+", src[pos:])
+        if not m:
+            return node, pos
         pos += m.end()
         rhs, pos = _parse_term(src, pos)
-        node = (op, node, rhs)
+        node = ("and", node, rhs)
 
 
 def _parse_term(src: str, pos: int):
@@ -181,6 +195,19 @@ def _eval_steps(contexts: list[Node], steps: tuple[_Step, ...]):
             return out_values
         if step.test.startswith("@"):
             assert is_last, "@attr must be the final step"
+            if step.axis == "descendant":
+                # `x//@a` = descendant-or-self::node()/@a — the attribute
+                # axis applies to every node in each context's subtree,
+                # the context node included (a child-axis-only read
+                # silently returned nothing for //@attr)
+                seen_ids = set()
+                expanded = []
+                for n in current:
+                    for d in n.iter():
+                        if id(d) not in seen_ids:
+                            seen_ids.add(id(d))
+                            expanded.append(d)
+                current = expanded
             return _eval_attr(current, steps, idx)
         nxt: list[Node] = []
         seen_ids = set()

@@ -148,16 +148,25 @@ def expand_sitemaps(feeds: DataFrame, bodies: DataFrame, max_depth: int = 5) -> 
     Spark shape of the reference's recursive callbacks."""
     result = None
     pending = feeds
+    cached = []
     for _ in range(max_depth):
         rows = expand_feeds(pending).cache()
+        cached.append(rows)
         leaves = rows.filter(F.col("kind") != "sitemapindex-child")
+        # materialize this level's leaves so earlier caches can release
+        # (the loop used to pin one cached DataFrame per level for the
+        # session's lifetime)
+        leaves = leaves.localCheckpoint(eager=True)
         result = leaves if result is None else result.unionByName(leaves)
-        children = rows.filter(F.col("kind") == "sitemapindex-child")
+        # distinct: duplicate (or mutually-referencing) sitemapindex
+        # entries would re-fetch and re-explode the same child each level
+        children = (rows.filter(F.col("kind") == "sitemapindex-child")
+                    .select(F.col("url").alias("feed_url")).distinct())
         if children.isEmpty():
             break
-        pending = children.select(F.col("url").alias("feed_url")).join(
-            bodies, "feed_url", "inner"
-        )
+        pending = children.join(bodies, "feed_url", "inner")
+    for c in cached:
+        c.unpersist()
     return result
 
 
@@ -185,7 +194,7 @@ def sitemaps_from_robots(robots: DataFrame) -> DataFrame:
     scrapy.utils.sitemap.sitemap_urls_from_robots via
     /root/reference/RISJbot/spiders/newssitemapspider.py:36-39)."""
     sm = F.expr(
-        r"""filter(transform(split(robots_txt, '\n'),
+        r"""filter(transform(split(robots_txt, '\r?\n'),
                    l -> CASE WHEN lower(trim(l)) LIKE 'sitemap:%'
                              THEN trim(substring(trim(l), 9)) END),
                    x -> x IS NOT NULL)"""

@@ -72,7 +72,11 @@ class SnapshotTable:
         Iceberg's append commit.
         """
         parent = self.current_snapshot_id()
-        sid = (parent or 0) + 1
+        # sid from the MAX existing id, not parent+1: after rollback(),
+        # parent+1 would reuse a live id and silently overwrite that
+        # snapshot's manifest (orphaning its data; breaking lineage)
+        existing = [m["id"] for m in self.snapshots()]
+        sid = max(existing, default=0) + 1
         data_dir = os.path.join(self.dir, f"snap-{sid}-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(data_dir)
         files = [data_dir]
@@ -136,7 +140,14 @@ class SnapshotTable:
         snaps = self.snapshots()
         if len(snaps) <= keep_last:
             return []
-        live, dead = snaps[-keep_last:], snaps[:-keep_last]
+        # CURRENT is always live regardless of age: after rollback() the
+        # live snapshot may be older than the newest keep_last, and
+        # expiring it would destroy the table's state (Iceberg's expire
+        # likewise never removes the current snapshot)
+        cur = self.current_snapshot_id()
+        live = [m for m in snaps[-keep_last:]] + [
+            m for m in snaps[:-keep_last] if m["id"] == cur]
+        dead = [m for m in snaps[:-keep_last] if m["id"] != cur]
         live_files = {f for m in live for f in m["files"]}
         expired = []
         for m in dead:

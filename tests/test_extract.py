@@ -274,3 +274,30 @@ def test_comments_fields_flow_identity_multivalued():
     assert item["comments"] == ["first comment", "second comment"]
     names = [f.name for f in ARTICLE_STRUCT.fields]
     assert "rawcomments" in names and "comments" in names
+
+
+def test_jsonld_array_articlebody_joined():
+    """Array-valued JSON-LD articleBody joins with ' ' (the reference's
+    bodytext_in Join) instead of being dropped for the fallback."""
+    import json as _json
+
+    ld = _json.dumps({"@context": "https://schema.org",
+                      "@type": "NewsArticle",
+                      "articleBody": ["Para one.", "Para two."]})
+    html = (f'<html><head><script type="application/ld+json">{ld}</script>'
+            '</head><body><p>fallback</p></body></html>').encode()
+    item = extract_article(html, "https://example.org/a").item
+    assert item["bodytext"] == "Para one. Para two."
+
+
+def test_offsite_filter_ignores_port_and_userinfo():
+    html = (b'<html><body>'
+            b'<a href="http://www.independent.co.uk:8080/x">p</a>'
+            b'<a href="http://user@independent.co.uk/y">u</a>'
+            b'<a href="http://offsite.invalid/z">o</a>'
+            b'<p itemprop="articleBody">t</p></body></html>')
+    out = extract_article(html, "https://www.independent.co.uk/a")
+    links = out.item.get("links") or out.links
+    assert "http://www.independent.co.uk:8080/x" in links
+    assert "http://user@independent.co.uk/y" in links
+    assert all("offsite.invalid" not in l for l in links)

@@ -90,3 +90,20 @@ def test_child_text_step():
     r = parse_html(b"<html><body><a>x<span>y</span>z</a></body></html>")
     assert xpath(r, "//a/text()") == ["x", "z"]
     assert xpath(r, "//a//text()") == ["x", "y", "z"]
+
+
+def test_predicate_and_binds_tighter_than_or():
+    # XPath precedence: a or (b and c), not (a or b) and c
+    doc = parse_html(b'<html><body><div class="a">X</div>'
+                     b'<div class="b">Y</div>'
+                     b'<div class="b c">Z</div></body></html>')
+    got = xpath(doc, '//div[contains(@class,"a") or '
+                     'contains(@class,"b") and contains(@class,"c")]//text()')
+    assert got == ["X", "Z"]
+
+
+def test_descendant_attribute_axis():
+    doc = parse_html(b'<html><body><a href="x">l</a>'
+                     b'<p><a href="y">m</a></p></body></html>')
+    assert xpath(doc, "//@href") == ["x", "y"]
+    assert xpath(doc, "//p//@href") == ["y"]

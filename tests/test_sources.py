@@ -152,3 +152,17 @@ def test_recent_sitemap_filter(spark):
     got = {r["url"] for r in recent_sitemap_filter(
         urls, days=1, today=date(2017, 3, 9)).collect()}
     assert got == {"https://h/sitemap_20170308-20170309.xml"}
+
+
+def test_sitemaps_from_robots_crlf(spark):
+    """CRLF robots.txt (IIS/CDN-common) must not leave trailing \\r on
+    the extracted sitemap URLs — a '\\r'-suffixed seed silently misses
+    every subsequent body join and fetch."""
+    from risjbot_spark.sources.feeds import sitemaps_from_robots
+
+    robots = spark.createDataFrame(
+        [("h.example.com",
+          "User-agent: *\r\nSitemap: https://h.example.com/news.xml\r\n")],
+        "host string, robots_txt string")
+    rows = sitemaps_from_robots(robots).collect()
+    assert [r.url for r in rows] == ["https://h.example.com/news.xml"]

@@ -58,3 +58,32 @@ def test_expire_append_table_keeps_live_files(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     # newest append manifest references ALL data dirs → nothing deleted
     assert {r["x"] for r in t.read().collect()} == {0, 1, 2, 3}
+
+
+def test_commit_after_rollback_never_reuses_snapshot_id(spark, tmp_path):
+    """A commit after rollback must allocate a FRESH id — parent+1 would
+    overwrite an existing snapshot's manifest and orphan its data."""
+    t = SnapshotTable(spark, str(tmp_path), "t")
+    t.commit(_df(spark, [1]))
+    t.commit(_df(spark, [2]))
+    t.commit(_df(spark, [3]))
+    t.rollback(1)
+    sid = t.commit(_df(spark, [9]))
+    assert sid == 4                                     # not 2
+    # every older snapshot still reads exactly as written
+    assert {r["x"] for r in t.read(snapshot_id=2).collect()} == {2}
+    assert {r["x"] for r in t.read(snapshot_id=3).collect()} == {3}
+    assert {r["x"] for r in t.read().collect()} == {9}
+    assert t.manifest()["parent"] == 1                  # true lineage
+
+
+def test_expire_never_removes_current_after_rollback(spark, tmp_path):
+    """expire_snapshots must keep whatever CURRENT points to, however
+    old — deleting the live snapshot destroys the table's state."""
+    t = SnapshotTable(spark, str(tmp_path), "t")
+    for i in range(1, 6):
+        t.commit(_df(spark, [i]))
+    t.rollback(1)
+    expired = t.expire_snapshots(keep_last=2)
+    assert 1 not in expired
+    assert {r["x"] for r in t.read().collect()} == {1}  # still readable
