@@ -30,9 +30,18 @@ def extract_jsonld_blobs(root: Node) -> tuple[list, int]:
     failed = 0
     for text in xpath(root, '//script[@type="application/ld+json"]/text()'):
         try:
-            blobs.append(json.loads(text))
+            parsed = json.loads(text)
         except json.JSONDecodeError:
             failed += 1
+            continue
+        # top-level arrays flatten into individual blocks — the
+        # reference's JsonLdExtractor does the same, and the NewsArticle
+        # merge below only understands dicts (an array-wrapped block
+        # would silently contribute nothing)
+        if isinstance(parsed, list):
+            blobs.extend(parsed)
+        else:
+            blobs.append(parsed)
     return blobs, failed
 
 

@@ -18,9 +18,15 @@ VOID_ELEMENTS = frozenset(
     }
 )
 
-# Elements whose content is raw text (html.parser already switches to CDATA
-# mode for these and does not convert character references inside them).
-_RAWTEXT = frozenset({"script", "style"})
+def _first_wins_attrib(attrs) -> dict:
+    """Duplicate attributes keep the FIRST occurrence — lxml/libxml2
+    semantics; a dict comprehension kept the last and flipped extracted
+    metadata on templated markup with repeated attrs."""
+    out: dict = {}
+    for k, v in attrs:
+        if k not in out:
+            out[k] = v if v is not None else ""
+    return out
 
 
 class Node:
@@ -67,6 +73,19 @@ class Node:
             if c.tail:
                 yield c.tail
 
+    def itertext_with_ids(self):
+        """(identity, text) pairs for every text node in this subtree, in
+        document order. The identity — (owner element id, slot) — lets
+        node-SET consumers deduplicate when context nodes are nested
+        (lxml's //x//text() returns each text node once; naive per-context
+        itertext() emitted a nested match's text twice)."""
+        if self.text:
+            yield (id(self), "text"), self.text
+        for c in self.children:
+            yield from c.itertext_with_ids()
+            if c.tail:
+                yield (id(c), "tail"), c.tail
+
     def text_content(self) -> str:
         return "".join(self.itertext())
 
@@ -98,13 +117,13 @@ class _TreeBuilder(HTMLParser):
 
     # -- HTMLParser callbacks -------------------------------------------
     def handle_starttag(self, tag, attrs):
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        node = Node(tag, _first_wins_attrib(attrs))
         self._top().append(node)
         if tag not in VOID_ELEMENTS:
             self._stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        node = Node(tag, _first_wins_attrib(attrs))
         self._top().append(node)
 
     def handle_endtag(self, tag):

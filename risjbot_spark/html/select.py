@@ -186,12 +186,28 @@ def _eval_steps(contexts: list[Node], steps: tuple[_Step, ...]):
         is_last = idx == len(steps) - 1
         if step.test == "text()":
             assert is_last, "text() must be the final step"
+            # node-SET semantics: each text node once, even when one
+            # matched context is nested inside another (lxml returns
+            # 'Hello' once for //div[...]//text() on story-body markup
+            # where the container matches its own descendant; a naive
+            # per-context itertext() doubled it). Contexts arrive in
+            # document order, so first-wins dedup preserves order.
             out_values = []
+            seen_txt: set = set()
             for n in current:
                 if step.axis == "descendant":
-                    out_values.extend(t for t in n.itertext())
+                    for key, t in n.itertext_with_ids():
+                        if key not in seen_txt:
+                            seen_txt.add(key)
+                            out_values.append(t)
                 else:
-                    out_values.extend(_child_texts(n))
+                    if n.text and (id(n), "text") not in seen_txt:
+                        seen_txt.add((id(n), "text"))
+                        out_values.append(n.text)
+                    for c in n.children:
+                        if c.tail and (id(c), "tail") not in seen_txt:
+                            seen_txt.add((id(c), "tail"))
+                            out_values.append(c.tail)
             return out_values
         if step.test.startswith("@"):
             assert is_last, "@attr must be the final step"

@@ -59,7 +59,15 @@ def to_jsonl_compat(
     if not strip_raw_page:
         if pages is None:
             raise ValueError("pages table required to emit rawpagegzipb64")
-        pg = pages.select(F.col("url").alias("_pg_url"), "html")
+        # join on the CANONICAL page url: articles carry url_canon, and a
+        # raw-url join silently nulled the raw page for every host whose
+        # canonicalization touches the URL (query strip, domain rewrite);
+        # dropDuplicates guards multi-row pages from fanning out articles
+        from .urlnorm import with_canonical
+
+        pg = (with_canonical(pages.select("url", "html"))
+              .select(F.col("url_canon").alias("_pg_url"), "html")
+              .dropDuplicates(["_pg_url"]))
         df = df.join(pg, df.url_canon == F.col("_pg_url"), "left") \
                .withColumn("rawpagegzipb64", gzip_b64_udf(F.col("html"))) \
                .drop("_pg_url", "html")

@@ -67,35 +67,6 @@ def extract_article_udf(
 extract_article_udf = extract_article_udf.asNondeterministic()
 
 
-# --- frontier-source / link UDFs -------------------------------------------
-
-@pandas_udf(T.ArrayType(T.StringType()))
-def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
-    """All hrefs on the page, absolutized (S6 link-following source,
-    /root/reference/RISJbot/spiders/base/buzzfeednewscrawlspider.py:15-19).
-    Per-page dedup (the reference's `seen = set()`,
-    newssplashcrawlspider.py:57-64) is done here → F.explode downstream."""
-    from urllib.parse import urljoin
-
-    from .html import parse_html, xpath
-
-    out = []
-    for h, base in zip(html, base_url):
-        if h is None:
-            out.append([])
-            continue
-        root = parse_html(h)
-        seen: set[str] = set()
-        links: list[str] = []
-        for href in xpath(root, "//a/@href"):
-            absu = urljoin(base, href.strip())
-            if absu.startswith("http") and absu not in seen:
-                seen.add(absu)
-                links.append(absu)
-        out.append(links)
-    return pd.Series(out)
-
-
 # --- NLP UDFs usable standalone over any text column ------------------------
 
 @pandas_udf(T.StructType([
@@ -127,10 +98,12 @@ def named_people_udf(text: pd.Series) -> pd.Series:
 
 
 def wordcount_expr(col):
-    """A2 word count, JVM-side: len(str.split()) semantics = split on
-    \\s+ with leading/trailing runs dropped
-    (/root/reference/RISJbot/pipelines/wordcount.py:15)."""
-    trimmed = F.trim(col)
-    return F.when(trimmed == "", 0).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    ).cast("int")
+    """A2 word count, JVM-side: len(str.split()) semantics
+    (/root/reference/RISJbot/pipelines/wordcount.py:15). Python's split()
+    splits on UNICODE whitespace and drops empty tokens at both ends —
+    Java's plain \\s is ASCII-only (missed the \\xa0 that &nbsp;
+    decodes to) and F.trim strips only spaces, so split+size over a
+    trimmed column both under- and over-counted. (?U) makes \\s match
+    Unicode whitespace; the filter drops the boundary empties."""
+    toks = F.filter(F.split(col, r"(?U)\s+"), lambda x: x != "")
+    return F.size(toks).cast("int")

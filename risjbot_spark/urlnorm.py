@@ -44,31 +44,43 @@ def host_expr(url: Column) -> Column:
     return F.lower(F.parse_url(url, F.lit("HOST")))
 
 
+def _suffix_pred(host: Column, domains) -> Column:
+    """host ∈ domain or a true subdomain of it — the dot boundary matters:
+    a bare endswith let 'thedailymail.co.uk' match 'dailymail.co.uk' and
+    applied per-host rewrites to foreign registrable domains."""
+    pred = F.lit(False)
+    for h in domains:
+        pred = pred | (host == F.lit(h)) | host.endswith(F.lit("." + h))
+    return pred
+
+
 def canonicalize_expr(url: Column) -> Column:
     """url → canonical url, entirely JVM-side.
 
     Order matters and mirrors the reference pipeline: strip fragment →
     strip tracking query (per-host) → rewrite equivalent domains.
     """
+    import re as _re
+
     # strip fragment always (Scrapy request fingerprints ignore fragments)
     u = F.split(url, "#", 2).getItem(0)
     host = host_expr(u)
 
     # per-host query stripping
-    strip_pred = F.lit(False)
-    for h in STRIP_QUERY_HOSTS:
-        strip_pred = strip_pred | host.endswith(F.lit(h))
-    u = F.when(strip_pred, F.split(u, r"\?", 2).getItem(0)).otherwise(u)
+    u = F.when(_suffix_pred(host, STRIP_QUERY_HOSTS),
+               F.split(u, r"\?", 2).getItem(0)).otherwise(u)
 
-    # equivalent-domain rewrite: replace '<scheme>://olddomain' prefix
+    # equivalent-domain rewrite when the netloc is EXACTLY the mapped
+    # domain (the reference middleware matches netloc equality); dots
+    # escaped, and the lookahead accepts end-of-url/query as well as '/'
+    # — the old '/'-suffixed unescaped pattern missed bare home URLs and
+    # false-matched hosts where '.' aligned with any character
     for old, new in EQUIVALENT_DOMAINS.items():
-        u = F.regexp_replace(u, rf"^(https?://){old}/", rf"$1{new}/")
+        u = F.regexp_replace(
+            u, rf"^(https?://){_re.escape(old)}(?=/|\?|$)", rf"$1{new}")
 
     # force IR=C for edition-redirect hosts (F6)
-    irc_pred = F.lit(False)
-    for h in FORCE_IRC_HOSTS:
-        irc_pred = irc_pred | host.endswith(F.lit(h))
-    needs_irc = irc_pred & ~u.contains("IR=C")
+    needs_irc = _suffix_pred(host, FORCE_IRC_HOSTS) & ~u.contains("IR=C")
     u = F.when(
         needs_irc & u.contains("?"), F.concat(u, F.lit("&IR=C"))
     ).when(needs_irc, F.concat(u, F.lit("?IR=C"))).otherwise(u)
@@ -92,20 +104,27 @@ def with_canonical(df, url_col: str = "url"):
 # pure-Python twin (oracle / tests)
 # ---------------------------------------------------------------------------
 
+def _suffix_match_py(host: str, domains) -> bool:
+    return any(host == h or host.endswith("." + h) for h in domains)
+
+
 def canonicalize_py(url: str) -> str:
     url = url.split("#", 1)[0]
     parts = urlparse(url)
-    host = parts.netloc.lower()
-    if any(host.endswith(h) for h in STRIP_QUERY_HOSTS):
+    # hostname, not netloc: matches Spark's parse_url(HOST), which strips
+    # port and userinfo — the twins must key rules identically
+    host = (parts.hostname or "").lower()
+    if _suffix_match_py(host, STRIP_QUERY_HOSTS):
         url = url.split("?", 1)[0]
         parts = urlparse(url)
-    if parts.netloc in EQUIVALENT_DOMAINS:
-        parts = parts._replace(netloc=EQUIVALENT_DOMAINS[parts.netloc])
+    if parts.netloc.lower() in EQUIVALENT_DOMAINS:
+        parts = parts._replace(netloc=EQUIVALENT_DOMAINS[parts.netloc.lower()])
         url = urlunparse(parts)
-    if any(host.endswith(h) for h in FORCE_IRC_HOSTS) and "IR=C" not in url:
+    if _suffix_match_py(host, FORCE_IRC_HOSTS) and "IR=C" not in url:
         url += "&IR=C" if "?" in url else "?IR=C"
     return url
 
 
 def host_py(url: str) -> str:
-    return urlparse(url).netloc.lower()
+    """Python twin of host_expr: port- and userinfo-free hostname."""
+    return (urlparse(url).hostname or "").lower()

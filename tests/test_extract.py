@@ -301,3 +301,28 @@ def test_offsite_filter_ignores_port_and_userinfo():
     assert "http://www.independent.co.uk:8080/x" in links
     assert "http://user@independent.co.uk/y" in links
     assert all("offsite.invalid" not in l for l in links)
+
+
+def test_jsonld_array_wrapped_block_flattened():
+    """Top-level array-wrapped JSON-LD blocks flatten into individual
+    blocks before the NewsArticle merge (JsonLdExtractor behavior)."""
+    import json as _json
+
+    ld = _json.dumps([{"@context": "https://schema.org",
+                       "@type": "NewsArticle", "headline": "Wrapped"}])
+    html = (f'<html><head><script type="application/ld+json">{ld}</script>'
+            '</head><body><p itemprop="articleBody">b</p></body></html>').encode()
+    assert extract_article(html, "https://example.org/a").item["headline"] == "Wrapped"
+
+
+def test_wordcount_matches_python_split(spark):
+    """A2 parity: len(str.split()) including Unicode whitespace (&nbsp;)
+    and boundary-empty drops."""
+    from pyspark.sql import functions as F
+
+    from risjbot_spark.udfs import wordcount_expr
+
+    samples = ["word1\xa0word2", "a b\n", "", "  x  ", "one", " \t "]
+    df = spark.createDataFrame([(s,) for s in samples], ["t"])
+    got = [r.wc for r in df.select(wordcount_expr(F.col("t")).alias("wc")).collect()]
+    assert got == [len(s.split()) for s in samples]

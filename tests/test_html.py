@@ -107,3 +107,22 @@ def test_descendant_attribute_axis():
                      b'<p><a href="y">m</a></p></body></html>')
     assert xpath(doc, "//@href") == ["x", "y"]
     assert xpath(doc, "//p//@href") == ["y"]
+
+
+def test_nested_descendant_text_emits_each_text_node_once():
+    """lxml node-set semantics: //x//text() returns each text node once
+    even when a matched container nests another match (bodytext byte
+    identity broke with doubled text otherwise)."""
+    doc = parse_html(
+        b'<html><body><div class="story-body">'
+        b'<div class="story-body__inner"><p>Hello</p></div>'
+        b'</div></body></html>')
+    assert xpath(doc, '//div[contains(@class, "story-body")]//text()') == ["Hello"]
+
+
+def test_duplicate_attributes_first_wins():
+    # lxml/libxml2 keep the first occurrence of a duplicated attribute
+    doc = parse_html(
+        b'<html><head><meta name="author" content="Jane" content="">'
+        b'</head><body></body></html>')
+    assert xpath(doc, 'head/meta[@name="author"]/@content') == ["Jane"]

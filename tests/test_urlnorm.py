@@ -75,3 +75,30 @@ def test_py_twin_matches_spark_fuzz(spark):
            df.select("url", canonicalize_expr(F.col("url")).alias("c")).collect()}
     for u in urls:
         assert got[u] == canonicalize_py(u), u
+
+
+def test_domain_boundary_and_home_url_rewrites():
+    # exact-suffix boundary: foreign registrable domains never rewritten
+    assert canonicalize_py("https://thedailymail.co.uk/a?id=3") == \
+        "https://thedailymail.co.uk/a?id=3"
+    assert canonicalize_py("https://notbusinessinsider.com/x") == \
+        "https://notbusinessinsider.com/x"
+    # bare home URL (no path) still gets the equivalent-domain rewrite
+    assert canonicalize_py("http://www.cnn.com") == "http://edition.cnn.com"
+    # unescaped-dot false positive: wwwxcnn.com must NOT rewrite
+    assert canonicalize_py("https://wwwxcnn.com/a") == "https://wwwxcnn.com/a"
+
+
+def test_expr_twin_matches_on_boundary_cases(spark):
+    cases = [
+        "https://thedailymail.co.uk/a?id=3",
+        "https://notbusinessinsider.com/x",
+        "http://www.cnn.com",
+        "https://wwwxcnn.com/a",
+        "http://www.cnn.com?x=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r["url"]: r["c"] for r in
+           df.select("url", canonicalize_expr(F.col("url")).alias("c")).collect()}
+    for u in cases:
+        assert got[u] == canonicalize_py(u), u
