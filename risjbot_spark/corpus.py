@@ -114,7 +114,16 @@ PATHWAYS = ("jsonld", "microdata", "opengraph", "dublincore", "readability",
 def pathway_for(i: int, host: str) -> str:
     if host in ("www.foxnews.com", "www.nbcnews.com") and i % 11 == 0:
         return "fake404"
-    return PATHWAYS[_h64(f"pw:{i}") % 6]  # first 6 pathways everywhere
+    # all non-fake404 pathways, weighted: the 6 main templates dominate,
+    # nulbytes/badjsonld appear at ~1/16 each so the StripNull parse path
+    # and the JSON-LD failure counter are actually exercised (a plain %6
+    # left both branches dead and FIXTURES.md's claims untrue)
+    h = _h64(f"pw:{i}") % 16
+    if h == 14:
+        return "nulbytes"
+    if h == 15:
+        return "badjsonld"
+    return PATHWAYS[h % 6]
 
 
 def build_html(i: int) -> tuple[str, str, str]:
@@ -173,7 +182,11 @@ def build_html(i: int) -> tuple[str, str, str]:
             f'<meta property="og:site_name" content="Site {host}">',
             f'<meta property="og:title" content="{headline}">',
             f'<meta property="og:description" content="{summary}">',
-            f'<meta property="article:published_time" content="{_iso(i, 30)}.123Z">',
+            # millisecond-ISO edge case (FIXTURES §8): _iso ends in 'Z', so
+            # splice '.123' BEFORE it — appending made 'Z.123Z', which no
+            # parser accepts and firstpubtime silently nulled
+            f'<meta property="article:published_time" '
+            f'content="{_iso(i, 30)[:-1]}.123Z">',
             f'<meta property="article:modified_time" content="{_iso(i, 2)}">',
             f'<meta property="article:section" content="{section}">',
             f'<meta property="article:author" content="By {author}">',

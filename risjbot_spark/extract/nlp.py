@@ -61,7 +61,7 @@ _LEXICON: dict[str, tuple[float, float]] = {
     "collapse": (-0.6, 0.5), "decline": (-0.4, 0.4), "cuts": (-0.2, 0.3),
 }
 
-_NEGATIONS = frozenset({"not", "no", "never", "n't", "cannot", "hardly"})
+_NEGATIONS = frozenset({"not", "no", "never", "cannot", "hardly"})
 _WORD_RE = re.compile(r"[A-Za-z']+")
 
 
@@ -76,7 +76,8 @@ def sentiment(text: str) -> tuple[float, float]:
         if entry is None:
             continue
         pol, subj = entry
-        if i > 0 and tokens[i - 1] in _NEGATIONS:
+        if i > 0 and (tokens[i - 1] in _NEGATIONS
+                      or tokens[i - 1].endswith("n't")):
             pol = -0.5 * pol  # pattern-style negation damping
         pols.append(pol)
         subjs.append(subj)

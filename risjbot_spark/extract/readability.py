@@ -40,10 +40,21 @@ def short_title(root: Node) -> str | None:
 
 
 def _paragraph_len(node: Node) -> int:
+    """Sum of text chars in the candidate's OUTERMOST text-tags: a text
+    tag nested in another (p inside blockquote/li) is skipped, since its
+    ancestor's text_content() already covers it — double-counting let
+    quote/list-heavy junk containers outscore the real body."""
     total = 0
-    for d in node.iter():
-        if d.tag in _TEXT_TAGS:
-            total += len(d.text_content().strip())
+
+    def walk(n: Node, inside_text_tag: bool) -> None:
+        nonlocal total
+        is_text = n.tag in _TEXT_TAGS
+        if is_text and not inside_text_tag:
+            total += len(n.text_content().strip())
+        for c in n.children:
+            walk(c, inside_text_tag or is_text)
+
+    walk(node, False)
     return total
 
 

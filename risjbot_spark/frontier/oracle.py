@@ -11,7 +11,6 @@ identical (url_canon, round, fetch order) and identical final seen state
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from datetime import datetime
 from urllib.parse import urlparse
 
@@ -19,12 +18,6 @@ from ..urlnorm import canonicalize_py, host_py
 from .politeness import RobotsRules
 from .state import RefetchConfig
 from .xxhash import xxhash64
-
-
-@dataclass
-class OracleResult:
-    fetch_log: list  # (round, url_canon, seq_in_round)
-    seen: dict       # url_canon -> (fetches, last_fetch)
 
 
 class CrawlOracle:
@@ -123,14 +116,17 @@ class CrawlOracle:
         # (consume budget) but raise before the item path — no article, no
         # seen upsert (fake404.py:48-58 + refetchcontrol.py:281-316).
         log = []
-        seq = 0
-        for row in taken:
+        for seq, row in enumerate(taken, start=1):
+            # seq numbers ALL scheduled rows — the engine's fetch_seq is
+            # a row_number over the scheduled frontier BEFORE the pages
+            # join, so failed/fake404 slots leave gaps in both sides
+            # identically (a fetched-only counter diverged from the
+            # engine whenever a failure preceded a success in-round)
             u = row["url_canon"]
             if u not in self.pages or u in self.fake404:
                 continue
             nf, _ = self.seen.get(u, (0, None))
             self.seen[u] = (nf + 1, round_ts)
-            seq += 1
             log.append((round_no, u, seq))
         return log
 

@@ -128,9 +128,13 @@ def _feature_of(kind: str, content: bytes) -> np.ndarray:
         arr = decode_image(content, fake=True).ravel()
     elif kind == "audio":
         arr = ((decode_audio(content, fake=True) + 1.0) * 127.5).astype(np.uint8)
-    else:
+    elif kind == "video":
         arr = np.concatenate(
             [f.ravel() for f in sample_video_frames(content, fake=True)])
+    else:
+        # fail fast: a None/unknown kind silently featurized as video
+        # would launder corrupt rows through dedup/embedding stages
+        raise ValueError(f"unknown media kind: {kind!r}")
     hist, _ = np.histogram(arr, bins=64, range=(0, 256))
     total = hist.sum() or 1
     return (hist / total).astype(np.float32)
