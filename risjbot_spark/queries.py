@@ -39,10 +39,48 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared-stage materialization
+# ---------------------------------------------------------------------------
+# The dedup family (minhash/LSH, n-gram Jaccard, simhash) all derive from
+# the same shingle pipeline, and several queries SELF-JOIN a signature
+# table. Without persist(), each plan reference re-derives the whole
+# documents→tokens→shingles subtree — up to 3 shingle scans in one query,
+# O(3×corpus) at 100 TB where the signature build dominates. persist()
+# registers the analyzed plan with Spark's CacheManager, so every later
+# reference — including both sides of a self-join inside ONE plan —
+# substitutes the InMemoryRelation and the pipeline runs once per
+# (session, sf). On a real cluster the equivalent is writing a signatures
+# table and joining it; MEMORY_AND_DISK is the single-job analogue (spills
+# instead of OOM-ing, never recomputes).
+
+_STAGE_CACHE: dict = {}
+
+
+def _cached_stage(spark, sf, key, build):
+    ck = (id(spark), sf, key)
+    df = _STAGE_CACHE.get(ck)
+    if df is None:
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        _STAGE_CACHE[ck] = df
+    return df
+
+
+def clear_stage_cache():
+    """Unpersist every cached stage (tests / long-lived sessions)."""
+    for df in _STAGE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _STAGE_CACHE.clear()
 
 
 # ---------------------------------------------------------------------------
@@ -360,26 +398,48 @@ def _shingle_rows(d):
     )
 
 
+def _distinct_shingles(spark, sf):
+    """THE shared dedup stage: distinct (doc_id, shingle) rows, cached.
+
+    Every signature in the family is a function of the distinct shingle
+    set — min(md5) over duplicates equals min over distinct, and simhash
+    already votes over distinct shingles — so minhash, Jaccard arrays,
+    and simhash all derive from this one cached table: one shingle scan
+    per (session, sf) instead of one per plan reference."""
+    return _cached_stage(
+        spark, sf, "shingles",
+        lambda: _shingle_rows(
+            _docs_with_mutants(spark, sf).withColumn("toks", _toks())
+        ).distinct())
+
+
+def _minhash_sig(spark, sf):
+    """Signature table (doc_id, band1, band2), cached — it is referenced
+    twice by the band self-join in _lsh_candidate_pairs."""
+    def build():
+        ex = _distinct_shingles(spark, sf)
+        sig = ex.groupBy("doc_id").agg(*[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"m{k}")
+            for k in range(6)
+        ])
+        return sig.select(
+            "doc_id",
+            F.md5(F.concat_ws("", "m0", "m1", "m2")).alias("band1"),
+            F.md5(F.concat_ws("", "m3", "m4", "m5")).alias("band2"),
+        )
+    return _cached_stage(spark, sf, "minhash_sig", build)
+
+
 def q_minhash_signature(spark, sf):
     """MinHash signatures: k=6 permutations via md5(seed||shingle); two
     LSH bands of 3 each. Signature table (doc → bands) is the join key
     for bucket-join dedup — computable in ANSI SQL on both engines."""
-    d = _docs_with_mutants(spark, sf).withColumn("toks", _toks())
-    ex = _shingle_rows(d)
-    sig = ex.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"m{k}")
-        for k in range(6)
-    ])
-    return sig.select(
-        "doc_id",
-        F.md5(F.concat_ws("", "m0", "m1", "m2")).alias("band1"),
-        F.md5(F.concat_ws("", "m3", "m4", "m5")).alias("band2"),
-    ).orderBy("doc_id")
+    return _minhash_sig(spark, sf).orderBy("doc_id")
 
 
 def _lsh_candidate_pairs(spark, sf):
     """Candidate near-dup pairs sharing either LSH band (unordered)."""
-    sig = q_minhash_signature(spark, sf)
+    sig = _minhash_sig(spark, sf)
     b1 = sig.select("doc_id", F.col("band1").alias("band"))
     b2 = sig.select("doc_id", F.col("band2").alias("band"))
     both = b1.unionAll(b2)
@@ -405,11 +465,10 @@ def q_ngram_jaccard_pairs(spark, sf):
     sf0.1; at 10^10 docs it is simply impossible), while candidates ≪
     pairs. Each candidate joins two per-doc distinct-shingle arrays;
     |∩| via array_intersect, keep |∩|/|∪| ≥ 0.5."""
-    d = _docs_with_mutants(spark, sf).withColumn("toks", _toks())
-    sh_arr = (
-        _shingle_rows(d).distinct()
-        .groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
-    )
+    sh_arr = _cached_stage(
+        spark, sf, "shingle_arrays",
+        lambda: _distinct_shingles(spark, sf)
+        .groupBy("doc_id").agg(F.collect_list("s").alias("sh")))
     cands = _lsh_candidate_pairs(spark, sf)
     a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
@@ -434,21 +493,25 @@ def _simhash_fp(spark, sf):
     hamming<=3); shingles are doc-specific so unrelated docs separate.
     One explode + one groupBy — map-side combinable, no skew (hashes are
     uniform), linear in corpus tokens. Docs under 3 tokens produce no
-    shingles and go unfingerprinted (exact dedup covers them)."""
-    d = _docs_with_mutants(spark, sf).withColumn("toks", _toks())
-    sh = _shingle_rows(d).distinct()
-    h = sh.withColumn(
-        "h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long"))
-    votes = h.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1))
-        .alias(f"v{b}")
-        for b in range(32)
-    ])
-    fp = sum(
-        F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        for b in range(32)
-    )
-    return votes.select("doc_id", fp.cast("long").alias("simhash"))
+    shingles and go unfingerprinted (exact dedup covers them).
+
+    Cached: the fingerprint table is referenced twice by the band
+    self-join in q_simhash_dup_pairs."""
+    def build():
+        sh = _distinct_shingles(spark, sf)
+        h = sh.withColumn(
+            "h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long"))
+        votes = h.groupBy("doc_id").agg(*[
+            F.sum(F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1))
+            .alias(f"v{b}")
+            for b in range(32)
+        ])
+        fp = sum(
+            F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+            for b in range(32)
+        )
+        return votes.select("doc_id", fp.cast("long").alias("simhash"))
+    return _cached_stage(spark, sf, "simhash_fp", build)
 
 
 def q_simhash_fingerprint(spark, sf):
@@ -509,21 +572,25 @@ def q_embedding_near_dup(spark, sf):
     turns the O(n²) cross join into per-bucket blocks — the 10^9-vector
     scale path; the brute-force twin (q_ann_cosine_topk) is the recall
     baseline. JVM higher-order functions only, no Python."""
-    e = _emb_with_mutants(spark, sf)
     # normalize ONCE per vector, not per pair: the higher-order
     # aggregate/zip_with exprs are interpreted (not codegen), so cosine
     # as dot-of-unit-vectors does 1 fold per candidate pair instead of 3
     # (measured 9.1 s → ~3 s at sf0.1; at 10^9 vectors the norms would
-    # be precomputed into the index anyway)
-    nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda acc, v: acc + v * v))
-    b = e.withColumn("nrm", nrm).withColumn(
-        "u", F.transform("emb", lambda v: v / F.col("nrm")))
-    bits = [
-        F.when(F.element_at("emb", i + 1) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
-        for i in range(8)
-    ]
-    b = b.withColumn("bucket", sum(bits).cast("int")).select(
-        "vec_id", "bucket", "u")
+    # be precomputed into the index anyway). Cached: the bucketed
+    # unit-vector table feeds both sides of the in-bucket self-join.
+    def build():
+        e = _emb_with_mutants(spark, sf)
+        nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda acc, v: acc + v * v))
+        b = e.withColumn("nrm", nrm).withColumn(
+            "u", F.transform("emb", lambda v: v / F.col("nrm")))
+        bits = [
+            F.when(F.element_at("emb", i + 1) >= 0,
+                   F.lit(2 ** i)).otherwise(F.lit(0))
+            for i in range(8)
+        ]
+        return b.withColumn("bucket", sum(bits).cast("int")).select(
+            "vec_id", "bucket", "u")
+    b = _cached_stage(spark, sf, "emb_unit_buckets", build)
     x, y = b.alias("x"), b.alias("y")
     j = x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
                & (F.col("x.vec_id") < F.col("y.vec_id")))
@@ -1029,7 +1096,8 @@ ORACLE_SQL = {
                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING) AS session_id
           FROM g)
-        SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
         FROM s GROUP BY user_id ORDER BY user_id""",
     "tumbling_window": """
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
