@@ -25,11 +25,15 @@ from pyspark.sql import functions as F
 
 from .frontier.bloom import PartitionedBloom
 from .frontier.politeness import (
+    _norm_host_expr,
     build_rules_map,
     fetch_order_key,
     host_budgets,
+    host_budgets_df,
+    parse_rules_df,
     politeness_schedule,
     robots_filter,
+    robots_filter_df,
     salted_repartition,
 )
 from .frontier.state import (
@@ -39,6 +43,7 @@ from .frontier.state import (
     seen_state,
     seen_updates,
     trawl_candidates,
+    trawl_candidates_pruned,
     trim_seen,
 )
 from .schema import SEEN_SCHEMA
@@ -73,6 +78,15 @@ class CrawlConfig:
     follow_links: bool = False
     link_allow: str = ""                 # regex; empty → allow all
     link_deny: str = ""                  # regex; empty → deny none
+    # robots/budget scale path: keep parsed rules in a DataFrame joined on
+    # host instead of a driver dict + plan literal. Output-identical
+    # (parity-tested); flip on when hosts outgrow driver memory
+    # (10^6-10^8 hosts — a 10^10-URL frontier). Default off: the dict
+    # path broadcasts once and skips a join at sandbox host counts.
+    robots_scale_path: bool = False
+    # J3a via manifest-stat/partition pruning instead of resolving the
+    # whole seen table each round (output-identical; parity-tested)
+    pruned_trawl: bool = True
 
 
 class CrawlEngine:
@@ -105,10 +119,26 @@ class CrawlEngine:
         self.pages = None if pages is None else with_canonical(pages).select(
             F.col("url_canon").alias("page_url"), "warc_ts", "html"
         )
-        self.rules_map = build_rules_map(robots) if robots is not None else {}
-        self.budgets = host_budgets(
-            self.rules_map, self.cfg.round_seconds, self.cfg.default_budget
-        )
+        self.rules_df = None
+        self.budgets_df = None
+        self._max_budget: int | None = None
+        if robots is not None and self.cfg.robots_scale_path:
+            # scale path: rules stay distributed — parse once per host
+            # (persisted so the parse runs once per engine, not per
+            # round), budgets join on host. The only driver-side scalar
+            # is max(budget), one agg at init for the presplit decision.
+            self.rules_map = {}
+            self.budgets = {}
+            self.rules_df = parse_rules_df(robots).persist()
+            self.budgets_df = host_budgets_df(
+                self.rules_df, self.cfg.round_seconds)
+            row = self.budgets_df.agg(F.max("budget")).first()
+            self._max_budget = max(self.cfg.default_budget, row[0] or 0)
+        else:
+            self.rules_map = build_rules_map(robots) if robots is not None else {}
+            self.budgets = host_budgets(
+                self.rules_map, self.cfg.round_seconds, self.cfg.default_budget
+            )
         # crash recovery BEFORE bloom setup: if a prior run died between
         # the articles commit and the seen commit, roll the round forward
         self._recover_incomplete_round()
@@ -135,13 +165,20 @@ class CrawlEngine:
         """Roll-forward recovery for the round's two-commit sequence.
 
         run_round commits articles FIRST (carrying round + round_ts in
-        its manifest — the write-ahead record), then seen. A crash in
-        between leaves articles one round ahead of seen: on resume the
-        URLs would count as unfetched, get re-fetched, and append a
-        duplicate delta. Detect the gap by comparing the last committed
-        round on each table and complete the seen MERGE from the already-
-        committed articles delta — the same derivation run_round does,
-        so recovery is idempotent and deterministic."""
+        its manifest — the write-ahead record), then seen (carrying the
+        SAME round_ts). A crash in between leaves the articles commit's
+        round_ts absent from seen: on resume the URLs would count as
+        unfetched, get re-fetched, and append a duplicate delta.
+
+        The round_ts TOKEN, not the round ordinal, detects the gap —
+        ordinals restart at 0 when a warehouse is reused across
+        invocations, which masked a crash in the second invocation's
+        round 0 (old s_round=2 >= new a_round=0). The gap must be
+        exactly one articles commit (seen's token == the parent articles
+        commit's token); a wider or asymmetric divergence cannot be
+        repaired by replaying one delta, so it raises instead of
+        silently corrupting fetch counts. Replaying the delta is
+        idempotent (resolved rows + latest-wins resolution)."""
         a_man = self.articles_table.manifest()
         if a_man is None:
             return
@@ -150,16 +187,26 @@ class CrawlEngine:
         if a_round is None or a_ts is None:
             return
         s_man = self.seen_table.manifest()
-        s_round = (s_man or {}).get("lineage", {}).get("round")
-        if s_round is not None and s_round >= a_round:
-            return
+        s_ts = (s_man or {}).get("lineage", {}).get("round_ts")
+        if s_ts == a_ts:
+            return                      # both commits landed
+        prev_man = (self.articles_table.manifest(a_man["parent"])
+                    if a_man.get("parent") is not None else None)
+        prev_ts = (prev_man or {}).get("lineage", {}).get("round_ts")
+        if s_ts != prev_ts:
+            raise RuntimeError(
+                f"seen/articles diverged by more than one commit "
+                f"(seen round_ts={s_ts!r}, articles parent "
+                f"round_ts={prev_ts!r}); roll both tables back to a "
+                f"matching snapshot pair before resuming")
         delta_dir = a_man["files"][-1]
         fetched_keys = self.spark.read.parquet(delta_dir).select(
-            "url_hash", "url_canon", "host")
+            "url_hash", "url_canon", "host", "previousfetches")
         self.seen_table.commit(
             seen_updates(fetched_keys, datetime.fromisoformat(a_ts)),
-            lineage={"round": a_round, "recovered": True},
+            lineage={"round": a_round, "round_ts": a_ts, "recovered": True},
             mode="append",
+            stats={"last_fetch_range": [a_ts, a_ts]},
         )
 
     def _bloom_marker(self) -> int | None:
@@ -217,7 +264,16 @@ class CrawlEngine:
             fr = fr.withColumn("discovered_ts", F.lit(round_ts).cast("timestamp"))
         fr = with_canonical(fr.select("url", "priority", "discovered_ts"))
 
-        trawl = trawl_candidates(seen, cfg.refetch, round_ts).select(
+        # pruned path: reads only manifest-stat / day-partition files the
+        # window can touch instead of resolving the whole table (identical
+        # output — parity-locked in tests); the unpruned resolve remains
+        # for tables without manifests (ad-hoc seen DataFrames)
+        if cfg.pruned_trawl:
+            trawl_rows = trawl_candidates_pruned(
+                self.spark, self.seen_table, cfg.refetch, round_ts)
+        else:
+            trawl_rows = trawl_candidates(seen, cfg.refetch, round_ts)
+        trawl = trawl_rows.select(
             F.col("url").alias("url"),
             F.lit(0).alias("priority"),
             F.col("last_fetch").alias("discovered_ts"),
@@ -275,6 +331,8 @@ class CrawlEngine:
         # ---- robots (F11/J5)
         if self.rules_map:
             fr = robots_filter(fr, self.rules_map, self.spark)
+        elif self.rules_df is not None:
+            fr = robots_filter_df(fr, self.rules_df)
 
         # ---- seen-set gate: bloom pre-filter + authoritative join (J1).
         # Definite-new URLs skip the join shuffle entirely; the filter is
@@ -293,7 +351,8 @@ class CrawlEngine:
 
         # ---- politeness (W1/W3) + deterministic order
         scheduled = politeness_schedule(
-            eligible, self.budgets, cfg.default_budget, self.spark
+            eligible, self.budgets, cfg.default_budget, self.spark,
+            budgets_df=self.budgets_df, max_budget=self._max_budget,
         )
         if with_order_audit:
             scheduled = fetch_order_key(scheduled)
@@ -313,15 +372,28 @@ class CrawlEngine:
         if self.fetcher is not None:
             # paced-fetch mode: salted layout + in-task Crawl-delay pacing;
             # non-2xx responses drop here (Scrapy's HttpError default —
-            # they never reach the spider, so no item and no seen upsert)
+            # they never reach the spider, so no item and no seen upsert).
+            # Scale path: the per-row crawl_delay joins on from the
+            # budgets table (Crawl-delay hosts only — small) instead of
+            # shipping a host→delay dict to every task.
+            sched_in = scheduled
+            if self.budgets_df is not None:
+                sched_in = sched_in.join(
+                    self.budgets_df.select(
+                        F.col("host_norm").alias("_cd_host"), "crawl_delay"),
+                    _norm_host_expr(F.col("host")) == F.col("_cd_host"),
+                    "left",
+                ).drop("_cd_host")
             fetched = (
                 fetch_stage(
-                    scheduled, self.fetcher, rules_map=self.rules_map,
+                    sched_in, self.fetcher, rules_map=self.rules_map,
                     num_partitions=cfg.num_partitions, salt=cfg.salt or 8,
                 )
                 .filter((F.col("status") >= 200) & (F.col("status") < 300))
                 .drop("status")
             )
+            if self.budgets_df is not None:
+                fetched = fetched.drop("crawl_delay")
             # RFC-1123 Date header → timestamp; weekday prefix stripped
             # ('EEE' is a format-only symbol — Spark's parser rejects it)
             fetched = fetched.withColumn(
@@ -416,7 +488,8 @@ class CrawlEngine:
         delta_dir = self.articles_table.manifest()["files"][-1]
         self.last_delta_dir = delta_dir
         fetched_keys = self.spark.read.parquet(delta_dir).select(
-            "url_hash", "url_canon", "host")  # column-pruned delta scan
+            "url_hash", "url_canon", "host",
+            "previousfetches")  # column-pruned delta scan
 
         # ---- seen MERGE (J2): merge-on-read. Normal rounds append only
         # this round's delta — the write is O(round keys), never
@@ -439,20 +512,31 @@ class CrawlEngine:
                 new_seen = trim_seen(
                     new_seen, scheduled_plain.select("url_hash"),
                     cfg.refetch, round_ts)
+            # base partitions by last-fetch day: the pruned trawl then
+            # skips day directories outside its window (file-level
+            # min/max pruning, SURVEY §4)
             self.seen_table.commit(
-                new_seen, lineage={"round": round_no, "counters": lineage,
-                                   "compacted": True},
+                new_seen.withColumn("lf_day", F.to_date("last_fetch")),
+                lineage={"round": round_no,
+                         "round_ts": round_ts.isoformat(),
+                         "counters": lineage, "compacted": True},
                 mode="replace",
+                partition_by=["lf_day"],
             )
             if cfg.expire_keep_last > 0:
                 # maintenance rides the compaction commit: pre-compaction
                 # delta snapshots age out once K newer ones exist
                 self.seen_table.expire_snapshots(cfg.expire_keep_last)
         else:
+            # delta stats: every row's last_fetch IS round_ts, so the
+            # manifest range enables whole-delta skips on pruned reads
+            rts_iso = round_ts.isoformat()
             self.seen_table.commit(
                 seen_updates(fetched_keys, round_ts),
-                lineage={"round": round_no, "counters": lineage},
+                lineage={"round": round_no, "round_ts": rts_iso,
+                         "counters": lineage},
                 mode="append",
+                stats={"last_fetch_range": [rts_iso, rts_iso]},
             )
         _mark("seen_merge_commit")
         if self.bloom is not None:
@@ -518,11 +602,21 @@ class CrawlEngine:
         seeds = seeds.select(*keep)
         if "priority" not in seeds.columns:
             seeds = seeds.withColumn("priority", F.lit(0))
+        # resume round numbering from the warehouse: restarting at 0 on a
+        # reused warehouse would both skew lineage and (before the
+        # round_ts token) mask crash recovery. Round timestamps stay a
+        # pure function of the absolute round number, so a resumed run's
+        # clock continues where the previous invocation stopped.
+        last = self.articles_table.manifest()
+        start_round = 0
+        if last is not None and last.get("lineage", {}).get("round") is not None:
+            start_round = last["lineage"]["round"] + 1
         out = []
-        for r in range(rounds):
+        for i in range(rounds):
+            r = start_round + i
             ts = start_ts + timedelta(seconds=r * gap)
             round_seeds = seeds
-            if self.cfg.follow_links and r > 0:
+            if self.cfg.follow_links and i > 0:
                 disc = self.discovered_frontier()
                 if disc is not None:
                     sd = seeds
@@ -556,10 +650,13 @@ def fetch_stage(
     corpus join remains the default fetch, same output contract).
 
     Politeness accounting: the salted layout spreads one host over at
-    most `salt` tasks, so each task sleeps `salt × crawl_delay` between
-    its same-host fetches — the global per-host request rate stays
-    ≤ 1/crawl_delay regardless of parallelism. `sleep_fn` is injectable
-    so pacing is unit-testable without wall-clock sleeps."""
+    most `salt` tasks, each sleeping `salt × crawl_delay` between its
+    same-host fetches, and a task's FIRST same-host fetch is staggered
+    by its salt lane (url_hash % salt) × crawl_delay — so the global
+    per-host request rate honors ≤ 1/crawl_delay instantaneously, not
+    just amortized (without the stagger, stage start could burst one
+    request per lane at once). `sleep_fn` is injectable so pacing is
+    unit-testable without wall-clock sleeps."""
     import time as _t
 
     from pyspark.sql import types as T
@@ -611,11 +708,28 @@ def _paced_fetch_partition(pdf, in_cols, out_cols, delays, salt,
     rows = []
     for rec in pdf.to_dict("records"):
         host = rec["host"]
-        delay = delays.get(_norm_host(host or ""), default_delay) * salt
+        # per-row crawl_delay column (scale path) beats the shipped dict
+        cd = rec.get("crawl_delay")
+        if cd is not None and not pd.isna(cd):
+            delay = float(cd) * salt
+        else:
+            delay = delays.get(_norm_host(host or ""), default_delay) * salt
         if delay > 0 and host in last_fetch_at:
             wait = delay - (_t.monotonic() - last_fetch_at[host])
             if wait > 0:
                 do_sleep(wait)
+        elif delay > 0:
+            # first same-host fetch in this task: offset by the row's salt
+            # lane (url_hash % salt) × crawl_delay. Without it, stage
+            # start could burst up to `salt` concurrent same-host requests
+            # (one per lane) before the per-lane pacing kicks in; the
+            # stagger separates lanes by one crawl_delay so the
+            # instantaneous rate honors the 1/crawl_delay bound, not just
+            # the amortized one (Scrapy download slots serialize
+            # per-domain — this is the distributed analogue).
+            lane_offset = (rec["url_hash"] % salt) * (delay / salt)
+            if lane_offset > 0:
+                do_sleep(lane_offset)
         status, body, date_hdr = fetcher(rec["url_canon"])
         last_fetch_at[host] = _t.monotonic()
         rows.append({**{c: rec[c] for c in in_cols},

@@ -141,6 +141,107 @@ def _norm_host(host: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# robots at scale: rules as a TABLE, not a driver dict
+# ---------------------------------------------------------------------------
+# build_rules_map/robots_filter collect every host's parsed rules into a
+# driver dict and broadcast it — exactly right while Crawl-delay hosts
+# number in the thousands, an OOM at a 10^10-URL frontier's 10^7-10^8
+# hosts. The scale path keeps rules in a DataFrame end to end: parse once
+# per distinct host (Arrow-batched pandas, the reference's one-robots-
+# fetch-per-host, settings.py:45), then equi-join the frontier on
+# normalized host. The join is left UNHINTED on purpose: AQE broadcasts
+# it while the rules table is small and falls back to a shuffle join when
+# it is not — and the politeness window shuffles by host right after, so
+# the shuffle-join case co-partitions with work the plan does anyway.
+# Prefix matching runs as JVM higher-order functions over the rule
+# arrays (filter/transform/array_max) — no Python in the frontier path.
+
+RULES_SCHEMA = T.StructType([
+    T.StructField("host_norm", T.StringType()),
+    T.StructField("disallow", T.ArrayType(T.StringType())),
+    T.StructField("allow", T.ArrayType(T.StringType())),
+    T.StructField("crawl_delay", T.DoubleType()),
+    T.StructField("sitemaps", T.ArrayType(T.StringType())),
+])
+
+
+def parse_rules_df(robots_df: DataFrame) -> DataFrame:
+    """(host, robots_txt) → parsed-rules table keyed by normalized host.
+
+    One parse per host row, Arrow-batched; conflicting www./apex rows for
+    the same normalized host keep an arbitrary one (the dict path's
+    last-write-wins analogue). Persist the result once per engine — the
+    parse then runs once, not once per round."""
+    def parse_batches(batches):
+        for pdf in batches:
+            rows = [
+                (_norm_host((h or "").lower()), list(r.disallow),
+                 list(r.allow), r.crawl_delay, list(r.sitemaps))
+                for h, r in (
+                    (h, parse_robots(txt or ""))
+                    for h, txt in zip(pdf["host"], pdf["robots_txt"])
+                )
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RULES_SCHEMA.fields])
+
+    return (
+        robots_df.select("host", "robots_txt")
+        .mapInPandas(parse_batches, RULES_SCHEMA)
+        .dropDuplicates(["host_norm"])
+    )
+
+
+def _prefix_match_len(arr, path_col):
+    """Length of the longest rule prefix matching `path_col` (null when
+    none match) — RFC 9309 longest-match, as a codegen-friendly HOF."""
+    return F.array_max(F.transform(
+        F.filter(arr, lambda p: path_col.startswith(p)),
+        F.length))
+
+
+def robots_filter_df(frontier: DataFrame, rules_df: DataFrame) -> DataFrame:
+    """F11/J5 at scale — robots gate as an equi-join on normalized host.
+
+    Longest-prefix-match with Allow winning ties, identical to
+    RobotsRules.allowed (parity-tested row-for-row against the dict
+    path): allowed iff no Disallow matches, or the best Allow match is
+    at least as long as the best Disallow match. Unknown hosts (left
+    join miss) are allowed — reference behavior: no robots.txt → crawl."""
+    rules = rules_df.select("host_norm", "disallow", "allow")
+    path = F.coalesce(
+        F.when(F.parse_url("url_canon", F.lit("PATH")) == "", None)
+        .otherwise(F.parse_url("url_canon", F.lit("PATH"))),
+        F.lit("/"))
+    joined = frontier.join(
+        rules, _norm_host_expr(F.col("host")) == F.col("host_norm"), "left")
+    dmax = _prefix_match_len(F.col("disallow"), path)
+    amax = _prefix_match_len(F.col("allow"), path)
+    allowed = (
+        F.col("host_norm").isNull()
+        | (F.coalesce(amax, F.lit(-1)) >= F.coalesce(dmax, F.lit(-2)))
+    )
+    return joined.filter(allowed).drop("host_norm", "disallow", "allow",
+                                       "crawl_delay", "sitemaps")
+
+
+def host_budgets_df(rules_df: DataFrame, round_seconds: int) -> DataFrame:
+    """Crawl-delay → per-host fetch budget, as a table (W3 scale path)."""
+    return (
+        rules_df
+        .filter(F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0))
+        .select(
+            "host_norm",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(round_seconds) / F.col("crawl_delay")),
+            ).cast("int").alias("budget"),
+            "crawl_delay",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-host budgets + priority window + salted layout
 # ---------------------------------------------------------------------------
 
@@ -167,6 +268,8 @@ def politeness_schedule(
     spark,
     presplit_threshold: int = 100_000,
     presplit_salt: int = 32,
+    budgets_df: DataFrame | None = None,
+    max_budget: int | None = None,
 ) -> DataFrame:
     """W1/W3 — per-host window rank by (priority DESC, discovered_ts,
     url_hash); keep rows within the host's budget. The rank IS the
@@ -186,20 +289,38 @@ def politeness_schedule(
     per-host rank (same order key, subset of the rows), so only rows
     already past budget are cut and the result is bit-identical; the
     exact window then sees ≤ salt×budget rows per host. Unbounded
-    budgets (this harness's corpus-join mode) skip the extra shuffle."""
-    budget_items = [(h, b) for h, b in budgets.items()]
-    if budget_items:
-        budget_map = F.create_map(
-            *[F.lit(x) for pair in budget_items for x in pair]
-        )
-        budget_col = F.coalesce(
-            budget_map[_norm_host_expr(F.col("host"))],
-            F.lit(default_budget),
-        )
-    else:
-        budget_col = F.lit(default_budget)
+    budgets (this harness's corpus-join mode) skip the extra shuffle.
 
-    max_budget = max([default_budget, *budgets.values()])
+    Scale path: pass `budgets_df` (host_norm, budget — host_budgets_df)
+    instead of the dict and the budget arrives via an equi-join on host
+    rather than a plan literal; AQE broadcasts it while small, shuffle-
+    joins when not (and the window shuffles by host anyway). Supply
+    `max_budget` (one agg at engine init) so the presplit decision
+    stays driver-side."""
+    drop_cols = []
+    if budgets_df is not None:
+        frontier = frontier.join(
+            budgets_df.select("host_norm", "budget"),
+            _norm_host_expr(F.col("host")) == F.col("host_norm"), "left")
+        budget_col = F.coalesce(F.col("budget"), F.lit(default_budget))
+        drop_cols = ["host_norm", "budget"]
+        if max_budget is None:
+            row = budgets_df.agg(F.max("budget")).first()
+            max_budget = max(default_budget, row[0] or 0)
+    else:
+        budget_items = [(h, b) for h, b in budgets.items()]
+        if budget_items:
+            budget_map = F.create_map(
+                *[F.lit(x) for pair in budget_items for x in pair]
+            )
+            budget_col = F.coalesce(
+                budget_map[_norm_host_expr(F.col("host"))],
+                F.lit(default_budget),
+            )
+        else:
+            budget_col = F.lit(default_budget)
+        max_budget = max([default_budget, *budgets.values()])
+
     if max_budget <= presplit_threshold:
         pre = Window.partitionBy(
             "host", F.pmod(F.col("url_hash"), F.lit(presplit_salt))
@@ -211,10 +332,11 @@ def politeness_schedule(
         )
 
     w = Window.partitionBy("host").orderBy(*order_cols())
-    return (
+    out = (
         frontier.withColumn("host_rank", F.row_number().over(w))
         .filter(F.col("host_rank") <= budget_col)
     )
+    return out.drop(*drop_cols) if drop_cols else out
 
 
 def _norm_host_expr(host):

@@ -24,7 +24,7 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -73,16 +73,36 @@ def seen_filter(
     )
 
 
-def seen_updates(fetched: DataFrame, round_ts: datetime) -> DataFrame:
-    """One round's seen-table delta: (url_hash, url, host, 1, round_ts)
-    per fetched key. This is the merge-on-read write unit — O(round
-    keys), never O(table)."""
+def seen_updates(fetched: DataFrame, round_ts: datetime,
+                 seen: DataFrame | None = None) -> DataFrame:
+    """One round's seen-table delta as RESOLVED rows: (url_hash, url,
+    host, previousfetches+1, round_ts) per fetched key — the Iceberg
+    MoR equality-upsert analogue, where a key's NEWEST row is its
+    complete state. O(round keys) to write, and — because no cross-delta
+    sum is needed to resolve — old files can be pruned from reads whose
+    predicate bounds last_fetch (the trawl; see
+    trawl_candidates_pruned). `previousfetches` is free at fetch time
+    (seen_filter annotates it); callers without it pass `seen` and the
+    prior count joins on (O(round) × resolved view)."""
+    if "previousfetches" not in fetched.columns:
+        if seen is None:
+            raise ValueError(
+                "fetched lacks previousfetches; pass seen to derive it")
+        fetched = (
+            fetched.join(
+                seen.select("url_hash", F.col("fetches").alias("_pf")),
+                "url_hash", "left_outer")
+            .withColumn(
+                "previousfetches",
+                F.coalesce(F.col("_pf"), F.lit(0)).cast("int"))
+            .drop("_pf")
+        )
     return (
         fetched.select(
             "url_hash",
             F.col("url_canon").alias("url"),
             "host",
-            F.lit(1).cast("int").alias("fetches"),
+            (F.col("previousfetches") + 1).cast("int").alias("fetches"),
             F.lit(round_ts).cast("timestamp").alias("last_fetch"),
         )
         .dropDuplicates(["url_hash"])  # one fetch per key per round
@@ -91,17 +111,18 @@ def seen_updates(fetched: DataFrame, round_ts: datetime) -> DataFrame:
 
 def seen_state(rows: DataFrame) -> DataFrame:
     """Resolve (base ∪ deltas) rows into current per-key state — the
-    merge-on-read view. Associative and idempotent (a compacted base is
-    a fixed point), so it applies uniformly whether the table holds one
-    compacted snapshot or base + K round deltas. Ties cannot occur on
-    last_fetch across deltas (round timestamps strictly increase) so
-    max_by is deterministic."""
+    merge-on-read view: LATEST ROW WINS (rows are resolved totals, not
+    increments). Associative and idempotent — a compacted base is a
+    fixed point, and replaying a delta is a no-op (crash-recovery
+    safety). Ties on last_fetch only occur between identical replayed
+    rows (round timestamps strictly increase; one fetch per key per
+    round), so max_by is deterministic."""
     return (
         rows.groupBy("url_hash")
         .agg(
             F.max_by("url", "last_fetch").alias("url"),
             F.max_by("host", "last_fetch").alias("host"),
-            F.sum("fetches").cast("int").alias("fetches"),
+            F.max_by("fetches", "last_fetch").cast("int").alias("fetches"),
             F.max("last_fetch").alias("last_fetch"),
         )
         .select("url_hash", "url", "host", "fetches", "last_fetch")
@@ -121,7 +142,8 @@ def merge_seen(
       WHEN NOT MATCHED THEN INSERT (url_hash, url, host, fetches, last_fetch)
       VALUES (f.url_hash, f.url_canon, f.host, 1, :ts)
     """
-    return seen_state(seen.unionByName(seen_updates(fetched, round_ts)))
+    return seen_state(
+        seen.unionByName(seen_updates(fetched, round_ts, seen=seen)))
 
 
 def trawl_candidates(
@@ -137,6 +159,91 @@ def trawl_candidates(
         & (age(F.col("last_fetch")) < cfg.age_limit_secs)
         & (F.col("fetches") < cfg.maxfetches)
     )
+
+
+def trawl_candidates_pruned(
+    spark, seen_table, cfg: RefetchConfig, round_ts: datetime
+):
+    """J3a with FILE-LEVEL pruning — the min/max pruning SURVEY §4
+    promises (reference's sqlite index scan, refetchcontrol.py:113-115,
+    becomes Iceberg-style manifest/partition pruning).
+
+    Sound because delta rows are RESOLVED (seen_updates): a key's newest
+    row carries its full state, so the scan only needs files that can
+    contain (a) rows inside the trawl window [round_ts-agelimit,
+    round_ts-refetchsecs] — candidate sources — and (b) rows newer than
+    the window — excluders, keys whose resolved last_fetch is too fresh.
+    Files wholly OLDER than the window never matter: every row in them
+    is superseded or out-of-window. Per manifest entry:
+      * flat delta dirs carry a last_fetch range in the manifest (the
+        round timestamp, constant per delta) → whole-file skip;
+      * the compacted base is written partitioned by lf_day → Spark
+        partition pruning skips day directories inside it.
+    At 10^10 keys with mostly-cold history this reads the recent tail of
+    the table instead of all of it. Output ≡ trawl_candidates(seen())
+    row-for-row (parity-tested)."""
+    man = seen_table.manifest()
+    age = _age_secs(round_ts)
+    if man is None or not man["files"]:
+        from ..schema import SEEN_SCHEMA
+
+        return spark.createDataFrame([], SEEN_SCHEMA).limit(0)
+    if not cfg.refetchfromdb:
+        return seen_table.read().select(
+            "url_hash", "url", "host", "fetches", "last_fetch").limit(0)
+    rts = round_ts.replace(tzinfo=None)
+    lo = rts - timedelta(seconds=cfg.age_limit_secs)   # exclusive
+    hi = rts - timedelta(seconds=cfg.refetchsecs)      # inclusive
+    cols = ["url_hash", "url", "host", "fetches", "last_fetch"]
+    meta = man.get("file_meta", {})
+    window_srcs, newer_srcs = [], []
+    for d in man["files"]:
+        m = meta.get(d, {})
+        pby = m.get("partition_by")
+        rng = m.get("last_fetch_range")
+        if pby:
+            df = spark.read.parquet(d)
+            day = F.col(pby[0])
+            window_srcs.append(
+                df.filter(day.between(F.lit(lo.date()), F.lit(hi.date())))
+                .select(*cols))
+            newer_srcs.append(
+                df.filter(day >= F.lit(hi.date())).select(*cols))
+        elif rng:
+            mn = datetime.fromisoformat(rng[0]).replace(tzinfo=None)
+            mx = datetime.fromisoformat(rng[1]).replace(tzinfo=None)
+            if mx > lo and mn <= hi:
+                window_srcs.append(spark.read.parquet(d).select(*cols))
+            if mx > hi:
+                newer_srcs.append(spark.read.parquet(d).select(*cols))
+        else:  # legacy dir without stats: cannot prune, read for both
+            df = spark.read.parquet(d).select(*cols)
+            window_srcs.append(df)
+            newer_srcs.append(df)
+
+    from functools import reduce
+
+    if not window_srcs:
+        from ..schema import SEEN_SCHEMA
+
+        return spark.createDataFrame([], SEEN_SCHEMA).limit(0)
+    window = reduce(lambda a, b: a.unionByName(b), window_srcs)
+    # latest-wins within the window subset is the key's true state: its
+    # globally-newest row is in-window for every surviving candidate
+    # (a newer-than-window row would anti-join it away below)
+    cand = seen_state(window).filter(
+        (age(F.col("last_fetch")) >= cfg.refetchsecs)
+        & (age(F.col("last_fetch")) < cfg.age_limit_secs)
+        & (F.col("fetches") < cfg.maxfetches)
+    )
+    if newer_srcs:
+        newer = reduce(lambda a, b: a.unionByName(b), newer_srcs)
+        fresh_keys = (
+            newer.filter(F.col("last_fetch") > F.lit(hi).cast("timestamp"))
+            .select("url_hash").distinct()
+        )
+        cand = cand.join(fresh_keys, "url_hash", "left_anti")
+    return cand
 
 
 def trim_seen(

@@ -61,13 +61,21 @@ def to_jsonl_compat(
             raise ValueError("pages table required to emit rawpagegzipb64")
         # join on the CANONICAL page url: articles carry url_canon, and a
         # raw-url join silently nulled the raw page for every host whose
-        # canonicalization touches the URL (query strip, domain rewrite);
-        # dropDuplicates guards multi-row pages from fanning out articles
+        # canonicalization touches the URL (query strip, domain rewrite).
+        # When several raw pages canonicalize to one URL the survivor is
+        # picked by a total order (newest warc_ts, then raw url, then
+        # content hash) — dropDuplicates kept an arbitrary row, making
+        # repeated exports differ byte-for-byte
         from .urlnorm import with_canonical
 
-        pg = (with_canonical(pages.select("url", "html"))
-              .select(F.col("url_canon").alias("_pg_url"), "html")
-              .dropDuplicates(["_pg_url"]))
+        extra = [c for c in ("warc_ts",) if c in pages.columns]
+        ord_cols = ([F.col("warc_ts")] if extra else []) + \
+            [F.col("url"), F.md5(F.col("html"))]
+        pg = (with_canonical(pages.select("url", "html", *extra))
+              .select(F.col("url_canon").alias("_pg_url"), "html",
+                      F.struct(*ord_cols).alias("_ord"))
+              .groupBy("_pg_url")
+              .agg(F.max_by("html", "_ord").alias("html")))
         df = df.join(pg, df.url_canon == F.col("_pg_url"), "left") \
                .withColumn("rawpagegzipb64", gzip_b64_udf(F.col("html"))) \
                .drop("_pg_url", "html")

@@ -63,14 +63,24 @@ class SnapshotTable:
         return sorted(out, key=lambda m: m["id"])
 
     # -- write path ---------------------------------------------------------
-    def commit(self, df, lineage: dict | None = None, mode: str = "replace") -> int:
+    def commit(self, df, lineage: dict | None = None, mode: str = "replace",
+               partition_by: list[str] | None = None,
+               stats: dict | None = None) -> int:
         """Write df as a new immutable snapshot and swap CURRENT.
 
         mode='replace': snapshot contents = df (the seen-table MERGE result).
         mode='append' : snapshot = parent's files + df's new files (articles
         log) — parquet files are immutable, only the manifest grows, exactly
         Iceberg's append commit.
-        """
+
+        partition_by: hive-layout the data dir by these columns (the
+        compacted seen base partitions by last-fetch day so time-bounded
+        reads prune day directories). stats: column min/max ranges the
+        CALLER asserts for this commit's new files (e.g.
+        {"last_fetch_range": [iso, iso]} — a round delta's last_fetch is
+        the round timestamp on every row) — Iceberg's manifest column
+        stats, enabling whole-file skips without opening footers. Both
+        are recorded per data dir in the manifest's file_meta."""
         parent = self.current_snapshot_id()
         # sid from the MAX existing id, not parent+1: after rollback(),
         # parent+1 would reuse a live id and silently overwrite that
@@ -78,10 +88,23 @@ class SnapshotTable:
         existing = [m["id"] for m in self.snapshots()]
         sid = max(existing, default=0) + 1
         data_dir = os.path.join(self.dir, f"snap-{sid}-{uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(data_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
         files = [data_dir]
+        file_meta = {}
         if mode == "append" and parent is not None:
-            files = self.manifest(parent)["files"] + files
+            pman = self.manifest(parent)
+            files = pman["files"] + files
+            file_meta = dict(pman.get("file_meta", {}))
+        entry = {}
+        if partition_by:
+            entry["partition_by"] = list(partition_by)
+        if stats:
+            entry.update(stats)
+        if entry:
+            file_meta[data_dir] = entry
         man = {
             "id": sid,
             "parent": parent,
@@ -89,6 +112,7 @@ class SnapshotTable:
             "mode": mode,
             "committed_at": time.time(),
             "files": files,
+            "file_meta": file_meta,
             "lineage": lineage or {},
         }
         tmp = self._manifest_path(sid) + ".tmp"
@@ -104,12 +128,27 @@ class SnapshotTable:
     # -- read path ----------------------------------------------------------
     def read(self, snapshot_id: int | None = None, schema=None):
         """DataFrame view of a snapshot (default: CURRENT). Empty-typed DF
-        when the table has no snapshot yet."""
+        when the table has no snapshot yet.
+
+        A snapshot can mix hive-partitioned dirs (compacted base) and
+        flat delta dirs; Spark refuses that in one multi-path read
+        (CONFLICTING_DIRECTORY_STRUCTURES), so mixed snapshots read
+        per-dir and union — partition columns come back null on flat
+        rows (they are derivable data there, e.g. lf_day from
+        last_fetch; resolved views project them away)."""
         man = self.manifest(snapshot_id)
         if man is None or not man["files"]:
             if schema is None:
                 raise ValueError(f"table {self.name} is empty and no schema given")
             return self.spark.createDataFrame([], schema)
+        meta = man.get("file_meta", {})
+        if any(meta.get(d, {}).get("partition_by") for d in man["files"]):
+            from functools import reduce
+
+            parts = [self.spark.read.parquet(d) for d in man["files"]]
+            return reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                parts)
         return self.spark.read.parquet(*man["files"])
 
     def lineage_history(self) -> list[dict]:

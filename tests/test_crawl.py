@@ -476,10 +476,10 @@ def test_crash_between_commits_recovers_without_duplicates(spark, corpus,
 
     orig = SnapshotTable.commit
 
-    def crash_on_seen(self, df, lineage=None, mode="replace"):
+    def crash_on_seen(self, df, lineage=None, mode="replace", **kw):
         if self.name == "seen":
             raise RuntimeError("simulated crash between commits")
-        return orig(self, df, lineage=lineage, mode=mode)
+        return orig(self, df, lineage=lineage, mode=mode, **kw)
 
     SnapshotTable.commit = crash_on_seen
     try:
@@ -500,3 +500,106 @@ def test_crash_between_commits_recovers_without_duplicates(spark, corpus,
     eng2.run_round(seeds, 1, START + timedelta(seconds=60))
     arts = eng2.articles_table.read()
     assert arts.count() == n_before, "recovered engine re-fetched the round"
+
+
+def test_paced_fetch_first_fetch_lane_stagger():
+    """A task's FIRST same-host fetch staggers by (url_hash % salt) ×
+    crawl_delay — without it, stage start bursts one request per salt
+    lane simultaneously (ADVICE r1: the bound was only amortized)."""
+    import pandas as pd
+
+    from risjbot_spark.crawl import _paced_fetch_partition
+
+    rows = [{"url_canon": f"https://slow.example.com/{i}",
+             "host": "slow.example.com", "priority": 0,
+             "discovered_ts": i, "url_hash": 3} for i in range(2)]
+    pdf = pd.DataFrame(rows)
+    sleeps = []
+    _paced_fetch_partition(
+        pdf, list(pdf.columns),
+        list(pdf.columns) + ["status", "html", "fetchtime_str"],
+        delays={"slow.example.com": 0.5}, salt=8, default_delay=0.0,
+        fetcher=lambda u: (200, b"", "x GMT"), do_sleep=sleeps.append)
+    # first fetch: lane 3 stagger = 3 × 0.5 = 1.5; second: pacing ≈ 4.0
+    assert len(sleeps) == 2
+    assert sleeps[0] == 1.5
+    assert 3.9 <= sleeps[1] <= 4.0
+
+
+def test_recovery_token_not_masked_by_round_ordinal_reset(spark, corpus,
+                                                          tmp_path):
+    """ADVICE r1 (medium): on a REUSED warehouse, a crash between the
+    articles and seen commits of a later invocation whose round ordinal
+    restarted at 0 was masked by the ordinal comparison (old s_round >=
+    new a_round). The round_ts token must catch it regardless."""
+    from risjbot_spark.store.snapshots import SnapshotTable
+
+    cfg = CrawlConfig(refetch=RefetchConfig(maxfetches=5, refetchsecs=3600),
+                      num_partitions=4, collect_lineage=False,
+                      use_bloom=True, bloom_buckets=8)
+    wh = str(tmp_path / "wh")
+    seeds = corpus.select("url").withColumn("priority", F.lit(0))
+    eng = CrawlEngine(spark, wh, corpus, None, cfg)
+    eng.run_round(seeds, 0, START)
+    eng.run_round(seeds, 1, START + timedelta(seconds=3600))
+
+    # second invocation restarts numbering at 0 and crashes between commits
+    orig = SnapshotTable.commit
+
+    def crash_on_seen(self, df, lineage=None, mode="replace", **kw):
+        if self.name == "seen":
+            raise RuntimeError("simulated crash between commits")
+        return orig(self, df, lineage=lineage, mode=mode, **kw)
+
+    eng2 = CrawlEngine(spark, wh, corpus, None, cfg)
+    t2 = START + timedelta(seconds=7200)
+    SnapshotTable.commit = crash_on_seen
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            eng2.run_round(seeds, 0, t2)    # ordinal reset to 0
+    finally:
+        SnapshotTable.commit = orig
+
+    # recovery must trigger on the token mismatch and replay exactly once
+    eng3 = CrawlEngine(spark, wh, corpus, None, cfg)
+    man = eng3.seen_table.manifest()
+    assert man["lineage"].get("recovered")
+    assert man["lineage"]["round_ts"] == t2.isoformat()
+    # replayed seen state counts every round exactly once: 3 fetches/key
+    fetches = {r.fetches for r in eng3.seen().collect()}
+    assert fetches == {3}
+
+
+def test_recovery_refuses_multi_commit_divergence(spark, corpus, tmp_path):
+    """A seen/articles gap wider than one commit (e.g. an asymmetric
+    rollback) cannot be repaired by replaying the newest delta — engine
+    init must refuse instead of silently corrupting fetch counts."""
+    cfg = CrawlConfig(refetch=RefetchConfig(maxfetches=5, refetchsecs=3600),
+                      num_partitions=4, collect_lineage=False,
+                      use_bloom=False)
+    wh = str(tmp_path / "wh")
+    seeds = corpus.select("url").withColumn("priority", F.lit(0))
+    eng = CrawlEngine(spark, wh, corpus, None, cfg)
+    for r in range(3):
+        eng.run_round(seeds, r, START + timedelta(seconds=3600 * r))
+    first_seen = eng.seen_table.snapshots()[0]["id"]
+    eng.seen_table.rollback(first_seen)     # seen now 2 rounds behind
+    with pytest.raises(RuntimeError, match="more than one commit"):
+        CrawlEngine(spark, wh, corpus, None, cfg)
+
+
+def test_run_resumes_round_numbering(spark, corpus, tmp_path):
+    """run() on a reused warehouse continues round numbers and the round
+    clock instead of restarting at 0 (ADVICE r1)."""
+    cfg = CrawlConfig(refetch=RefetchConfig(maxfetches=5, refetchsecs=3600),
+                      num_partitions=4, collect_lineage=False,
+                      use_bloom=False)
+    wh = str(tmp_path / "wh")
+    seeds = corpus.select("url").withColumn("priority", F.lit(0))
+    CrawlEngine(spark, wh, corpus, None, cfg).run(seeds, 2, start_ts=START)
+    CrawlEngine(spark, wh, corpus, None, cfg).run(seeds, 1, start_ts=START)
+    rounds = sorted(
+        r["round"] for r in
+        CrawlEngine(spark, wh, corpus, None, cfg).articles_table.read()
+        .select("round").distinct().collect())
+    assert rounds == [0, 1, 2]
