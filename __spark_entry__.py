@@ -8,11 +8,15 @@ queries()     — one entry per operator family from SURVEY.md §2 plus the
                 training-data ops (dedup / similarity / text analysis /
                 multimodal plumbing); implementations in
                 risjbot_spark/queries.py.
-oracle_sql()  — matching DuckDB SQL for everything SQL-expressible.
-                Crawl-engine end-to-end queries (crawl_round,
-                extract_articles) are rows-only by design: the extraction
-                UDF's DOM semantics are not SQL, they are locked by the
-                pytest fixture suite instead (tests/test_extract.py).
+oracle_sql()  — matching DuckDB SQL for EVERY query, including the
+                crawl-engine end-to-end ones: the docs-derived corpus is
+                a pure function of the documents table (url =
+                f(doc_id, lang), headline = f(doc_id), bodytext ==
+                documents.text byte-for-byte), so the oracle can state
+                the expected round output — url/headline/wordcount/
+                status per document, byte_identical TRUE for all — in
+                ANSI SQL. The deeper DOM semantics remain locked by the
+                pytest fixture suite (tests/test_extract.py).
 """
 
 from __future__ import annotations
@@ -52,7 +56,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _crawl_round_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: full engine round over the documents-derived corpus."""
+    """Full engine round over the documents-derived corpus. Oracle-
+    checked: every document fetches exactly once in round 0 (seeds =
+    all urls, budget unbounded, no robots), extraction recovers the
+    generator-known headline and the document text verbatim."""
     from risjbot_spark.corpus import docs_to_pages
     from risjbot_spark.crawl import CrawlConfig, CrawlEngine
     from risjbot_spark.frontier.state import RefetchConfig
@@ -67,7 +74,9 @@ def _crawl_round_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.run_round(seeds, 0, datetime(2017, 4, 1, tzinfo=timezone.utc))
     return (
         eng.articles_table.read()
-        .select("url_canon", "headline", "wordcount", "status")
+        .select("url_canon", "headline",
+                F.col("wordcount").cast("long").alias("wordcount"),
+                "status")
         .orderBy("url_canon")
     )
 
@@ -102,7 +111,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+# the docs-derived page url/headline as SQL (corpus.doc_page_url /
+# doc_page_row: both pure functions of (doc_id, lang))
+_DOC_URL_SQL = (
+    "concat('https://docs.', lang, '.example.com/', "
+    "CAST(doc_id % 10 AS VARCHAR), '/doc-', CAST(doc_id AS VARCHAR))"
+)
+
+_ENTRY_ORACLES = {
+    # one fetch per document in round 0; bodytext == documents.text, so
+    # wordcount is the whitespace-split length of the source text
+    "crawl_round": f"""
+        SELECT {_DOC_URL_SQL} AS url_canon,
+               concat('Document ', CAST(doc_id AS VARCHAR)) AS headline,
+               CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS wordcount,
+               'ok' AS status
+        FROM documents ORDER BY url_canon""",
+    # the byte-identity gate: extraction must reproduce the document
+    # text verbatim for EVERY url — the oracle asserts the full expected
+    # (url, headline, TRUE) set
+    "extract_articles": f"""
+        SELECT {_DOC_URL_SQL} AS url,
+               concat('Document ', CAST(doc_id AS VARCHAR)) AS headline,
+               TRUE AS byte_identical
+        FROM documents ORDER BY url""",
+}
+
+
 def oracle_sql() -> dict[str, str]:
     from risjbot_spark.queries import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    return {**ORACLE_SQL, **_ENTRY_ORACLES}

@@ -7,15 +7,20 @@ strings are stripped to seconds before parsing, unparseable input yields
 
 The reference delegates to the ``dateparser`` package (not in this
 container); we cover its deterministic subset — ISO-8601, RFC-2822 HTTP
-dates, and common editorial formats — and pin naive datetimes to UTC so
-results are reproducible across executors (dateparser would attach the
-*local* zone, which is nondeterministic on a cluster).
+dates, common editorial formats, German/French month-name dates (the
+de/fr editions' spiders, e.g. spiders/de/bild.py, spiders/fr/huffpofr.py,
+routinely surface localized textual dates), and relative phrases
+("2 hours ago", "vor 3 Stunden", "il y a 5 minutes") anchored to an
+explicit ``relative_base`` — the page's fetch time, which is what
+dateparser's wall-clock "now" amounts to at crawl time, but passed as a
+literal so results are reproducible across executors (dateparser would
+also attach the *local* zone, nondeterministic on a cluster).
 """
 
 from __future__ import annotations
 
 import re
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from email.utils import parsedate_to_datetime
 
 # Same millisecond-strip rewrite the reference applies before parsing:
@@ -48,14 +53,102 @@ _PLAIN_FORMATS = (
 )
 
 
+# German/French month names (full + common abbreviations) → English.
+# Longest-first matching so "Juli"/"Juni" beat "Jul"/"Jun" etc.
+_MONTH_MAP = {
+    # German
+    "januar": "January", "februar": "February", "märz": "March",
+    "maerz": "March", "april": "April", "mai": "May", "juni": "June",
+    "juli": "July", "august": "August", "september": "September",
+    "oktober": "October", "november": "November", "dezember": "December",
+    "jan": "Jan", "feb": "Feb", "mär": "Mar", "okt": "Oct", "dez": "Dec",
+    # French
+    "janvier": "January", "février": "February", "fevrier": "February",
+    "mars": "March", "avril": "April", "juin": "June", "juillet": "July",
+    "août": "August", "aout": "August", "septembre": "September",
+    "octobre": "October", "novembre": "November", "décembre": "December",
+    "decembre": "December",
+    "janv": "Jan", "févr": "Feb", "juil": "Jul", "sept": "Sep",
+    "déc": "Dec",
+}
+_MONTH_RE = re.compile(
+    # \b BEFORE the optional dot, which is then consumed — with \.?\b the
+    # engine backtracks to the empty alternative and leaves "Dez." as
+    # "Dec." behind, which strptime %b rejects
+    r"\b(" + "|".join(sorted(map(re.escape, _MONTH_MAP),
+                             key=len, reverse=True)) + r")\b\.?",
+    re.IGNORECASE,
+)
+
+# relative phrases: "(in) N unit(s) ago" / "vor N Stunden" / "il y a N
+# heures"; a/an/eine(r|m)/un(e) count as 1
+_REL_UNIT_SECS = {
+    # English
+    "second": 1, "seconds": 1, "sec": 1, "secs": 1,
+    "minute": 60, "minutes": 60, "min": 60, "mins": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+    # German
+    "sekunde": 1, "sekunden": 1, "minuten": 60, "stunde": 3600,
+    "stunden": 3600, "tag": 86400, "tagen": 86400, "tage": 86400,
+    "woche": 604800, "wochen": 604800,
+    # French
+    "seconde": 1, "secondes": 1, "heure": 3600, "heures": 3600,
+    "jour": 86400, "jours": 86400, "semaine": 604800, "semaines": 604800,
+}
+_REL_RE = re.compile(
+    r"^(?:(vor|il\s+y\s+a)\s+)?"
+    r"(\d{1,4}|an|a|eine[rm]?|eine|une|un)\s+"
+    r"([a-zäöüé]+?)\s*(ago)?$",
+    re.IGNORECASE,
+)
+
+
+def _parse_relative(s: str) -> int | None:
+    """Seconds-before-base for a relative phrase, else None. The marker
+    ('ago' / 'vor' / 'il y a') is REQUIRED — a bare '3 days' is not a
+    relative date (dateparser likewise needs the preposition)."""
+    m = _REL_RE.match(s.strip().lower())
+    if not m:
+        return None
+    marker_pre, n_str, unit, marker_post = m.groups()
+    if not marker_pre and not marker_post:
+        return None
+    secs = _REL_UNIT_SECS.get(unit)
+    if secs is None:
+        return None
+    n = 1 if not n_str.isdigit() else int(n_str)
+    return n * secs
+
+
+def _localized_to_english(s: str) -> str | None:
+    """Rewrite German/French textual dates into strptime-able English:
+    month-name translation, German day-dot ('27. Februar' → '27'),
+    French 'à 18h02' → '18:02'. Returns None when no month matched (the
+    string is not a localized date — don't touch it)."""
+    out, n = _MONTH_RE.subn(lambda m: _MONTH_MAP[m.group(1).lower()], s)
+    if n == 0:
+        return None
+    out = re.sub(r"\b(\d{1,2})\.\s*", r"\1 ", out)      # german day dot
+    out = re.sub(r"\bà\s+", "", out)                     # french "à 18h02"
+    out = re.sub(r"\b(\d{1,2})h(\d{2})\b", r"\1:\2", out)
+    out = re.sub(r"\s+", " ", out).strip(" ,")
+    return out
+
+
 def to_str(s) -> str | None:
     if isinstance(s, bytes):
         return s.decode("utf-8")
     return s
 
 
-def parse_datetime(s) -> datetime | None:
-    """Parse a date/time string; ``None`` on failure (never raises)."""
+def parse_datetime(s, relative_base: datetime | None = None) -> datetime | None:
+    """Parse a date/time string; ``None`` on failure (never raises).
+
+    ``relative_base`` anchors relative phrases ("2 hours ago", "vor 3
+    Stunden"); without it they parse to None — the caller (the
+    extraction loader) passes the page's fetch time, keeping results a
+    pure function of the row."""
     s = to_str(s)
     if not isinstance(s, str):
         return None
@@ -87,6 +180,22 @@ def parse_datetime(s) -> datetime | None:
             return _aware(datetime.strptime(s, fmt))
         except ValueError:
             continue
+
+    # German/French textual dates ("27. Februar 2017", "12 février 2017
+    # à 18h02") normalize to English and retry the editorial formats
+    loc = _localized_to_english(s)
+    if loc is not None:
+        for fmt in _PLAIN_FORMATS:
+            try:
+                return _aware(datetime.strptime(loc, fmt))
+            except ValueError:
+                continue
+
+    # relative phrases, anchored to the caller-supplied base
+    if relative_base is not None:
+        secs = _parse_relative(s)
+        if secs is not None:
+            return _aware(relative_base) - timedelta(seconds=secs)
 
     try:  # RFC-ish strings that failed the shape gate
         dt = parsedate_to_datetime(s)

@@ -28,10 +28,16 @@ NEWSITEM_FIELDS = [
 
 
 class NewsItemLoader:
-    """Dict-backed stand-in for the reference's NewsLoader."""
+    """Dict-backed stand-in for the reference's NewsLoader.
 
-    def __init__(self):
+    ``relative_base`` anchors relative date phrases in time fields
+    (loaders.py wrapped_parse → dateparser, whose implicit base is
+    wall-clock "now" ≈ the fetch time); passing the fetch time keeps
+    extraction a pure function of the row."""
+
+    def __init__(self, relative_base=None):
         self._values: dict[str, list] = {}
+        self._relative_base = relative_base
 
     # -- input side ------------------------------------------------------
     def add_value(self, field: str, value) -> None:
@@ -46,7 +52,7 @@ class NewsItemLoader:
         if field in _TIME_FIELDS:
             # MapCompose(wrapped_parse): parse each; drop failures.
             for v in values:
-                dt = parse_datetime(v)
+                dt = parse_datetime(v, relative_base=self._relative_base)
                 if dt is not None:
                     bucket.append(dt)
         elif field in ("headline", "summary"):

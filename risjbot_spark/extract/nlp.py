@@ -12,6 +12,15 @@ of which ship in this container. The *formulas and shapes* are identical
 hyphen splitting); the lexicon/tokenizer/syllable-counter internals are
 deterministic stand-ins, shared verbatim between the Spark UDFs and the
 pytest oracle so results are reproducible by construction.
+
+ADAPTER SEAM: when the real libraries ARE importable (a deployment
+outside this container), the public functions dispatch to them —
+textblob's PatternAnalyzer for sentiment, nltk's punkt tokenizers and
+ne_chunk for tokenization/NER, `pronouncing`'s CMU lookups for
+syllables — reproducing the reference pipelines' VALUES, not just their
+formulas. Availability is probed once at import (including the nltk
+data files, which can be installed yet undownloaded); the stand-ins
+stay as the fallback and remain directly callable for tests.
 """
 
 from __future__ import annotations
@@ -21,6 +30,37 @@ import string
 import unicodedata
 from collections.abc import Iterable
 from functools import lru_cache
+
+
+def _try_import(name):
+    try:
+        import importlib
+
+        return importlib.import_module(name)
+    except Exception:
+        return None
+
+
+def _probe(fn) -> bool:
+    try:
+        fn()
+        return True
+    except Exception:
+        return False
+
+
+_textblob = _try_import("textblob")
+_nltk = _try_import("nltk")
+_pronouncing = _try_import("pronouncing")
+
+HAS_TEXTBLOB = _textblob is not None and _probe(
+    lambda: _textblob.TextBlob("probe").sentiment)
+HAS_NLTK_TOKENIZE = _nltk is not None and _probe(
+    lambda: _nltk.tokenize.word_tokenize("A probe."))
+HAS_NLTK_NER = HAS_NLTK_TOKENIZE and _probe(
+    lambda: _nltk.ne_chunk(_nltk.pos_tag(["John", "Smith"])))
+HAS_CMU_DICT = _pronouncing is not None and _probe(
+    lambda: _pronouncing.phones_for_word("probe")[0])
 
 # ---------------------------------------------------------------------------
 # Word count — len(str.split()) exactly (wordcount.py:15)
@@ -66,6 +106,15 @@ _WORD_RE = re.compile(r"[A-Za-z']+")
 
 
 def sentiment(text: str) -> tuple[float, float]:
+    """(polarity, subjectivity) — textblob's PatternAnalyzer when
+    available (sentiment.py:16-23 exactly), else the lexicon stand-in."""
+    if HAS_TEXTBLOB:
+        s = _textblob.TextBlob(text).sentiment
+        return s.polarity, s.subjectivity
+    return sentiment_standin(text)
+
+
+def sentiment_standin(text: str) -> tuple[float, float]:
     """(polarity, subjectivity); (0.0, 0.0) when nothing matches —
     deterministic lexicon stand-in for TextBlob's PatternAnalyzer."""
     tokens = [t.lower() for t in _WORD_RE.findall(text)]
@@ -98,6 +147,13 @@ _PUNCT_ASCII = frozenset(string.punctuation)
 
 
 def sent_tokenize(text: str) -> list[str]:
+    """nltk punkt when available (readingage.py:60), else regex split."""
+    if HAS_NLTK_TOKENIZE:
+        return _nltk.tokenize.sent_tokenize(text)
+    return sent_tokenize_standin(text)
+
+
+def sent_tokenize_standin(text: str) -> list[str]:
     text = text.strip()
     if not text:
         return []
@@ -105,6 +161,13 @@ def sent_tokenize(text: str) -> list[str]:
 
 
 def word_tokenize(text: str) -> list[str]:
+    """nltk punkt when available (readingage.py:61), else regex."""
+    if HAS_NLTK_TOKENIZE:
+        return _nltk.tokenize.word_tokenize(text)
+    return word_tokenize_standin(text)
+
+
+def word_tokenize_standin(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
 
 
@@ -132,6 +195,22 @@ def split_hyphenated(toks: Iterable[str]) -> Iterable[str]:
 
 @lru_cache(maxsize=65536)
 def count_syllables(word: str) -> int | None:
+    """CMU pronouncing dictionary when available (readingage.py:77-91:
+    first pronunciation's syllable count; words NOT in the dictionary
+    return None and are omitted from the tally — no per-word fallback to
+    the heuristic, mirroring the reference exactly), else the vowel-group
+    stand-in."""
+    if HAS_CMU_DICT:
+        try:
+            return _pronouncing.syllable_count(
+                _pronouncing.phones_for_word(word.lower())[0])
+        except IndexError:
+            return None
+    return count_syllables_standin(word)
+
+
+@lru_cache(maxsize=65536)
+def count_syllables_standin(word: str) -> int | None:
     """Vowel-group heuristic (CMU-dictionary stand-in). Returns None for
     tokens with no letters — mirroring words absent from the CMU dict,
     which the reference simply omits from the syllable tally."""
@@ -181,10 +260,24 @@ _CAP_RE = re.compile(r"^[A-Z][a-z]+$")
 
 
 def named_people(text: str) -> list[str]:
+    """nltk ne_chunk PERSON entities when available (namedpeople.py:50-57
+    verbatim: ne_chunk(pos_tag(word_tokenize)) → PERSON subtrees joined
+    with spaces, duplicates kept), else the TitleCase-run stand-in."""
+    if HAS_NLTK_NER:
+        ents = _nltk.ne_chunk(_nltk.pos_tag(_nltk.word_tokenize(text)))
+        return [
+            " ".join(tok for tok, _tag in t.leaves())
+            for t in ents
+            if isinstance(t, _nltk.Tree) and t.label() == "PERSON"
+        ]
+    return named_people_standin(text)
+
+
+def named_people_standin(text: str) -> list[str]:
     """Runs of ≥2 consecutive TitleCase tokens → candidate person names.
     Keeps duplicates in encounter order (the reference does not de-dupe,
     namedpeople.py:60-63)."""
-    tokens = word_tokenize(text)
+    tokens = word_tokenize_standin(text)
     people: list[str] = []
     run: list[str] = []
     for tok in tokens:

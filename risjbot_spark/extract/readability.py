@@ -8,6 +8,12 @@ with the same *interface and invocation contract*: it is only invoked
 when headline/bodytext are still missing (the lazy-evaluation
 short-circuit at loaders.py:403-406 is preserved by the caller), and its
 outputs feed the same loader chains.
+
+ADAPTER SEAM: when readability-lxml IS importable, the `*_from_html`
+functions reproduce the reference verbatim — Document(html).short_title()
+for the headline and lxml's //body//text() over Document.summary() for
+the body (loaders.py:408-422) — and the caller prefers them; the
+heuristic stays as the in-container fallback and test oracle.
 """
 
 from __future__ import annotations
@@ -15,6 +21,47 @@ from __future__ import annotations
 import re
 
 from ..html import Node, xpath
+
+
+def _try_readability():
+    try:
+        import lxml.html  # noqa: F401  (Document.summary() needs it)
+        import readability
+
+        readability.Document  # probe the attr the seam uses
+        return readability
+    except Exception:
+        return None
+
+
+_readability = _try_readability()
+HAS_READABILITY_LXML = _readability is not None
+
+
+def short_title_from_html(html_text: str) -> str | None:
+    """Reference path: Document(response.text).short_title()."""
+    if not HAS_READABILITY_LXML:
+        return None
+    try:
+        t = _readability.Document(html_text).short_title()
+        return t or None
+    except Exception:
+        return None
+
+
+def body_texts_from_html(html_text: str) -> list[str]:
+    """Reference path: //body//text() over Document.summary()
+    (loaders.py:417-422)."""
+    if not HAS_READABILITY_LXML:
+        return []
+    try:
+        import lxml.html
+
+        reparsed = lxml.html.fromstring(
+            _readability.Document(html_text).summary())
+        return list(reparsed.xpath("//body//text()"))
+    except Exception:
+        return []
 
 _TITLE_SEPS = re.compile(r"\s+[|\-–—»::]\s+|\s+::\s+|\s+/\s+")
 

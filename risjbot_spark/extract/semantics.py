@@ -207,17 +207,23 @@ def _add_scrapymeta(loader: NewsItemLoader, meta: dict | None) -> None:
         loader.add_value("previousfetches", int(meta["refetchcontrol_previous"]))
 
 
-def _add_readability(loader: NewsItemLoader, root: Node) -> None:
+def _add_readability(loader: NewsItemLoader, root: Node,
+                     html_text: str | None = None) -> None:
     """loaders.py:399-422 — only when headline/bodytext still missing
-    (the lazy short-circuit at :403-406 is load-bearing)."""
+    (the lazy short-circuit at :403-406 is load-bearing). Prefers the
+    real readability-lxml seam when that package is importable
+    (reference-identical values); heuristic otherwise."""
     if loader.get_output_value("headline") and loader.get_output_value("bodytext"):
         return
+    use_real = readability.HAS_READABILITY_LXML and html_text is not None
     if not loader.get_output_value("headline"):
-        title = readability.short_title(root)
+        title = (readability.short_title_from_html(html_text) if use_real
+                 else readability.short_title(root))
         if title:
             loader.add_value("headline", title)
     if not loader.get_output_value("bodytext"):
-        texts = readability.body_candidate_texts(root)
+        texts = (readability.body_texts_from_html(html_text) if use_real
+                 else readability.body_candidate_texts(root))
         if texts:
             loader.add_value("bodytext", texts)
 
@@ -265,7 +271,10 @@ def extract_article(
     for expr in profile.prune:
         remove_nodes(root, expr)
 
-    loader = NewsItemLoader()
+    from .dates import parse_datetime as _pd
+
+    rel_base = _pd(str(fetchtime)) if fetchtime is not None else None
+    loader = NewsItemLoader(relative_base=rel_base)
     if profile.source:
         loader.add_value("source", profile.source)
     _apply_rules(loader, root, profile.pre_rules)
@@ -292,7 +301,9 @@ def extract_article(
             loader.add_value("notes", note)
 
     if profile.use_readability:
-        _add_readability(loader, root)
+        html_text = (html if isinstance(html, str)
+                     else bytes(html).decode("utf-8", "replace"))
+        _add_readability(loader, root, html_text=html_text)
 
     item = loader.load_item()
     if not item.get("bodytext") and not item.get("headline"):

@@ -1,0 +1,177 @@
+"""S8 comment-API chase (liverpoolecho.py:26-190) over an injectable
+fake API: bootstrap → contentcontainer uuid → pages of 100 until
+more_available=false, with the reference's error semantics (payload
+error drops the item; transport error keeps partials + errback note)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from risjbot_spark.comments import (
+    BOOTSTRAP_URL,
+    bootstrap_site_uuid,
+    chase_comments,
+    chase_one,
+    join_comments,
+)
+
+SITE_UUID = "site-uuid-123"
+CCID = "cc-uuid-9"
+
+
+def _page(cid="cont-7", conversations=True):
+    conv = "<vf-conversations></vf-conversations>" if conversations else ""
+    return (f'<html><head><meta name="vf:container_id" content="{cid}">'
+            f"</head><body><article>story</article>{conv}</body></html>")
+
+
+class FakeApi:
+    """Canned URL→response map; records the call sequence."""
+
+    def __init__(self, responses):
+        self.responses = responses
+        self.calls = []
+
+    def __call__(self, method, url):
+        self.calls.append((method, url))
+        r = self.responses[url]
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+
+def _comments(n, start=0):
+    return [{"content_uuid": f"u{i}", "content": f"comment {i}"}
+            for i in range(start, start + n)]
+
+
+def _urls(cid="cont-7"):
+    cont = (f"https://livecomments.viafoura.co/v4/livecomments/{SITE_UUID}"
+            f"/contentcontainer/id?container_id={cid}")
+    page = (f"https://livecomments.viafoura.co/v4/livecomments/{SITE_UUID}"
+            f"/{CCID}/comments?limit=100")
+    return cont, page
+
+
+def test_bootstrap():
+    url = BOOTSTRAP_URL.format(site="www.liverpoolecho.co.uk")
+    ok = FakeApi({url: {"http_status": 200,
+                        "result": {"settings": {"site_uuid": SITE_UUID}}}})
+    assert bootstrap_site_uuid(ok) == SITE_UUID
+    bad = FakeApi({url: {"http_status": 503}})
+    assert bootstrap_site_uuid(bad) is None
+    assert bootstrap_site_uuid(FakeApi({})) is None   # transport error
+
+
+def test_chase_one_single_page_and_deleted_comment():
+    cont, page = _urls()
+    comments = _comments(2) + [{"content_uuid": "u-del"}]  # deleted: no content
+    api = FakeApi({
+        cont: {"content_container_uuid": CCID},
+        page: {"contents": comments, "more_available": False},
+    })
+    raws, texts, note, status = chase_one(_page(), api, SITE_UUID)
+    assert status == "ok" and note is None
+    assert texts == ["comment 0", "comment 1", ""]      # ":162-166"
+    assert [json.loads(r) for r in raws] == comments
+    assert api.calls == [("GET", cont), ("GET", page)]
+
+
+def test_chase_one_paginates_with_starting_from():
+    cont, page = _urls()
+    first, second = _comments(100), _comments(50, start=100)
+    api = FakeApi({
+        cont: {"content_container_uuid": CCID},
+        page: {"contents": first, "more_available": True},
+        page + "&starting_from=u99": {"contents": second,
+                                      "more_available": False},
+    })
+    raws, texts, note, status = chase_one(_page(), api, SITE_UUID)
+    assert status == "ok" and len(raws) == 150
+    assert api.calls[-1] == ("GET", page + "&starting_from=u99")
+
+
+def test_chase_one_error_semantics():
+    cont, page = _urls()
+    # no comments section / no bootstrap
+    assert chase_one(_page(conversations=False), FakeApi({}), SITE_UUID) \
+        == (None, None, "No comments section", "none")
+    assert chase_one(_page(), FakeApi({}), None) \
+        == (None, None, "No comments section", "none")
+    # bad contentcontainer payload → item dropped (":131-134")
+    api = FakeApi({cont: {"error": "nope"}})
+    assert chase_one(_page(), api, SITE_UUID) == (None, None, None, "dropped")
+    # transport failure mid-pagination → partial + errback note
+    api = FakeApi({
+        cont: {"content_container_uuid": CCID},
+        page: {"contents": _comments(100), "more_available": True},
+        page + "&starting_from=u99": RuntimeError("boom"),
+    })
+    raws, texts, note, status = chase_one(_page(), api, SITE_UUID)
+    assert status == "failed" and note == "Failure in comment collection"
+    assert len(raws) == 100
+
+
+def test_chase_comments_spark_and_join(spark):
+    cont7, page7 = _urls("cont-7")
+    responses = {
+        cont7: {"content_container_uuid": CCID},
+        page7: {"contents": _comments(2), "more_available": False},
+        _urls("cont-drop")[0]: {"error": "nope"},
+    }
+
+    # a local closure, not the module-level FakeApi class: executors
+    # cannot import the test module, but cloudpickle ships locals by value
+    def api(method, url, _r=responses):
+        return _r[url]
+    pages = spark.createDataFrame(
+        [("https://www.liverpoolecho.co.uk/news/a", "www.liverpoolecho.co.uk",
+          _page("cont-7").encode()),
+         ("https://www.liverpoolecho.co.uk/news/b", "www.liverpoolecho.co.uk",
+          _page(conversations=False).encode()),
+         ("https://www.liverpoolecho.co.uk/news/c", "www.liverpoolecho.co.uk",
+          _page("cont-drop").encode()),
+         ("https://other.example.com/x", "other.example.com",
+          _page("cont-7").encode())],
+        "url_canon string, host string, html binary")
+    chased = chase_comments(pages, api, SITE_UUID)
+    rows = {r.url_canon: r for r in chased.collect()}
+    # host filter: the non-echo page is never chased
+    assert set(rows) == {"https://www.liverpoolecho.co.uk/news/a",
+                         "https://www.liverpoolecho.co.uk/news/b",
+                         "https://www.liverpoolecho.co.uk/news/c"}
+    assert rows["https://www.liverpoolecho.co.uk/news/a"].comment_status == "ok"
+    assert rows["https://www.liverpoolecho.co.uk/news/b"].comment_status == "none"
+    assert rows["https://www.liverpoolecho.co.uk/news/c"].comment_status == "dropped"
+
+    articles = spark.createDataFrame(
+        [(u, ["existing note"] if u.endswith("/a") else None, None, None)
+         for u in list(rows) + ["https://other.example.com/x"]],
+        "url_canon string, notes array<string>, "
+        "rawcomments array<string>, comments array<string>")
+    out = {r.url_canon: r for r in join_comments(articles, chased).collect()}
+    # dropped article is LOST (reference StopIteration semantics)
+    assert "https://www.liverpoolecho.co.uk/news/c" not in out
+    a = out["https://www.liverpoolecho.co.uk/news/a"]
+    assert a.comments == ["comment 0", "comment 1"]
+    assert a.notes == ["existing note"]
+    b = out["https://www.liverpoolecho.co.uk/news/b"]
+    assert b.notes == ["No comments section"] and b.comments is None
+    # untouched host passes through unchanged
+    assert out["https://other.example.com/x"].comments is None
+
+
+def test_chase_bounds_lying_api():
+    """more_available=true forever must terminate at max_pages."""
+    cont, page = _urls()
+    responses = {cont: {"content_container_uuid": CCID},
+                 page: {"contents": _comments(1), "more_available": True}}
+    for i in range(30):
+        responses[page + f"&starting_from=u{i}"] = {
+            "contents": [{"content_uuid": f"u{i + 1}", "content": "x"}],
+            "more_available": True}
+    api = FakeApi(responses)
+    raws, texts, note, status = chase_one(
+        _page(), api, SITE_UUID, max_pages=10)
+    assert status == "failed" and len(raws) == 10

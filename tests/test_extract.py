@@ -326,3 +326,109 @@ def test_wordcount_matches_python_split(spark):
     df = spark.createDataFrame([(s,) for s in samples], ["t"])
     got = [r.wc for r in df.select(wordcount_expr(F.col("t")).alias("wc")).collect()]
     assert got == [len(s.split()) for s in samples]
+
+
+def test_parse_datetime_localized_months_and_relative():
+    """X1 widening: German/French textual dates and relative phrases
+    (dateparser's fuzzy territory, loaders.py:54-68) parse
+    deterministically; relative phrases anchor to an explicit base and
+    return None without one."""
+    from datetime import datetime, timedelta, timezone
+
+    from risjbot_spark.extract.dates import parse_datetime
+
+    utc = timezone.utc
+    base = datetime(2017, 4, 1, 12, 0, tzinfo=utc)
+    fixed = {
+        "27. Februar 2017": datetime(2017, 2, 27, tzinfo=utc),
+        "27. Februar 2017 18:02": datetime(2017, 2, 27, 18, 2, tzinfo=utc),
+        "1. Dez. 2017": datetime(2017, 12, 1, tzinfo=utc),
+        "15. März 2018": datetime(2018, 3, 15, tzinfo=utc),
+        "12 février 2017": datetime(2017, 2, 12, tzinfo=utc),
+        "12 février 2017 à 18h02": datetime(2017, 2, 12, 18, 2, tzinfo=utc),
+        "15 août 2018": datetime(2018, 8, 15, tzinfo=utc),
+        "3 juillet 2017": datetime(2017, 7, 3, tzinfo=utc),
+    }
+    for s, want in fixed.items():
+        assert parse_datetime(s) == want, s
+        assert parse_datetime(s, relative_base=base) == want, s
+    rel = {
+        "2 hours ago": base - timedelta(hours=2),
+        "an hour ago": base - timedelta(hours=1),
+        "45 minutes ago": base - timedelta(minutes=45),
+        "3 days ago": base - timedelta(days=3),
+        "vor 3 Stunden": base - timedelta(hours=3),
+        "vor einer Stunde": base - timedelta(hours=1),
+        "vor 10 Minuten": base - timedelta(minutes=10),
+        "il y a 5 minutes": base - timedelta(minutes=5),
+        "il y a une heure": base - timedelta(hours=1),
+        "il y a 2 jours": base - timedelta(days=2),
+    }
+    for s, want in rel.items():
+        assert parse_datetime(s, relative_base=base) == want, s
+        # without a base, relative phrases must NOT parse (determinism)
+        assert parse_datetime(s) is None, s
+    # the marker is required: a bare count is not a relative date
+    assert parse_datetime("3 days", relative_base=base) is None
+    # english paths unchanged
+    assert parse_datetime("2017-02-27T18:02:16.787Z") == \
+        datetime(2017, 2, 27, 18, 2, 16, tzinfo=utc)
+    assert parse_datetime("Feb 27, 2017, 06:02 PM") == \
+        datetime(2017, 2, 27, 18, 2, tzinfo=utc)
+
+
+def test_loader_relative_dates_anchor_to_fetchtime():
+    """The extraction loader parses relative mod/pub times against the
+    page's fetch time (the reference's dateparser 'now' at crawl time)."""
+    from datetime import datetime, timezone
+
+    from risjbot_spark.extract.loader import NewsItemLoader
+
+    base = datetime(2017, 4, 1, 12, 0, tzinfo=timezone.utc)
+    l = NewsItemLoader(relative_base=base)
+    l.add_value("modtime", "2 hours ago")
+    item = l.load_item()
+    assert item["modtime"] == "2017-04-01T10:00:00+00:00"
+    l2 = NewsItemLoader()        # no anchor → relative dropped
+    l2.add_value("modtime", "2 hours ago")
+    assert "modtime" not in l2.load_item()
+
+
+def test_nlp_adapter_seam_dispatch():
+    """The real-library seam (VERDICT r1 #6): public NLP/readability
+    functions dispatch to textblob/nltk/pronouncing/readability-lxml
+    when importable, stand-ins otherwise. In this container the
+    libraries are absent, so the flags must be honest and the public
+    functions must equal their stand-ins."""
+    from risjbot_spark.extract import nlp, readability
+
+    text = "John Smith spoke. The war was bad but the response was good."
+    if not nlp.HAS_TEXTBLOB:
+        assert nlp.sentiment(text) == nlp.sentiment_standin(text)
+    if not nlp.HAS_NLTK_TOKENIZE:
+        assert nlp.word_tokenize(text) == nlp.word_tokenize_standin(text)
+        assert nlp.sent_tokenize(text) == nlp.sent_tokenize_standin(text)
+    if not nlp.HAS_NLTK_NER:
+        assert nlp.named_people(text) == nlp.named_people_standin(text)
+    if not nlp.HAS_CMU_DICT:
+        assert nlp.count_syllables("hello") == \
+            nlp.count_syllables_standin("hello")
+    if not readability.HAS_READABILITY_LXML:
+        assert readability.short_title_from_html("<html></html>") is None
+        assert readability.body_texts_from_html("<html></html>") == []
+
+
+def test_nlp_real_libraries_when_available():
+    """Runs only where the real libraries exist (deployment containers):
+    the seam must return their values, matching the reference pipelines."""
+    import pytest as _pytest
+
+    from risjbot_spark.extract import nlp
+
+    if not (nlp.HAS_TEXTBLOB and nlp.HAS_NLTK_NER and nlp.HAS_CMU_DICT):
+        _pytest.skip("real NLP libraries not installed in this container")
+    text = "John Smith praised the excellent response."
+    pol, subj = nlp.sentiment(text)
+    assert -1.0 <= pol <= 1.0 and 0.0 <= subj <= 1.0
+    assert "John Smith" in nlp.named_people(text)
+    assert nlp.count_syllables("hello") == 2

@@ -34,7 +34,13 @@ def canon_rows(cols, rows):
 
 
 def main(sf_dir: str, only: list[str]):
-    from risjbot_spark.queries import ORACLE_SQL, QUERIES
+    # the driver calls __spark_entry__.queries()/oracle_sql(), which adds
+    # the crawl-engine end-to-end queries on top of risjbot_spark.queries
+    # — check exactly that surface
+    import __spark_entry__ as entry
+
+    QUERIES = entry.queries()
+    ORACLE_SQL = entry.oracle_sql()
 
     spark = (
         SparkSession.builder.master("local[8]")
