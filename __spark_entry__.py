@@ -98,7 +98,10 @@ def _extract_articles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "url",
         F.col("article.headline").alias("headline"),
-        (F.col("article.bodytext") == F.col("text")).alias("byte_identical"),
+        # null-safe: an empty source text extracts to an absent bodytext
+        # (both null) — that IS identity, not a mismatch
+        F.col("article.bodytext").eqNullSafe(F.col("text"))
+        .alias("byte_identical"),
     ).orderBy("url")
 
 
@@ -112,11 +115,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # the docs-derived page url/headline as SQL (corpus.doc_page_url /
-# doc_page_row: both pure functions of (doc_id, lang))
+# doc_page_row: both pure functions of (doc_id, lang) — including the
+# generator's null-coalescing: lang or "en", text or "")
 _DOC_URL_SQL = (
-    "concat('https://docs.', lang, '.example.com/', "
+    "concat('https://docs.', coalesce(lang, 'en'), '.example.com/', "
     "CAST(doc_id % 10 AS VARCHAR), '/doc-', CAST(doc_id AS VARCHAR))"
 )
+
+# len(bodytext.split()) semantics: split on whitespace runs, DROP empty
+# tokens (so leading/trailing whitespace doesn't count), NULL when the
+# source text is empty (no bodytext is extracted → wordcount never set)
+_DOC_WORDCOUNT_SQL = """
+    CASE WHEN trim(coalesce(text, '')) = '' THEN NULL
+         ELSE CAST(length(list_filter(
+                regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x <> '')) AS BIGINT) END"""
 
 _ENTRY_ORACLES = {
     # one fetch per document in round 0; bodytext == documents.text, so
@@ -124,8 +137,7 @@ _ENTRY_ORACLES = {
     "crawl_round": f"""
         SELECT {_DOC_URL_SQL} AS url_canon,
                concat('Document ', CAST(doc_id AS VARCHAR)) AS headline,
-               CAST(length(regexp_split_to_array(trim(text), '\\s+'))
-                    AS BIGINT) AS wordcount,
+               {_DOC_WORDCOUNT_SQL} AS wordcount,
                'ok' AS status
         FROM documents ORDER BY url_canon""",
     # the byte-identity gate: extraction must reproduce the document

@@ -97,8 +97,47 @@ def main() -> None:
         timings[f"crawl_round_{r}"] = round(dt, 3)
         warm_best = dt if warm_best is None else min(warm_best, dt)
 
+    # ---- merge-on-read sustained-rounds series (VERDICT r1 #9): run a
+    # long round loop on a reduced corpus and record per-round wall time
+    # + the seen-commit phase, proving the MoR design is O(delta) write /
+    # bounded read as rounds accumulate (compaction every trim_every=4
+    # folds deltas back). Flat warm rounds = the claim holds; a rising
+    # series would expose an O(rounds) resolve cost.
+    mor_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_MOR_ROUNDS", "32"))
+    mor_series: list[float] = []
+    mor_commit: list[float] = []
+    if mor_rounds > 0:
+        from datetime import timedelta
+
+        mor_pages_n = max(600, N_PAGES // 20)
+        mor_pages = pages.limit(mor_pages_n).cache()
+        mor_pages.count()
+        mor_seeds = mor_pages.select("url").withColumn("priority", F.lit(0))
+        mor_eng = CrawlEngine(
+            spark, tempfile.mkdtemp(prefix="risjbot_bench_mor_"),
+            mor_pages, robots=None,
+            cfg=CrawlConfig(
+                refetch=RefetchConfig(maxfetches=mor_rounds + 1,
+                                      refetchsecs=3600),
+                num_partitions=max(CPUS, 8), collect_lineage=False,
+                use_bloom=True),
+        )
+        for r in range(mor_rounds):
+            perf: dict = {}
+            t0 = time.monotonic()
+            mor_eng.run_round(mor_seeds, r,
+                              start + timedelta(seconds=r * 3600),
+                              perf=perf)
+            mor_series.append(round(time.monotonic() - t0, 3))
+            mor_commit.append(perf.get("seen_merge_commit", 0.0))
+        mor_pages.unpersist()
+        timings["mor_rounds_total"] = round(sum(mor_series), 3)
+
     # ---- relational / training-data operator suite on the sf tables
-    bench_queries = [
+    # (skippable for scaling legs, which only need the crawl series:
+    # SPARK_GRAFT_BENCH_SUITE=0)
+    run_suite = os.environ.get("SPARK_GRAFT_BENCH_SUITE", "1") != "0"
+    bench_queries = [] if not run_suite else [
         "tpch_pricing", "region_revenue", "brand_supplier_revenue",
         "politeness_window", "customer_top_order", "sessionize",
         "exact_dedup", "minhash_signature", "lsh_dup_pairs",
@@ -111,18 +150,20 @@ def main() -> None:
         _noop(QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
 
-    # multimodal feature-extraction throughput (binary → 64-d features)
-    from risjbot_spark.multimodal import extract_features, synthetic_media
-    media = synthetic_media(spark, int(N_PAGES // 2), partitions=max(CPUS, 8))
-    t0 = time.monotonic()
-    _noop(extract_features(media))
-    timings["multimodal_features"] = round(time.monotonic() - t0, 3)
+    if run_suite:
+        # multimodal feature-extraction throughput (binary → 64-d features)
+        from risjbot_spark.multimodal import extract_features, synthetic_media
+        media = synthetic_media(spark, int(N_PAGES // 2),
+                                partitions=max(CPUS, 8))
+        t0 = time.monotonic()
+        _noop(extract_features(media))
+        timings["multimodal_features"] = round(time.monotonic() - t0, 3)
 
-    # JSONL compat sink over one round of articles
-    from risjbot_spark.sinks import to_jsonl_compat
-    t0 = time.monotonic()
-    _noop(to_jsonl_compat(eng.articles_table.read()))
-    timings["jsonl_sink"] = round(time.monotonic() - t0, 3)
+        # JSONL compat sink over one round of articles
+        from risjbot_spark.sinks import to_jsonl_compat
+        t0 = time.monotonic()
+        _noop(to_jsonl_compat(eng.articles_table.read()))
+        timings["jsonl_sink"] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -138,6 +179,26 @@ def main() -> None:
         "crawl_urls_per_sec_warm": (
             round(n_articles / warm_best, 1) if warm_best else None),
     }
+    if mor_series:
+        import statistics
+
+        warm = mor_series[1:]
+        out["mor_rounds"] = mor_series
+        out["mor_seen_commit_secs"] = mor_commit
+        out["mor_summary"] = {
+            "rounds": len(mor_series),
+            "pages_per_round": mor_pages_n,
+            "cold": mor_series[0],
+            "warm_median": round(statistics.median(warm), 3) if warm else None,
+            "warm_best": round(min(warm), 3) if warm else None,
+            "warm_last4_median": round(statistics.median(mor_series[-4:]), 3),
+            # flat ⇔ the tail is not slower than the early warm rounds
+            # beyond co-tenant noise (see BENCH/BASELINE.md methodology)
+            "tail_over_head": (
+                round(statistics.median(mor_series[-4:])
+                      / statistics.median(mor_series[1:5]), 3)
+                if len(mor_series) >= 5 else None),
+        }
     spark.stop()
     print(json.dumps(out))
 

@@ -97,6 +97,9 @@ def chase_one(html_text: str, api, site_uuid, limit: int = 100,
     raws: list[str] = []
     texts: list[str] = []
     url = COMMENTS_URL.format(site_uuid=site_uuid, ccid=ccid, limit=limit)
+    # cursor survives ACROSS pages: an empty-but-more_available page must
+    # reuse the previous page's last content_uuid, not start from None
+    last_uuid = None
     for _ in range(max_pages):
         try:
             d = api("GET", url)
@@ -104,7 +107,6 @@ def chase_one(html_text: str, api, site_uuid, limit: int = 100,
             return raws, texts, "Failure in comment collection", "failed"
         if "contents" not in d:
             return raws, texts, "Failure in comment collection", "failed"
-        last_uuid = None
         for comment in d["contents"]:
             raws.append(json.dumps(comment))
             last_uuid = comment.get("content_uuid", last_uuid)
@@ -124,8 +126,12 @@ def chase_comments(pages: DataFrame, api, site_uuid,
     returns COMMENTS_SCHEMA rows for every matching page."""
     import pandas as pd
 
-    sub = pages.filter(F.col("host").contains(host_filter)) \
-               .select("url_canon", "html")
+    # dot-boundary host match, not substring: 'liverpoolecho.co.uk' must
+    # match itself and 'www.liverpoolecho.co.uk' but never
+    # 'fake-liverpoolecho.co.uk.example.com'
+    host_ok = (F.col("host") == host_filter) | \
+        F.col("host").endswith("." + host_filter)
+    sub = pages.filter(host_ok).select("url_canon", "html")
 
     def run(batches):
         for pdf in batches:

@@ -139,6 +139,11 @@ class CrawlEngine:
             self.budgets = host_budgets(
                 self.rules_map, self.cfg.round_seconds, self.cfg.default_budget
             )
+        # seen-table format gate: deltas switched from +1 increments to
+        # RESOLVED rows (latest-wins). An increment-format warehouse
+        # would silently resolve to wrong fetch counts under the new
+        # seen_state, so refuse it loudly instead.
+        self._check_seen_format()
         # crash recovery BEFORE bloom setup: if a prior run died between
         # the articles commit and the seen commit, roll the round forward
         self._recover_incomplete_round()
@@ -160,6 +165,21 @@ class CrawlEngine:
                     self.cfg.bloom_buckets, self.cfg.bloom_bits_per_bucket)
                 if cur is not None:
                     self.bloom.add_df(self.seen().select("url_hash"))
+
+    SEEN_FORMAT = 2   # 1 = increment deltas (sum-resolve); 2 = resolved rows
+
+    def _check_seen_format(self) -> None:
+        man = self.seen_table.manifest()
+        if man is None:
+            return
+        fmt = man.get("lineage", {}).get("seen_format", 1)
+        if fmt != self.SEEN_FORMAT:
+            raise RuntimeError(
+                f"seen table at {self.seen_table.dir} was written in "
+                f"format {fmt} (increment deltas); this engine writes "
+                f"format {self.SEEN_FORMAT} (resolved rows) and cannot "
+                f"resolve mixed history — recrawl into a fresh warehouse "
+                f"or compact with the old engine version first")
 
     def _recover_incomplete_round(self) -> None:
         """Roll-forward recovery for the round's two-commit sequence.
@@ -204,7 +224,8 @@ class CrawlEngine:
             "url_hash", "url_canon", "host", "previousfetches")
         self.seen_table.commit(
             seen_updates(fetched_keys, datetime.fromisoformat(a_ts)),
-            lineage={"round": a_round, "round_ts": a_ts, "recovered": True},
+            lineage={"round": a_round, "round_ts": a_ts,
+                     "recovered": True, "seen_format": self.SEEN_FORMAT},
             mode="append",
             stats={"last_fetch_range": [a_ts, a_ts]},
         )
@@ -519,6 +540,7 @@ class CrawlEngine:
                 new_seen.withColumn("lf_day", F.to_date("last_fetch")),
                 lineage={"round": round_no,
                          "round_ts": round_ts.isoformat(),
+                         "seen_format": self.SEEN_FORMAT,
                          "counters": lineage, "compacted": True},
                 mode="replace",
                 partition_by=["lf_day"],
@@ -534,6 +556,7 @@ class CrawlEngine:
             self.seen_table.commit(
                 seen_updates(fetched_keys, round_ts),
                 lineage={"round": round_no, "round_ts": rts_iso,
+                         "seen_format": self.SEEN_FORMAT,
                          "counters": lineage},
                 mode="append",
                 stats={"last_fetch_range": [rts_iso, rts_iso]},
@@ -705,6 +728,7 @@ def _paced_fetch_partition(pdf, in_cols, out_cols, delays, salt,
         ["priority", "discovered_ts", "url_hash"],
         ascending=[False, True, True])
     last_fetch_at: dict[str, float] = {}
+    task_start = _t.monotonic()
     rows = []
     for rec in pdf.to_dict("records"):
         host = rec["host"]
@@ -719,17 +743,21 @@ def _paced_fetch_partition(pdf, in_cols, out_cols, delays, salt,
             if wait > 0:
                 do_sleep(wait)
         elif delay > 0:
-            # first same-host fetch in this task: offset by the row's salt
-            # lane (url_hash % salt) × crawl_delay. Without it, stage
-            # start could burst up to `salt` concurrent same-host requests
+            # first same-host fetch in this task: separate salt lanes in
+            # ABSOLUTE time — lane k's first fetch happens no earlier
+            # than task_start + k × crawl_delay. Without it, stage start
+            # could burst up to `salt` concurrent same-host requests
             # (one per lane) before the per-lane pacing kicks in; the
-            # stagger separates lanes by one crawl_delay so the
-            # instantaneous rate honors the 1/crawl_delay bound, not just
-            # the amortized one (Scrapy download slots serialize
-            # per-domain — this is the distributed analogue).
+            # stagger makes the instantaneous rate honor the
+            # 1/crawl_delay bound, not just the amortized one (Scrapy
+            # download slots serialize per-domain — this is the
+            # distributed analogue). Wall-clock already elapsed in this
+            # task counts toward the offset, so a late-reached host
+            # doesn't sleep for a burst window that has already passed.
             lane_offset = (rec["url_hash"] % salt) * (delay / salt)
-            if lane_offset > 0:
-                do_sleep(lane_offset)
+            wait = lane_offset - (_t.monotonic() - task_start)
+            if wait > 0:
+                do_sleep(wait)
         status, body, date_hdr = fetcher(rec["url_canon"])
         last_fetch_at[host] = _t.monotonic()
         rows.append({**{c: rec[c] for c in in_cols},

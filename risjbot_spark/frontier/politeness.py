@@ -229,7 +229,10 @@ def host_budgets_df(rules_df: DataFrame, round_seconds: int) -> DataFrame:
     """Crawl-delay → per-host fetch budget, as a table (W3 scale path)."""
     return (
         rules_df
-        .filter(F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0))
+        # != 0, not > 0: the dict path treats any TRUTHY crawl_delay as a
+        # budget (a negative typo yields budget 1 via max(1, ...)); the
+        # greatest(1, floor(...)) below reproduces that for negatives
+        .filter(F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") != 0))
         .select(
             "host_norm",
             F.greatest(

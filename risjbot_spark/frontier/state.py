@@ -24,7 +24,7 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -191,7 +191,12 @@ def trawl_candidates_pruned(
     if not cfg.refetchfromdb:
         return seen_table.read().select(
             "url_hash", "url", "host", "fetches", "last_fetch").limit(0)
-    rts = round_ts.replace(tzinfo=None)
+    # tz-AWARE cutoffs: a naive datetime literal goes through the
+    # driver's OS timezone (time.mktime) on its way into the plan, so a
+    # non-UTC driver would shift the window and silently diverge from
+    # the unpruned path; aware datetimes convert to true UTC instants
+    rts = (round_ts if round_ts.tzinfo is not None
+           else round_ts.replace(tzinfo=timezone.utc))
     lo = rts - timedelta(seconds=cfg.age_limit_secs)   # exclusive
     hi = rts - timedelta(seconds=cfg.refetchsecs)      # inclusive
     cols = ["url_hash", "url", "host", "fetches", "last_fetch"]
@@ -210,8 +215,10 @@ def trawl_candidates_pruned(
             newer_srcs.append(
                 df.filter(day >= F.lit(hi.date())).select(*cols))
         elif rng:
-            mn = datetime.fromisoformat(rng[0]).replace(tzinfo=None)
-            mx = datetime.fromisoformat(rng[1]).replace(tzinfo=None)
+            mn = datetime.fromisoformat(rng[0])
+            mx = datetime.fromisoformat(rng[1])
+            mn = mn if mn.tzinfo else mn.replace(tzinfo=timezone.utc)
+            mx = mx if mx.tzinfo else mx.replace(tzinfo=timezone.utc)
             if mx > lo and mn <= hi:
                 window_srcs.append(spark.read.parquet(d).select(*cols))
             if mx > hi:

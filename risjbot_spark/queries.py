@@ -65,7 +65,14 @@ _STAGE_CACHE: dict = {}
 
 
 def _cached_stage(spark, sf, key, build):
-    ck = (id(spark), sf, key)
+    # keyed by applicationId, not id(spark): a GC'd session's address can
+    # be reused by a new SparkSession, which would serve a DataFrame
+    # bound to a stopped context
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = id(spark)
+    ck = (app, sf, key)
     df = _STAGE_CACHE.get(ck)
     if df is None:
         df = build().persist(StorageLevel.MEMORY_AND_DISK)

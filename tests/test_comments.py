@@ -175,3 +175,47 @@ def test_chase_bounds_lying_api():
     raws, texts, note, status = chase_one(
         _page(), api, SITE_UUID, max_pages=10)
     assert status == "failed" and len(raws) == 10
+
+
+def test_chase_empty_page_keeps_cursor():
+    """REGRESSION: an empty-contents page with more_available=true must
+    reuse the PREVIOUS page's cursor on the NEXT request — resetting it
+    per-iteration produced '&starting_from=None' (a KeyError here)."""
+    cont, page = _urls()
+    cursor_url = page + "&starting_from=u99"
+    # same URL served twice: first an empty transient page that still
+    # says more_available, then the closing page — a per-URL queue
+    queue = {
+        cont: [{"content_container_uuid": CCID}],
+        page: [{"contents": _comments(100), "more_available": True}],
+        cursor_url: [{"contents": [], "more_available": True},
+                     {"contents": [], "more_available": False}],
+    }
+    calls = []
+
+    def api(method, url):
+        calls.append(url)
+        return queue[url].pop(0)
+
+    raws, texts, note, status = chase_one(_page(), api, SITE_UUID)
+    assert status == "ok" and len(raws) == 100
+    assert calls == [cont, page, cursor_url, cursor_url]
+
+
+def test_host_filter_dot_boundary(spark):
+    """REGRESSION: substring host match chased look-alike domains."""
+    from risjbot_spark.comments import chase_comments
+
+    pages = spark.createDataFrame(
+        [("https://a/x", "fake-liverpoolecho.co.uk.example.com",
+          _page().encode()),
+         ("https://b/x", "liverpoolecho.co.uk", _page().encode()),
+         ("https://c/x", "www.liverpoolecho.co.uk", _page().encode())],
+        "url_canon string, host string, html binary")
+
+    def api(method, url):
+        raise RuntimeError("no network")
+
+    got = {r.url_canon for r in
+           chase_comments(pages, api, SITE_UUID).collect()}
+    assert got == {"https://b/x", "https://c/x"}

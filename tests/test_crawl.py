@@ -520,9 +520,11 @@ def test_paced_fetch_first_fetch_lane_stagger():
         list(pdf.columns) + ["status", "html", "fetchtime_str"],
         delays={"slow.example.com": 0.5}, salt=8, default_delay=0.0,
         fetcher=lambda u: (200, b"", "x GMT"), do_sleep=sleeps.append)
-    # first fetch: lane 3 stagger = 3 × 0.5 = 1.5; second: pacing ≈ 4.0
+    # first fetch: lane 3 stagger = 3 × 0.5 = 1.5 (minus task wall-clock
+    # already elapsed — the offset is absolute, not additive); second:
+    # pacing ≈ 4.0
     assert len(sleeps) == 2
-    assert sleeps[0] == 1.5
+    assert 1.4 <= sleeps[0] <= 1.5
     assert 3.9 <= sleeps[1] <= 4.0
 
 
@@ -603,3 +605,25 @@ def test_run_resumes_round_numbering(spark, corpus, tmp_path):
         CrawlEngine(spark, wh, corpus, None, cfg).articles_table.read()
         .select("round").distinct().collect())
     assert rounds == [0, 1, 2]
+
+
+def test_engine_refuses_increment_format_seen_table(spark, corpus, tmp_path):
+    """REGRESSION: seen deltas switched to resolved rows; an old
+    increment-format warehouse must be refused, not silently resolved to
+    wrong fetch counts."""
+    import json
+
+    cfg = CrawlConfig(refetch=RefetchConfig(), num_partitions=4,
+                      collect_lineage=False, use_bloom=False)
+    wh = str(tmp_path / "wh")
+    eng = CrawlEngine(spark, wh, corpus, None, cfg)
+    seeds = corpus.select("url").withColumn("priority", F.lit(0))
+    eng.run_round(seeds, 0, START)
+    # strip the format marker, simulating a pre-change warehouse
+    man_path = eng.seen_table._manifest_path(
+        eng.seen_table.current_snapshot_id())
+    man = json.load(open(man_path))
+    del man["lineage"]["seen_format"]
+    json.dump(man, open(man_path, "w"))
+    with pytest.raises(RuntimeError, match="format 1"):
+        CrawlEngine(spark, wh, corpus, None, cfg)

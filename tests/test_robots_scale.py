@@ -41,6 +41,9 @@ _ROBOTS = [
     ("c.example.com", "User-agent: *\nCrawl-delay: 0.5\n"),
     ("d.example.com", "User-agent: other\nDisallow: /\n"),   # not for us
     ("e.example.com", "User-agent: *\nDisallow: /\nAllow: /\n"),  # tie → allow
+    # negative Crawl-delay typo: dict path yields budget max(1, ...) = 1;
+    # the DF path must agree, not silently drop the host to the default
+    ("neg.example.com", "User-agent: *\nCrawl-delay: -1\n"),
 ]
 
 _FRONTIER = [
@@ -104,7 +107,8 @@ def test_host_budgets_df_parity(spark):
         .collect()
     }
     assert got == want
-    assert got == {"a.example.com": 5, "c.example.com": 20}
+    assert got == {"a.example.com": 5, "c.example.com": 20,
+                   "neg.example.com": 1}
 
 
 def test_politeness_schedule_budgets_df_parity(spark):

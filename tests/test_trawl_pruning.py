@@ -26,8 +26,11 @@ CFG = RefetchConfig(maxfetches=8, refetchsecs=3600, agelimit=86400)
 
 
 def _rows(spark, rows):
+    # tz-AWARE datetimes: naive ones convert through the driver's OS
+    # timezone (time.mktime), shifting the stored instants on non-UTC
+    # machines — the engine always writes from aware round_ts literals
     df = spark.createDataFrame(
-        [(hash(u) & 0x7FFFFFFF, u, u.split("/")[2], f, t.replace(tzinfo=None))
+        [(hash(u) & 0x7FFFFFFF, u, u.split("/")[2], f, t)
          for (u, f, t) in rows],
         "url_hash long, url string, host string, fetches int,"
         " last_fetch timestamp")
@@ -132,3 +135,41 @@ def test_seen_updates_derives_previousfetches_from_seen(spark):
     got = {r.url: r.fetches
            for r in seen_updates(fetched, T0, seen=seen).collect()}
     assert got == {"https://h1/a": 5, "https://h1/new": 1}
+
+
+def test_pruned_trawl_correct_under_non_utc_driver_tz(tmp_path):
+    """REGRESSION: the window cutoffs were naive datetimes, which PySpark
+    converts through the driver's OS timezone — on a non-UTC driver the
+    pruned trawl shifted its window and diverged from the full resolve.
+    Run the parity check in a subprocess with TZ=Asia/Kolkata (+05:30,
+    a half-hour zone that catches sign AND rounding errors)."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from test_trawl_pruning import _mk_table, CFG, T0
+from risjbot_spark.frontier.state import (
+    seen_state, trawl_candidates, trawl_candidates_pruned)
+import pathlib
+t = _mk_table(spark, pathlib.Path(sys.argv[1]))
+full = sorted(r.url for r in
+              trawl_candidates(seen_state(t.read()), CFG, T0).collect())
+pruned = sorted(r.url for r in
+                trawl_candidates_pruned(spark, t, CFG, T0).collect())
+assert pruned == full, f"diverged under non-UTC TZ: {pruned} != {full}"
+print("TZ-PARITY-OK")
+"""
+    env = dict(os.environ, TZ="Asia/Kolkata")
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(tmp_path / "tzwh")],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert "TZ-PARITY-OK" in out.stdout, out.stdout + out.stderr

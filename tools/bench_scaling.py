@@ -61,7 +61,12 @@ def run_at(cpus: int) -> dict:
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=SF_DIR,
                SPARK_GRAFT_BENCH_PAGES=PAGES,
-               SPARK_GRAFT_BENCH_ROUNDS="6")   # 5 warm rounds, best-of
+               SPARK_GRAFT_BENCH_ROUNDS="6",   # 5 warm rounds, best-of
+               # crawl series only: the ops suite and MoR series are
+               # separate claims measured in the driver bench — here they
+               # would only add fixed time to both legs
+               SPARK_GRAFT_BENCH_SUITE="0",
+               SPARK_GRAFT_BENCH_MOR_ROUNDS="0")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3000,
@@ -70,8 +75,43 @@ def run_at(cpus: int) -> dict:
     return json.loads(line)
 
 
+# staged mode: each stage runs standalone (and within a process-timeout
+# budget), dropping its result in /tmp; `report` composes BENCH/BASELINE.md.
+#   bench_scaling.py ceiling | leg <cpus> | report <n> | (no args = full run)
+_STAGE_DIR = "/tmp/risjbot_scaling"
+
+
+def _stage_path(name: str) -> str:
+    os.makedirs(_STAGE_DIR, exist_ok=True)
+    return os.path.join(_STAGE_DIR, name + ".json")
+
+
 def main() -> None:
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    args = sys.argv[1:]
+    if args and args[0] == "ceiling":
+        n4 = 4 * n
+        res = {"hw_n": raw_cpu_rate(min(2 * n, 32)),
+               "hw_n4": raw_cpu_rate(min(2 * n4, 32))}
+        json.dump(res, open(_stage_path("ceiling"), "w"))
+        print(res)
+        return
+    if args and args[0] == "leg":
+        cpus = int(args[1])
+        res = run_at(cpus)
+        json.dump(res, open(_stage_path(f"leg_{cpus}"), "w"))
+        print(json.dumps(res))
+        return
+    if args and args[0] == "report":
+        n = int(args[1]) if len(args) > 1 else n
+        n4 = 4 * n
+        hw = json.load(open(_stage_path("ceiling")))
+        hw_n, hw_n4 = hw["hw_n"], hw["hw_n4"]
+        hw_scaling = hw_n4 / (4 * hw_n)
+        r8 = json.load(open(_stage_path(f"leg_{n}")))
+        r32 = json.load(open(_stage_path(f"leg_{n4}")))
+        _write_report(n, n4, hw_n, hw_n4, hw_scaling, r8, r32)
+        return
     n4 = 4 * n
     # hardware ceiling at the crawl's busy-thread counts (~2 threads per
     # task slot: JVM stage pipelined with the Arrow python worker)
@@ -80,6 +120,10 @@ def main() -> None:
     hw_scaling = hw_n4 / (4 * hw_n)
     r8 = run_at(n)
     r32 = run_at(n4)
+    _write_report(n, n4, hw_n, hw_n4, hw_scaling, r8, r32)
+
+
+def _write_report(n, n4, hw_n, hw_n4, hw_scaling, r8, r32) -> None:
     t8 = r8["crawl_urls_per_sec_warm"]
     t32 = r32["crawl_urls_per_sec_warm"]
     eff = t32 / (4 * t8)

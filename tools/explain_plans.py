@@ -98,6 +98,43 @@ def main() -> None:
         check(qname, "SortMergeJoin" in p or "BroadcastHashJoin" in p
               or "ShuffledHashJoin" in p, "hash/merge join strategy chosen")
 
+    # --- dedup stage caching (VERDICT r1 #2): the signature pipeline is
+    # persisted once per (session, sf) — plan references must hit the
+    # InMemoryRelation instead of re-deriving documents→shingles per
+    # branch. The Jaccard verify previously evaluated the shingle build
+    # up to 3× in one plan.
+    from risjbot_spark.queries import clear_stage_cache
+
+    clear_stage_cache()
+    QUERIES["ngram_jaccard_pairs"](spark, SF).count()  # populate caches
+    p = plan_of(QUERIES["ngram_jaccard_pairs"](spark, SF))
+    sections.append(("ngram_jaccard_pairs (cached signature stages)", p))
+    check("ngram_jaccard_pairs", "InMemoryTableScan" in p,
+          "signature/shingle stages read from cache")
+    # NOTE: explain renders the InMemoryRelation's stored BUILD plan
+    # inline, so the documents scan text still appears in the output —
+    # TableCacheQueryStage is the runtime proof the executed plan reads
+    # the cache instead of re-deriving it
+    check("ngram_jaccard_pairs", "TableCacheQueryStage" in p,
+          "executed plan reads TableCacheQueryStage, not a re-derivation")
+
+    # --- robots scale path: rules join on host, prefix match as JVM
+    # higher-order functions — no Python stage in the frontier filter
+    from risjbot_spark.frontier.politeness import (
+        parse_rules_df, robots_filter_df)
+    rb = spark.createDataFrame(
+        [("h.example.com", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string")
+    fr = spark.createDataFrame(
+        [("https://h.example.com/x/1", "h.example.com")],
+        "url_canon string, host string")
+    p = plan_of(robots_filter_df(fr, parse_rules_df(rb)))
+    sections.append(("robots_filter_df (rules-join scale path)", p))
+    check("robots_filter_df",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "frontier-side prefix match is JVM-only (rules parse is the "
+          "only Python, on the small rules side)")
+
     # --- ivf_search: centroid table broadcasts; candidate join must be
     # an equi join on the probed centroid labels
     p = plan_of(QUERIES["ivf_search"](spark, SF))
