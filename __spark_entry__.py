@@ -117,16 +117,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the docs-derived page url/headline as SQL (corpus.doc_page_url /
 # doc_page_row: both pure functions of (doc_id, lang) — including the
 # generator's null-coalescing: lang or "en", text or "")
+# the generator is Python `lang or "en"`: empty string coalesces too,
+# not just NULL
 _DOC_URL_SQL = (
-    "concat('https://docs.', coalesce(lang, 'en'), '.example.com/', "
+    "concat('https://docs.', "
+    "CASE WHEN lang IS NULL OR lang = '' THEN 'en' ELSE lang END, "
+    "'.example.com/', "
     "CAST(doc_id % 10 AS VARCHAR), '/doc-', CAST(doc_id AS VARCHAR))"
 )
 
 # len(bodytext.split()) semantics: split on whitespace runs, DROP empty
 # tokens (so leading/trailing whitespace doesn't count), NULL when the
-# source text is empty (no bodytext is extracted → wordcount never set)
+# source text is whitespace-only (no bodytext is extracted → wordcount
+# never set; DuckDB trim() strips spaces only, so the guard is a regex)
 _DOC_WORDCOUNT_SQL = """
-    CASE WHEN trim(coalesce(text, '')) = '' THEN NULL
+    CASE WHEN regexp_matches(coalesce(text, ''), '^\\s*$') THEN NULL
          ELSE CAST(length(list_filter(
                 regexp_split_to_array(coalesce(text, ''), '\\s+'),
                 x -> x <> '')) AS BIGINT) END"""

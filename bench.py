@@ -69,11 +69,16 @@ def main() -> None:
     pages = spark.read.parquet(pages_path)
     seeds = pages.select("url").withColumn("priority", F.lit(0))
 
-    # ---- headline: one full crawl round (fetch+extract end to end)
+    # ---- headline: one full crawl round (fetch+extract end to end).
+    # maxfetches sized from the round count: the default (8) would make
+    # rounds 8+ fetch NOTHING and the near-empty round's time would
+    # silently inflate crawl_urls_per_sec_warm
+    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     wh = tempfile.mkdtemp(prefix="risjbot_bench_wh_")
     eng = CrawlEngine(
         spark, wh, pages, robots=None,
-        cfg=CrawlConfig(refetch=RefetchConfig(), num_partitions=max(CPUS, 8),
+        cfg=CrawlConfig(refetch=RefetchConfig(maxfetches=max(8, n_rounds + 1)),
+                        num_partitions=max(CPUS, 8),
                         collect_lineage=False, use_bloom=True),
     )
     start = datetime(2017, 4, 1, tzinfo=timezone.utc)
@@ -86,7 +91,6 @@ def main() -> None:
     # warm rounds: every URL is refetch-eligible again (ts += refetchsecs),
     # so each round re-fetches+re-extracts the full corpus — steady-state
     # throughput without JVM/python-worker cold start, for scaling runs
-    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     warm_best = None
     for r in range(1, n_rounds):
         from datetime import timedelta

@@ -52,10 +52,26 @@ COMMENTS_SCHEMA = T.StructType([
     T.StructField("comment_status", T.StringType()),
 ])
 
-_CONTAINER_RE = re.compile(
-    r'<meta[^>]*\bname=["\']vf:container_id["\'][^>]*\bcontent='
-    r'["\']([^"\']+)["\']', re.IGNORECASE)
 _CONV_RE = re.compile(r"<vf-conversations\b", re.IGNORECASE)
+
+
+def _container_id(html_text: str) -> str | None:
+    """container_id via the same xpaths the reference uses
+    (//vf-conversations presence + //meta[@name="vf:container_id"]/
+    @content, liverpoolecho.py:104-106) — a DOM lookup, so attribute
+    order in the meta tag doesn't matter (a regex requiring name before
+    content missed <meta content=... name=...> and silently lost the
+    thread). The cheap regex pre-gate skips the parse for the common
+    no-comments page."""
+    if not _CONV_RE.search(html_text):
+        return None
+    from .html import parse_html, xpath
+
+    root = parse_html(html_text)
+    if not xpath(root, "//vf-conversations"):
+        return None
+    cids = xpath(root, '//meta[@name="vf:container_id"]/@content')
+    return cids[0] if cids else None
 
 
 def bootstrap_site_uuid(api, site: str = "www.liverpoolecho.co.uk"):
@@ -79,12 +95,11 @@ def chase_one(html_text: str, api, site_uuid, limit: int = 100,
     max_pages bounds a lying API's more_available=true loop (the
     reference recurses unboundedly; a bound is strictly safer and
     unreachable for honest feeds)."""
-    if site_uuid is None or not _CONV_RE.search(html_text):
+    if site_uuid is None:
         return None, None, "No comments section", "none"
-    m = _CONTAINER_RE.search(html_text)
-    if m is None:
+    cid = _container_id(html_text)
+    if cid is None:
         return None, None, "No comments section", "none"
-    cid = m.group(1)
     try:
         d = api("GET", CONTAINER_URL.format(site_uuid=site_uuid, cid=cid))
     except Exception:
@@ -106,7 +121,11 @@ def chase_one(html_text: str, api, site_uuid, limit: int = 100,
         except Exception:
             return raws, texts, "Failure in comment collection", "failed"
         if "contents" not in d:
-            return raws, texts, "Failure in comment collection", "failed"
+            # a well-formed response WITHOUT contents drops the item,
+            # exactly like the contentcontainer step: the reference's
+            # parse_comments raises StopIteration on the KeyError
+            # (liverpoolecho.py:147-151) and the loader is never yielded
+            return None, None, None, "dropped"
         for comment in d["contents"]:
             raws.append(json.dumps(comment))
             last_uuid = comment.get("content_uuid", last_uuid)
@@ -131,12 +150,28 @@ def chase_comments(pages: DataFrame, api, site_uuid,
     # 'fake-liverpoolecho.co.uk.example.com'
     host_ok = (F.col("host") == host_filter) | \
         F.col("host").endswith("." + host_filter)
-    sub = pages.filter(host_ok).select("url_canon", "html")
+    # one chase per canonical URL: multi-snapshot corpora hold several
+    # rows per url_canon; keep the deterministic survivor (newest
+    # warc_ts when present, content hash tiebreak — same order the fetch
+    # join and the JSONL sink use) or the join downstream would multiply
+    # articles AND the sequential API chase would run once per copy
+    extra = [c for c in ("warc_ts",) if c in pages.columns]
+    ord_cols = ([F.col("warc_ts")] if extra else []) + [F.md5(F.col("html"))]
+    sub = (
+        pages.filter(host_ok).select("url_canon", "html", *extra)
+        .withColumn("_ord", F.struct(*ord_cols))
+        .groupBy("url_canon")
+        .agg(F.max_by("html", "_ord").alias("html"))
+    )
 
     def run(batches):
         for pdf in batches:
             rows = []
             for url, html in zip(pdf["url_canon"], pdf["html"]):
+                if html is None:     # recorded fetch without a body
+                    rows.append((url, None, None,
+                                 "No comments section", "none"))
+                    continue
                 text = (html if isinstance(html, str)
                         else bytes(html).decode("utf-8", "replace"))
                 raws, texts, note, status = chase_one(

@@ -113,6 +113,16 @@ class CrawlEngine:
         self.fetcher = fetcher
         if pages is None and fetcher is None:
             raise ValueError("need a pages corpus or a fetcher")
+        # the engine's determinism contract (literal round timestamps,
+        # lf_day partition values, oracle parity) assumes UTC session
+        # time: to_date()/date arithmetic silently use the session zone,
+        # so a non-UTC session would shift day partitions and window
+        # bounds. Fail loudly rather than compute wrong trawls.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise RuntimeError(
+                f"CrawlEngine requires spark.sql.session.timeZone=UTC "
+                f"(got {tz!r}): set it on the SparkSession builder")
         self.seen_table = SnapshotTable(spark, warehouse, "seen")
         self.articles_table = SnapshotTable(spark, warehouse, "articles")
         # pages keyed by canonical URL once, up front (column-pruned scan)
@@ -198,7 +208,15 @@ class CrawlEngine:
         commit's token); a wider or asymmetric divergence cannot be
         repaired by replaying one delta, so it raises instead of
         silently corrupting fetch counts. Replaying the delta is
-        idempotent (resolved rows + latest-wins resolution)."""
+        idempotent (resolved rows + latest-wins resolution).
+
+        Known limitation: if the crashed round was a COMPACTION round,
+        recovery restores the STATE (the delta) but not the round's
+        maintenance — trim_seen needs the scheduled-key set, which is
+        not persisted. Stale keys the crashed round would have trimmed
+        survive until the next compaction round (round numbering resumes
+        from the warehouse, so that round arrives on cadence); deletion
+        timing is maintenance, not state semantics."""
         a_man = self.articles_table.manifest()
         if a_man is None:
             return
@@ -273,6 +291,12 @@ class CrawlEngine:
                 perf[label] = round(now - _last[0], 2)
             _last[0] = now
 
+        # coerce round_ts to tz-AWARE UTC once, at entry: a naive
+        # datetime literal converts through the driver's OS timezone
+        # (time.mktime) on its way into the plan, shifting every age
+        # predicate and stored last_fetch on a non-UTC machine
+        if round_ts.tzinfo is None:
+            round_ts = round_ts.replace(tzinfo=timezone.utc)
         cfg = self.cfg
         seen = self.seen()
         lineage: dict[str, int] = {}
@@ -343,10 +367,17 @@ class CrawlEngine:
             observations[name] = obs
             return df.observe(obs, F.count(F.lit(1)).alias("n"))
 
+        # cache the assembled frontier whenever something downstream will
+        # evaluate it more than once: the bloom split's union-of-filters
+        # executes its upstream once per branch (and compaction rounds
+        # re-execute `scheduled` a third time via trim_seen) — without
+        # the cache the whole canonicalize+trawl+dedup assembly re-runs
+        # per branch EVERY round, not just on the lineage path
         fr_cached = None
-        if cfg.collect_lineage:
+        if cfg.collect_lineage or (cfg.use_bloom and self.bloom is not None):
             fr_cached = fr.cache()
             fr = fr_cached
+        if cfg.collect_lineage:
             lineage["frontier_in"] = fr.count()
 
         # ---- robots (F11/J5)
@@ -429,6 +460,22 @@ class CrawlEngine:
                 sched_side, self.pages.page_url == sched_side.url_canon,
                 "inner",
             ).drop("page_url")
+            # one fetch per key per round: a Common-Crawl-style corpus
+            # can hold several rows for one canonical URL (snapshots over
+            # time; raw-URL variants collapsing under canonicalization),
+            # and the join would emit one article per copy. Keep a
+            # deterministic survivor — newest warc_ts, content hash as
+            # tiebreak (the reference fetches live: one response per
+            # request). The dedup shuffles the JOIN OUTPUT, O(round
+            # keys), never the 100 TB pages side.
+            others = [c for c in fetched.columns
+                      if c not in ("url_hash", "_ord")]
+            fetched = (
+                fetched.withColumn(
+                    "_ord", F.struct(F.col("warc_ts"), F.md5("html")))
+                .groupBy("url_hash")
+                .agg(*[F.max_by(c, "_ord").alias(c) for c in others])
+            )
             # corpus-join mode skips the salted shuffle unless asked
             # (salt>0) — it would only move the html payload
             if cfg.salt > 0:
@@ -504,8 +551,9 @@ class CrawlEngine:
             articles.unpersist()
             for name, obs in observations.items():
                 lineage[name] = obs.get["n"]
-            if fr_cached is not None:
-                fr_cached.unpersist()
+        # fr_cached stays persisted until after the seen commit: the trim
+        # path re-executes `scheduled` (derived from fr) on compaction
+        # rounds; it is unpersisted at the end of the round
         delta_dir = self.articles_table.manifest()["files"][-1]
         self.last_delta_dir = delta_dir
         fetched_keys = self.spark.read.parquet(delta_dir).select(
@@ -577,6 +625,8 @@ class CrawlEngine:
             self.bloom.save(self._bloom_dir)  # checkpointed with the round
             self._write_bloom_marker()        # ties bloom ↔ seen snapshot
             _mark("bloom_save")
+        if fr_cached is not None:
+            fr_cached.unpersist()
         return lineage
 
     # ------------------------------------------------------------------

@@ -48,6 +48,12 @@ _PLAIN_FORMATS = (
     "%d %B %Y %H:%M",
     "%d %B %Y",
     "%d %b %Y",
+    # slash dates: MDY FIRST — dateparser's default DATE_ORDER is 'MDY',
+    # so the reference reads '03/04/2017' as March 4; DMY stays as the
+    # fallback for day>12 forms ('27/02/2017') which MDY rejects,
+    # matching dateparser's give-the-parseable-order behavior
+    "%m/%d/%Y %H:%M",
+    "%m/%d/%Y",
     "%d/%m/%Y %H:%M",
     "%d/%m/%Y",
 )

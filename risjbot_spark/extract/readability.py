@@ -38,30 +38,45 @@ _readability = _try_readability()
 HAS_READABILITY_LXML = _readability is not None
 
 
+def extract_from_html(html_text: str, want_title: bool = True,
+                      want_body: bool = True):
+    """Reference path, ONE Document per page (the reference builds
+    readified_doc once and reuses it, loaders.py:408-422): →
+    (short_title | None, body text list). The readability parse is the
+    expensive step; parsing twice doubled the hottest fallback path."""
+    if not HAS_READABILITY_LXML:
+        return None, []
+    try:
+        doc = _readability.Document(html_text)
+    except Exception:
+        return None, []
+    title = None
+    if want_title:
+        try:
+            title = doc.short_title() or None
+        except Exception:
+            title = None
+    texts: list[str] = []
+    if want_body:
+        try:
+            import lxml.html
+
+            reparsed = lxml.html.fromstring(doc.summary())
+            texts = list(reparsed.xpath("//body//text()"))
+        except Exception:
+            texts = []
+    return title, texts
+
+
 def short_title_from_html(html_text: str) -> str | None:
     """Reference path: Document(response.text).short_title()."""
-    if not HAS_READABILITY_LXML:
-        return None
-    try:
-        t = _readability.Document(html_text).short_title()
-        return t or None
-    except Exception:
-        return None
+    return extract_from_html(html_text, want_body=False)[0]
 
 
 def body_texts_from_html(html_text: str) -> list[str]:
     """Reference path: //body//text() over Document.summary()
     (loaders.py:417-422)."""
-    if not HAS_READABILITY_LXML:
-        return []
-    try:
-        import lxml.html
-
-        reparsed = lxml.html.fromstring(
-            _readability.Document(html_text).summary())
-        return list(reparsed.xpath("//body//text()"))
-    except Exception:
-        return []
+    return extract_from_html(html_text, want_title=False)[1]
 
 _TITLE_SEPS = re.compile(r"\s+[|\-–—»::]\s+|\s+::\s+|\s+/\s+")
 

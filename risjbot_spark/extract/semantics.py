@@ -213,19 +213,23 @@ def _add_readability(loader: NewsItemLoader, root: Node,
     (the lazy short-circuit at :403-406 is load-bearing). Prefers the
     real readability-lxml seam when that package is importable
     (reference-identical values); heuristic otherwise."""
-    if loader.get_output_value("headline") and loader.get_output_value("bodytext"):
+    need_title = not loader.get_output_value("headline")
+    need_body = not loader.get_output_value("bodytext")
+    if not need_title and not need_body:
         return
     use_real = readability.HAS_READABILITY_LXML and html_text is not None
-    if not loader.get_output_value("headline"):
-        title = (readability.short_title_from_html(html_text) if use_real
-                 else readability.short_title(root))
-        if title:
-            loader.add_value("headline", title)
-    if not loader.get_output_value("bodytext"):
-        texts = (readability.body_texts_from_html(html_text) if use_real
-                 else readability.body_candidate_texts(root))
-        if texts:
-            loader.add_value("bodytext", texts)
+    if use_real:
+        # ONE Document parse covers both fields (reference builds
+        # readified_doc once, loaders.py:408)
+        title, texts = readability.extract_from_html(
+            html_text, want_title=need_title, want_body=need_body)
+    else:
+        title = readability.short_title(root) if need_title else None
+        texts = readability.body_candidate_texts(root) if need_body else []
+    if need_title and title:
+        loader.add_value("headline", title)
+    if need_body and texts:
+        loader.add_value("bodytext", texts)
 
 
 def _run_nlp(item: dict) -> dict:

@@ -538,8 +538,10 @@ REGISTRY["huffingtonpost.fr"] = REGISTRY["huffpost.com"]
 
 
 def host_of(url: str) -> str:
+    # hostname, not netloc: a ':443' port (or userinfo) in netloc breaks
+    # the suffix walk and silently demotes the URL to the GENERIC profile
     try:
-        return urlparse(url).netloc.lower()
+        return (urlparse(url).hostname or "").lower()
     except ValueError:
         return ""
 

@@ -15,7 +15,7 @@ from datetime import datetime
 from urllib.parse import urlparse
 
 from ..urlnorm import canonicalize_py, host_py
-from .politeness import RobotsRules
+from .politeness import RobotsRules, _norm_host as _norm
 from .state import RefetchConfig
 from .xxhash import xxhash64
 
@@ -149,6 +149,3 @@ def _order_key(row: dict):
 def _better(a: dict, b: dict) -> bool:
     return _order_key(a) < _order_key(b)
 
-
-def _norm(host: str) -> str:
-    return host[4:] if host.startswith("www.") else host

@@ -284,6 +284,13 @@ def politeness_schedule(
     number in the thousands — robots with delays are rare); past that,
     swap to a broadcast join on host — same plan shape either way.
 
+    The window partitions by RAW host while budgets key by normalized
+    (www.-stripped) host — deliberate, reference-faithful asymmetry:
+    Scrapy's download slots key by the request's exact hostname, so
+    www.example.com and example.com are separate slots there too (each
+    getting the robots-derived budget/delay); the in-memory oracle keys
+    per-host state the same way, which is what the parity tests lock.
+
     Hot-host bound: a plain per-host window puts ALL of a host's rows in
     one task — a host owning half a 10^10 frontier is an OOM, not a
     skew. When every budget ≤ `presplit_threshold`, a salted pre-rank

@@ -864,6 +864,42 @@ def q_binary_meta(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_robots_gate(spark, sf):
+    """F11 at scale, end to end through the DataFrame rules path: build
+    a synthetic robots table over the docs hosts (each docs.<lang> host
+    disallows path prefix '/<d>/' where d = ascii(first lang letter) mod
+    10, with Crawl-delay on 'en'), run parse_rules_df → robots_filter_df
+    (pandas parse on the small rules side, JVM prefix match on the
+    frontier), and return the kept urls. The construction is a pure
+    function of the documents table, so the oracle can state the
+    expected kept set in ANSI SQL without reimplementing the parser."""
+    from .frontier.politeness import parse_rules_df, robots_filter_df
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.coalesce("lang", F.lit("en")).alias("lang"))
+    fr = d.select(
+        F.concat(F.lit("https://docs."), "lang", F.lit(".example.com/"),
+                 (F.col("doc_id") % 10).cast("string"),
+                 F.lit("/doc-"), F.col("doc_id").cast("string"))
+        .alias("url_canon"),
+        F.concat(F.lit("docs."), "lang", F.lit(".example.com")).alias("host"),
+        "doc_id",
+    )
+    hosts = d.select("lang").distinct()
+    robots = hosts.select(
+        F.concat(F.lit("docs."), "lang", F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /"),
+            (F.ascii(F.substring("lang", 1, 1)) % 10).cast("string"),
+            F.lit("/\n"),
+            F.when(F.col("lang") == "en", F.lit("Crawl-delay: 2\n"))
+            .otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    kept = robots_filter_df(fr, parse_rules_df(robots))
+    return kept.select("doc_id", "url_canon").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry + DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -885,6 +921,7 @@ QUERIES = {
     "customer_top_order": q_customer_top_order,
     "sessionize": q_sessionize,
     "tumbling_window": q_tumbling_window,
+    "robots_gate": q_robots_gate,
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
     "lsh_dup_pairs": q_lsh_dup_pairs,
@@ -1111,6 +1148,14 @@ ORACLE_SQL = {
                         '%Y-%m-%d %H:%M:%S') AS win_start,
                event_type, count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "robots_gate": """
+        SELECT doc_id,
+               concat('https://docs.', coalesce(lang, 'en'), '.example.com/',
+                      CAST(doc_id % 10 AS VARCHAR), '/doc-',
+                      CAST(doc_id AS VARCHAR)) AS url_canon
+        FROM documents
+        WHERE doc_id % 10 <> ascii(substr(coalesce(lang, 'en'), 1, 1)) % 10
+        ORDER BY doc_id""",
     "exact_dedup": f"""
         WITH {_MUTANTS_CTE}
         SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,

@@ -45,7 +45,12 @@ def _node_to_flat_dict(elem) -> dict:
     for child in elem:
         name = _localname(child.tag)
         if name == "link" and "href" in child.attrib:
-            d[f"alternate{child.get('hreflang')}"] = child.get("href")
+            # only rel='alternate' WITH an hreflang is an alternate
+            # (newssitemapspider.py:94-100); rel='canonical'/'self'
+            # links must not be enqueued as frontier rows (and a missing
+            # hreflang used to produce the bogus key 'alternateNone')
+            if child.get("rel") == "alternate" and child.get("hreflang"):
+                d[f"alternate{child.get('hreflang')}"] = child.get("href")
             continue
         sub = {}
         for g in child:
@@ -149,6 +154,11 @@ def expand_sitemaps(feeds: DataFrame, bodies: DataFrame, max_depth: int = 5) -> 
     result = None
     pending = feeds
     cached = []
+    # CUMULATIVE already-expanded set, not per-level distinct: a cycle
+    # (index A lists B, B lists A) re-expands each node at alternating
+    # depths under per-level dedup, duplicating every leaf under it —
+    # the anti-join makes each sitemap URL expand exactly once
+    expanded = feeds.select("feed_url").distinct().localCheckpoint(eager=True)
     for _ in range(max_depth):
         rows = expand_feeds(pending).cache()
         cached.append(rows)
@@ -158,12 +168,13 @@ def expand_sitemaps(feeds: DataFrame, bodies: DataFrame, max_depth: int = 5) -> 
         # session's lifetime)
         leaves = leaves.localCheckpoint(eager=True)
         result = leaves if result is None else result.unionByName(leaves)
-        # distinct: duplicate (or mutually-referencing) sitemapindex
-        # entries would re-fetch and re-explode the same child each level
         children = (rows.filter(F.col("kind") == "sitemapindex-child")
-                    .select(F.col("url").alias("feed_url")).distinct())
+                    .select(F.col("url").alias("feed_url")).distinct()
+                    .join(expanded, "feed_url", "left_anti")
+                    .localCheckpoint(eager=True))
         if children.isEmpty():
             break
+        expanded = expanded.unionByName(children)
         pending = children.join(bodies, "feed_url", "inner")
     for c in cached:
         c.unpersist()

@@ -161,7 +161,11 @@ class SnapshotTable:
         `rollback_to_snapshot`). Data files and manifests are immutable,
         so this is just the atomic catalog swap; later snapshots remain
         readable until expired."""
-        if self.manifest(snapshot_id) is None:
+        try:
+            man = self.manifest(snapshot_id)
+        except FileNotFoundError:   # unknown or already-expired id
+            man = None
+        if man is None:
             raise ValueError(f"no snapshot {snapshot_id} in {self.name}")
         tmp = self._current_path() + ".tmp"
         with open(tmp, "w") as f:

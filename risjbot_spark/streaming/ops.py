@@ -31,10 +31,17 @@ def frontier_stream_dedup(frontier: DataFrame, watermark: str = "1 hour") -> Dat
     """Streaming SO1/J1-lite: drop URL duplicates within the watermark
     horizon. State is bounded by the watermark (late discoveries beyond it
     fall through to the batch seen-table anti-join — correctness never
-    depends on this filter, same contract as the bloom pre-filter)."""
+    depends on this filter, same contract as the bloom pre-filter).
+
+    dropDuplicatesWithinWatermark, NOT dropDuplicates: plain
+    dropDuplicates on a key subset that excludes the event-time column
+    never evicts its state (every url_hash ever seen is kept forever —
+    executor OOM on a long-running stream, and re-discoveries beyond the
+    horizon would still be dropped, breaking the bounded-state contract
+    this docstring promises)."""
     return (
         frontier.withWatermark("discovered_ts", watermark)
-        .dropDuplicates(["url_hash"])
+        .dropDuplicatesWithinWatermark(["url_hash"])
     )
 
 
@@ -70,10 +77,18 @@ def stateful_refetch_gate(
             fetches, last_fetch = state.get
         else:
             fetches, last_fetch = 0, None
+        # collect ALL Arrow chunks before sorting: applyInPandasWithState
+        # hands a large group over as multiple DataFrames with no
+        # cross-chunk ordering, so per-chunk sorts replay events out of
+        # event-time order (url_hash tiebreak is moot — one key per
+        # group; url breaks residual ties deterministically)
+        chunks = [pdf for pdf in pdfs]
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("discovered_ts")
-            for _, row in pdf.iterrows():
+        if chunks:
+            whole = (pd.concat(chunks, ignore_index=True)
+                     if len(chunks) > 1 else chunks[0])
+            whole = whole.sort_values(["discovered_ts", "url"])
+            for _, row in whole.iterrows():
                 ts = int(row["discovered_ts"].timestamp())
                 if fetches == 0:
                     decision = "first"

@@ -24,6 +24,14 @@ from .extract import nlp as _nlp
 from .schema import ARTICLE_STRUCT
 
 _ARTICLE_FIELDS = [f.name for f in ARTICLE_STRUCT.fields]
+# string-typed fields get a str() coercion at the row boundary: the
+# loader's passthrough fields (section, articleid, ...) keep whatever
+# type the page metadata carried (the reference's item is an untyped
+# dict), and ONE numeric JSON-LD articleSection would otherwise fail the
+# pandas→Arrow conversion for the WHOLE batch (ArrowTypeError)
+_STR_FIELDS = frozenset(
+    f.name for f in ARTICLE_STRUCT.fields
+    if isinstance(f.dataType, T.StringType))
 
 
 def _extract_one(html, url, fetchtime, meta_json) -> dict:
@@ -38,6 +46,9 @@ def _extract_one(html, url, fetchtime, meta_json) -> dict:
     if res.item:
         for k, v in res.item.items():
             if k in row:
+                if (k in _STR_FIELDS and v is not None
+                        and not isinstance(v, str)):
+                    v = str(v)
                 row[k] = v
     row["status"] = res.status
     row["jsonld_failed"] = res.jsonld_failed

@@ -219,3 +219,56 @@ def test_host_filter_dot_boundary(spark):
     got = {r.url_canon for r in
            chase_comments(pages, api, SITE_UUID).collect()}
     assert got == {"https://b/x", "https://c/x"}
+
+
+def test_container_meta_attribute_order():
+    """REGRESSION: <meta content=... name=...> (attributes swapped) must
+    still yield the container id — the reference matches by xpath, not
+    by a name-before-content regex."""
+    cont, page = _urls("cont-9x")
+    html = ('<html><head><meta content="cont-9x" name="vf:container_id">'
+            "</head><body><vf-conversations></vf-conversations></body></html>")
+    api = FakeApi({
+        cont.replace("cont-7", "cont-9x"): {"content_container_uuid": CCID},
+        page: {"contents": _comments(1), "more_available": False},
+    })
+    raws, texts, note, status = chase_one(html, api, SITE_UUID)
+    assert status == "ok" and len(raws) == 1
+
+
+def test_comments_payload_without_contents_drops_item():
+    """A well-formed comments response missing 'contents' drops the item
+    (reference parse_comments raises StopIteration on the KeyError)."""
+    cont, page = _urls()
+    api = FakeApi({
+        cont: {"content_container_uuid": CCID},
+        page: {"error": "nope"},
+    })
+    assert chase_one(_page(), api, SITE_UUID) == (None, None, None, "dropped")
+
+
+def test_chase_dedups_canonical_url_and_tolerates_null_html(spark):
+    """Multi-snapshot pages chase once per canonical URL; a null html
+    row maps to 'none' instead of crashing the stage."""
+    from risjbot_spark.comments import chase_comments
+
+    cont7, page7 = _urls("cont-7")
+    responses = {cont7: {"content_container_uuid": CCID},
+                 page7: {"contents": _comments(1), "more_available": False}}
+
+    def api(method, url, _r=responses):
+        return _r[url]
+
+    pages = spark.createDataFrame(
+        [("https://www.liverpoolecho.co.uk/a", "www.liverpoolecho.co.uk",
+          _page("cont-7").encode()),
+         ("https://www.liverpoolecho.co.uk/a", "www.liverpoolecho.co.uk",
+          _page("cont-7").encode()),       # snapshot duplicate
+         ("https://www.liverpoolecho.co.uk/nobody",
+          "www.liverpoolecho.co.uk", None)],
+        "url_canon string, host string, html binary")
+    rows = {r.url_canon: r
+            for r in chase_comments(pages, api, SITE_UUID).collect()}
+    assert len(rows) == 2
+    assert rows["https://www.liverpoolecho.co.uk/a"].comment_status == "ok"
+    assert rows["https://www.liverpoolecho.co.uk/nobody"].comment_status == "none"

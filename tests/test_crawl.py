@@ -627,3 +627,49 @@ def test_engine_refuses_increment_format_seen_table(spark, corpus, tmp_path):
     json.dump(man, open(man_path, "w"))
     with pytest.raises(RuntimeError, match="format 1"):
         CrawlEngine(spark, wh, corpus, None, cfg)
+
+
+def test_duplicate_corpus_pages_fetch_once(spark, tmp_path):
+    """REGRESSION: N corpus rows for one canonical URL (snapshots over
+    time / raw-URL variants) must yield ONE article with a deterministic
+    survivor (newest warc_ts), not N duplicates."""
+    base = pages_df(spark, 12, partitions=2)
+    # duplicate every page with an older snapshot and different html
+    older = (base.withColumn("warc_ts",
+                             F.col("warc_ts") - F.expr("INTERVAL 10 DAYS"))
+             .withColumn("html", F.lit(b"<html><body>old</body></html>")))
+    dup_corpus = base.unionByName(older)
+    cfg = CrawlConfig(refetch=RefetchConfig(), num_partitions=2,
+                      collect_lineage=False, use_bloom=False)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), dup_corpus, None, cfg)
+    seeds = base.select("url").withColumn("priority", F.lit(0))
+    eng.run_round(seeds, 0, START)
+    arts = eng.articles_table.read()
+    per_key = arts.groupBy("url_hash").count().agg(F.max("count")).first()[0]
+    assert per_key == 1, "duplicate corpus rows produced duplicate articles"
+    # the NEWEST snapshot won (old html extracts bodytext 'old')
+    assert arts.filter(F.col("bodytext") == "old").count() == 0
+
+
+def test_engine_requires_utc_session_tz(spark, corpus, tmp_path):
+    """REGRESSION: lf_day partitions and window date bounds assume a UTC
+    session zone; the engine must refuse a non-UTC session loudly."""
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(RuntimeError, match="session.timeZone"):
+            CrawlEngine(spark, str(tmp_path / "wh"), corpus, None,
+                        CrawlConfig(collect_lineage=False))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_naive_round_ts_coerced_to_utc(spark, corpus, tmp_path):
+    """run_round accepts a naive round_ts and treats it as UTC — the
+    stored last_fetch must be the exact UTC instant, not an OS-tz shift."""
+    cfg = CrawlConfig(refetch=RefetchConfig(), num_partitions=2,
+                      collect_lineage=False, use_bloom=False)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), corpus, None, cfg)
+    seeds = corpus.select("url").withColumn("priority", F.lit(0)).limit(5)
+    eng.run_round(seeds, 0, START.replace(tzinfo=None))   # naive
+    lf = {r.last_fetch for r in eng.seen().select("last_fetch").collect()}
+    assert lf == {START.replace(tzinfo=None)}  # session-UTC wall time

@@ -432,3 +432,44 @@ def test_nlp_real_libraries_when_available():
     assert -1.0 <= pol <= 1.0 and 0.0 <= subj <= 1.0
     assert "John Smith" in nlp.named_people(text)
     assert nlp.count_syllables("hello") == 2
+
+
+def test_slash_dates_parse_mdy_first():
+    """dateparser's default DATE_ORDER is MDY: '03/04/2017' is March 4;
+    day>12 forms fall back to DMY (the only parseable order)."""
+    from datetime import datetime, timezone
+
+    assert parse_datetime("03/04/2017") == \
+        datetime(2017, 3, 4, tzinfo=timezone.utc)
+    assert parse_datetime("02/27/2017") == \
+        datetime(2017, 2, 27, tzinfo=timezone.utc)
+    assert parse_datetime("27/02/2017") == \
+        datetime(2017, 2, 27, tzinfo=timezone.utc)
+
+
+def test_non_string_jsonld_section_coerced_at_udf_boundary():
+    """REGRESSION: a numeric JSON-LD articleSection reached the
+    StringType column untouched and failed the whole Arrow batch."""
+    import json as _json
+
+    from risjbot_spark.udfs import _extract_one
+
+    ld = {"@context": "https://schema.org", "@type": "NewsArticle",
+          "headline": "H", "articleSection": 2017}
+    html = ('<html><head><script type="application/ld+json">'
+            + _json.dumps(ld) + "</script></head>"
+            "<body><article><div itemprop=\"articleBody\"><p>Body text"
+            "</p></div></article></body></html>")
+    row = _extract_one(html.encode(), "https://x.example.com/a",
+                       "Sat, 01 Apr 2017 12:00:00 GMT", None)
+    assert row["section"] == "2017"
+    assert row["status"] == "ok"
+
+
+def test_profile_for_ignores_port():
+    """REGRESSION: an explicit port in the URL demoted site profiles to
+    GENERIC (netloc vs hostname)."""
+    from risjbot_spark.extract.sites import profile_for
+
+    assert profile_for("https://www.bbc.co.uk:443/news/x").name == \
+        profile_for("https://www.bbc.co.uk/news/x").name != "generic"

@@ -166,3 +166,43 @@ def test_sitemaps_from_robots_crlf(spark):
         "host string, robots_txt string")
     rows = sitemaps_from_robots(robots).collect()
     assert [r.url for r in rows] == ["https://h.example.com/news.xml"]
+
+
+def test_non_alternate_links_not_enqueued():
+    """REGRESSION: rel='canonical'/'self' xhtml:link children (and
+    alternates without hreflang) must not become frontier rows —
+    only rel='alternate' with hreflang is followed
+    (newssitemapspider.py:94-100)."""
+    body = b"""<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"
+        xmlns:xhtml="http://www.w3.org/1999/xhtml">
+<url><loc>https://h/s1</loc>
+  <xhtml:link rel="canonical" href="https://h/canon"/>
+  <xhtml:link rel="alternate" href="https://h/no-hreflang"/>
+  <xhtml:link rel="alternate" hreflang="fr" href="https://h/s1-fr"/></url>
+</urlset>"""
+    urls = [r["url"] for r in parse_feed(body)]
+    assert urls == ["https://h/s1", "https://h/s1-fr"]
+
+
+def test_expand_sitemaps_cycle_terminates_without_duplicates(spark):
+    """REGRESSION: mutually-referencing sitemapindex files (A lists B, B
+    lists A) were re-expanded at alternating depths, duplicating every
+    leaf; the cumulative expanded-set anti-join yields each leaf once."""
+    idx_a = b"""<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<sitemap><loc>https://h/b.xml</loc></sitemap>
+<sitemap><loc>https://h/leafmap.xml</loc></sitemap>
+</sitemapindex>"""
+    idx_b = b"""<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<sitemap><loc>https://h/a.xml</loc></sitemap>
+</sitemapindex>"""
+    feeds = spark.createDataFrame(
+        [("https://h/a.xml", idx_a)], "feed_url string, body binary")
+    bodies = spark.createDataFrame(
+        [("https://h/a.xml", idx_a), ("https://h/b.xml", idx_b),
+         ("https://h/leafmap.xml", URLSET)],
+        "feed_url string, body binary")
+    urls = sorted(r["url"] for r in expand_sitemaps(feeds, bodies).collect())
+    assert urls == ["https://h/s1", "https://h/s1-de", "https://h/s2"]

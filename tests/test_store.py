@@ -87,3 +87,16 @@ def test_expire_never_removes_current_after_rollback(spark, tmp_path):
     expired = t.expire_snapshots(keep_last=2)
     assert 1 not in expired
     assert {r["x"] for r in t.read().collect()} == {1}  # still readable
+
+
+def test_rollback_unknown_snapshot_raises_valueerror(spark, tmp_path):
+    """REGRESSION: rollback to an unknown/expired id raised a raw
+    FileNotFoundError instead of the documented ValueError."""
+    import pytest
+
+    from risjbot_spark.store import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "t")
+    t.commit(spark.range(3), mode="replace")
+    with pytest.raises(ValueError, match="no snapshot 99"):
+        t.rollback(99)
