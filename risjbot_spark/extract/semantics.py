@@ -26,7 +26,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from ..html import Node, parse_html, remove_nodes, xpath
+from ..html import Node, parse_html, remove_nodes, remove_nodes_batch, xpath
 from . import nlp, readability
 from .loader import NewsItemLoader
 from .metadata import extract_jsonld_blobs, newsarticle_from_jsonld
@@ -270,10 +270,9 @@ def extract_article(
 
     jsonld_blobs, jsonld_failed = extract_jsonld_blobs(root)
 
-    for expr in UNWANTED_XPATHS:
-        remove_nodes(root, expr)
-    for expr in profile.prune:
-        remove_nodes(root, expr)
+    # batched: one shared doc index for the content-free prunes (exact
+    # sequential semantics — see remove_nodes_batch)
+    remove_nodes_batch(root, (*UNWANTED_XPATHS, *profile.prune))
 
     from .dates import parse_datetime as _pd
 

@@ -57,6 +57,25 @@ class PartitionedBloom:
         self.bitmaps: dict[int, np.ndarray] = {}
         # inserted-key upper bound (re-adds counted again); drives growth
         self.n_keys = 0
+        # cached Spark broadcast of the bitmaps: re-broadcasting per
+        # split() call accumulated one N-MiB broadcast block per round on
+        # the block managers until GC; the cache reuses one broadcast
+        # until the bitmaps mutate (unpersist keeps the driver copy, so
+        # a stale reference in a lazy plan just re-fetches)
+        self._bc = None
+
+    def _broadcast(self, spark):
+        if self._bc is None:
+            self._bc = spark.sparkContext.broadcast(self.bitmaps)
+        return self._bc
+
+    def _invalidate_broadcast(self) -> None:
+        if self._bc is not None:
+            try:
+                self._bc.unpersist()
+            except Exception:
+                pass
+            self._bc = None
 
     def overfull(self) -> bool:
         """True when inserts exceed ~capacity (10 bits/key target, the
@@ -66,6 +85,7 @@ class PartitionedBloom:
     # -- build / update ---------------------------------------------------
     def add_local(self, hashes: np.ndarray) -> None:
         """OR in keys already on the driver (vectorized numpy bit-set)."""
+        self._invalidate_broadcast()
         m = self.m
         self.n_keys += len(hashes)
         buckets = np.mod(hashes, self.n_buckets)
@@ -111,6 +131,7 @@ class PartitionedBloom:
             .applyInPandas(make, schema="bucket int, bitmap binary, n long")
             .collect()
         )
+        self._invalidate_broadcast()
         for r in rows:
             delta = np.frombuffer(r["bitmap"], dtype=np.uint8)
             cur = self.bitmaps.get(r["bucket"])
@@ -123,7 +144,7 @@ class PartitionedBloom:
         if not self.bitmaps:
             return frontier.limit(0), frontier
         nb, m = self.n_buckets, self.m
-        bc = spark.sparkContext.broadcast(self.bitmaps)
+        bc = self._broadcast(spark)
 
         @F.pandas_udf(T.BooleanType())
         def maybe_seen(url_hash: pd.Series) -> pd.Series:

@@ -9,6 +9,7 @@ see /root/reference/RISJbot/utils.py:9-41) carry over unchanged.
 """
 
 from .dom import Node, parse_html
-from .select import xpath, remove_nodes, string_value
+from .select import xpath, remove_nodes, remove_nodes_batch, string_value
 
-__all__ = ["Node", "parse_html", "xpath", "remove_nodes", "string_value"]
+__all__ = ["Node", "parse_html", "xpath", "remove_nodes",
+           "remove_nodes_batch", "string_value"]

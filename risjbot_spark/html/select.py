@@ -24,7 +24,7 @@ from functools import lru_cache
 
 from .dom import Node
 
-__all__ = ["xpath", "remove_nodes", "string_value"]
+__all__ = ["xpath", "remove_nodes", "remove_nodes_batch", "string_value"]
 
 
 # --------------------------------------------------------------------------
@@ -201,13 +201,29 @@ def _eval_steps(contexts: list[Node], steps: tuple[_Step, ...]):
                             seen_txt.add(key)
                             out_values.append(t)
                 else:
-                    if n.text and (id(n), "text") not in seen_txt:
+                    # child axis: collect the wanted segments, then emit
+                    # them via ONE document-order walk from the root —
+                    # per-context emission returned a nested context's
+                    # text AFTER its own tail (lxml is document-ordered)
+                    if n.text:
                         seen_txt.add((id(n), "text"))
-                        out_values.append(n.text)
                     for c in n.children:
-                        if c.tail and (id(c), "tail") not in seen_txt:
+                        if c.tail:
                             seen_txt.add((id(c), "tail"))
+            if step.axis != "descendant" and seen_txt:
+                root = current[0]
+                while root.parent is not None:
+                    root = root.parent
+
+                def emit(node: Node) -> None:
+                    if node.text and (id(node), "text") in seen_txt:
+                        out_values.append(node.text)
+                    for c in node.children:
+                        emit(c)
+                        if c.tail and (id(c), "tail") in seen_txt:
                             out_values.append(c.tail)
+
+                emit(root)
             return out_values
         if step.test.startswith("@"):
             assert is_last, "@attr must be the final step"
@@ -365,4 +381,64 @@ def remove_nodes(root: Node, expr: str) -> int:
             removed += 1
     if removed:
         root._tag_index = None  # invalidate the document index
+    return removed
+
+
+# a predicate that reads text content ('contains(., ...)' / text()) can
+# change truth value when OTHER nodes are removed (an ancestor's '.'
+# shrinks); attribute/tag-only expressions cannot — their match sets
+# commute with any removal
+_READS_CONTENT_RE = re.compile(r"contains\(\s*\.\s*,|text\(\)")
+
+
+def remove_nodes_batch(root: Node, exprs) -> int:
+    """Sequential-EQUIVALENT batched pruning: consecutive expressions
+    whose predicates never read text content are evaluated against one
+    shared document index and removed together (one invalidation),
+    instead of rebuilding the index after every expression — the
+    extraction profile runs 6-10 prunes per page and the per-expression
+    rebuild was ~13% of extraction CPU. A content-reading expression
+    flushes the batch first, preserving exact sequential semantics
+    (matching a node inside an already-removed subtree is a no-op, so
+    batched removal of content-free expressions is order-independent)."""
+    removed = 0
+    batch: list[str] = []
+
+    def _attached(v: Node) -> bool:
+        # ancestor chain must reach `root` itself — `root` may have a
+        # parent (document node), so walking to the very top overshoots
+        while v is not None:
+            if v is root:
+                return True
+            v = v.parent
+        return False
+
+    def flush() -> None:
+        nonlocal removed
+        if not batch:
+            return
+        victims = []
+        for e in batch:
+            victims.extend(n for n in xpath(root, e) if isinstance(n, Node))
+        cnt = 0
+        for v in victims:
+            # count only victims still attached to THIS tree: a node
+            # inside a subtree an earlier batched expression already
+            # detached would inflate the count vs sequential semantics
+            # (sequential never re-matches it)
+            if v.parent is not None and _attached(v):
+                v.parent.remove(v)
+                cnt += 1
+        if cnt:
+            root._tag_index = None
+        removed += cnt
+        batch.clear()
+
+    for e in exprs:
+        if _READS_CONTENT_RE.search(e):
+            flush()
+            removed += remove_nodes(root, e)
+        else:
+            batch.append(e)
+    flush()
     return removed

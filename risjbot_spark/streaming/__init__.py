@@ -1,6 +1,7 @@
 from .ops import (
     fetch_rate_metrics,
     frontier_stream_dedup,
+    stateful_host_budget_gate,
     stateful_refetch_gate,
     stream_extract_articles,
 )
@@ -8,6 +9,7 @@ from .ops import (
 __all__ = [
     "frontier_stream_dedup",
     "fetch_rate_metrics",
+    "stateful_host_budget_gate",
     "stateful_refetch_gate",
     "stream_extract_articles",
 ]

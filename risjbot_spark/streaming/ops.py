@@ -10,6 +10,8 @@ frontier discoveries arrive continuously:
     (fetches, last_fetch) state machine of RefetchControl
     (/root/reference/RISJbot/spmiddlewares/refetchcontrol.py:227-316)
     inside the stream,
+  * stateful_host_budget_gate — per-host Crawl-delay budget windows
+    (W1/W3's politeness cap) enforced inside the stream,
   * fetch_rate_metrics — event-time tumbling-window crawl telemetry (A1).
 
 All operators are tested with file sources + Trigger.AvailableNow in
@@ -110,6 +112,74 @@ def stateful_refetch_gate(
         frontier.groupBy("url_hash")
         .applyInPandasWithState(
             gate, _GATE_OUTPUT, _GATE_STATE, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_BUDGET_OUTPUT = T.StructType([
+    T.StructField("host", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("discovered_ts", T.TimestampType()),
+    T.StructField("decision", T.StringType()),   # allow | defer
+])
+_BUDGET_STATE = T.StructType([
+    T.StructField("window_start", T.LongType()),  # epoch seconds
+    T.StructField("allowed", T.IntegerType()),
+])
+
+
+def stateful_host_budget_gate(
+    frontier: DataFrame,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 1000,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Streaming W1/W3: the per-host politeness budget as a stateful
+    gate — at most `budget` rows per host per event-time window
+    (Crawl-delay → budget, same derivation as host_budgets). The batch
+    engine realizes this as a window-rank cut per round; here state is
+    one (window_start, allowed) pair per host — O(hosts), not O(rows).
+    Rows over budget emit decision='defer' (the batch engine's next
+    round picks them up via the seen/trawl path, so the stream stays
+    monotone — nothing is silently dropped). Event time =
+    discovered_ts; rows replay in event-time order within a batch, url
+    as the deterministic tiebreak (the batch order key's analogue)."""
+    budget_map = {k: int(v) for k, v in (budgets or {}).items()}
+
+    def gate(key, pdfs, state: GroupState):
+        host = key[0]
+        budget = budget_map.get(host, default_budget)
+        if state.exists:
+            win_start, allowed = state.get
+        else:
+            win_start, allowed = None, 0
+        chunks = [pdf for pdf in pdfs]
+        rows = []
+        if chunks:
+            whole = (pd.concat(chunks, ignore_index=True)
+                     if len(chunks) > 1 else chunks[0])
+            whole = whole.sort_values(["discovered_ts", "url"])
+            for _, row in whole.iterrows():
+                ts = int(row["discovered_ts"].timestamp())
+                win = ts - ts % window_seconds
+                if win_start is None or win > win_start:
+                    win_start, allowed = win, 0
+                if allowed < budget:
+                    allowed += 1
+                    decision = "allow"
+                else:
+                    decision = "defer"
+                rows.append((host, row["url"], row["discovered_ts"],
+                             decision))
+        state.update((win_start if win_start is not None else 0, allowed))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in _BUDGET_OUTPUT.fields])
+
+    return (
+        frontier.groupBy("host")
+        .applyInPandasWithState(
+            gate, _BUDGET_OUTPUT, _BUDGET_STATE, "append",
             GroupStateTimeout.NoTimeout,
         )
     )

@@ -76,8 +76,17 @@ def canonicalize_expr(url: Column) -> Column:
     # — the old '/'-suffixed unescaped pattern missed bare home URLs and
     # false-matched hosts where '.' aligned with any character
     for old, new in EQUIVALENT_DOMAINS.items():
+        # (?i): hosts are case-insensitive — the Python twin matches
+        # netloc.lower(), so 'WWW.cnn.com' must rewrite here too or the
+        # twins assign different seen-set keys to one page. The scheme
+        # is emitted as a lowercase literal because the twin's
+        # urlunparse() lowercases it on rewrite (two patterns, one per
+        # scheme, so no captured-case leaks through).
+        esc = _re.escape(old)
         u = F.regexp_replace(
-            u, rf"^(https?://){_re.escape(old)}(?=/|\?|$)", rf"$1{new}")
+            u, rf"(?i)^https://{esc}(?=/|\?|$)", f"https://{new}")
+        u = F.regexp_replace(
+            u, rf"(?i)^http://{esc}(?=/|\?|$)", f"http://{new}")
 
     # force IR=C for edition-redirect hosts (F6)
     needs_irc = _suffix_pred(host, FORCE_IRC_HOSTS) & ~u.contains("IR=C")
@@ -117,7 +126,9 @@ def canonicalize_py(url: str) -> str:
     if _suffix_match_py(host, STRIP_QUERY_HOSTS):
         url = url.split("?", 1)[0]
         parts = urlparse(url)
-    if parts.netloc.lower() in EQUIVALENT_DOMAINS:
+    # http(s) only, like the Spark expression's ^(https?://) anchor
+    if (parts.scheme.lower() in ("http", "https")
+            and parts.netloc.lower() in EQUIVALENT_DOMAINS):
         parts = parts._replace(netloc=EQUIVALENT_DOMAINS[parts.netloc.lower()])
         url = urlunparse(parts)
     if _suffix_match_py(host, FORCE_IRC_HOSTS) and "IR=C" not in url:

@@ -174,3 +174,24 @@ def test_robots_filter_matches_path_not_query(spark):
     assert kept == {"https://h.example.com/search?q=/private",
                     "https://h.example.com?x=/y",
                     "https://h.example.com/ok"}
+
+
+def test_bloom_broadcast_reused_until_mutation(spark):
+    """REGRESSION: split() broadcast the bitmaps anew every round and
+    never unpersisted — one leaked N-MiB block per round."""
+    import numpy as np
+
+    from risjbot_spark.frontier.bloom import PartitionedBloom
+
+    bl = PartitionedBloom(4, 1 << 12)
+    bl.add_local(np.array([1, 2, 3], dtype=np.int64))
+    fr = spark.createDataFrame([(1,), (99,)], "url_hash long")
+    bl.split(fr, spark)
+    first = bl._bc
+    bl.split(fr, spark)
+    assert bl._bc is first            # same broadcast across rounds
+    bl.add_local(np.array([7], dtype=np.int64))
+    assert bl._bc is None             # mutation invalidates
+    maybe, fresh = bl.split(fr, spark)
+    assert bl._bc is not first
+    assert maybe.count() + fresh.count() == 2

@@ -126,3 +126,59 @@ def test_duplicate_attributes_first_wins():
         b'<html><head><meta name="author" content="Jane" content="">'
         b'</head><body></body></html>')
     assert xpath(doc, 'head/meta[@name="author"]/@content') == ["Jane"]
+
+
+def test_remove_nodes_batch_equals_sequential():
+    """Batched pruning must be indistinguishable from sequential — incl.
+    a content-reading predicate whose truth depends on earlier removals
+    (the script text disappearing changes contains(., ...) matches)."""
+    from risjbot_spark.html import parse_html, remove_nodes, remove_nodes_batch
+
+    html = ("<html><body>"
+            "<strong>x<script>Lesen Sie auch</script></strong>"
+            "<strong>Lesen Sie auch really</strong>"
+            "<div class='submeta'>junk</div>"
+            "<aside>a</aside><form>f</form>"
+            "<p>keep</p></body></html>")
+    exprs = ("//script", "//form",
+             '//strong[contains(., "Lesen Sie auch")]',
+             "//div[contains(@class, \"submeta\")]", "//aside")
+
+    r1 = parse_html(html)
+    for e in exprs:
+        remove_nodes(r1, e)
+    r2 = parse_html(html)
+    remove_nodes_batch(r2, exprs)
+    assert r1.text_content() == r2.text_content()
+    # the first strong survives both ways: its matching text lived in
+    # the script, which was removed BEFORE the contains() expression ran
+    assert "x" in r2.text_content() and "really" not in r2.text_content()
+
+
+def test_child_axis_text_document_order():
+    """REGRESSION: nested contexts on a child-axis text() step emitted a
+    context's own text after its tail; lxml is document-ordered."""
+    from risjbot_spark.html import parse_html, xpath
+
+    root = parse_html("<html><body><div><div>A<div>B</div>T</div></div>"
+                      "</body></html>")
+    assert xpath(root, "//div/div/text()") == ["A", "B", "T"]
+    # deeper nesting: tail of an element whose subtree still holds text
+    root2 = parse_html(
+        "<html><body><div><div>A<div>B<span>S</span></div>T</div></div>"
+        "</body></html>")
+    assert xpath(root2, "//div/div/text()") == ["A", "B", "T"]
+
+
+def test_remove_nodes_batch_count_matches_sequential():
+    """REGRESSION: victims inside an already-detached subtree inflated
+    the batched count vs sequential removal."""
+    from risjbot_spark.html import parse_html, remove_nodes, remove_nodes_batch
+
+    html = "<html><body><aside><p>a</p><p>b</p></aside><p>keep</p></body></html>"
+    r1 = parse_html(html)
+    seq = sum(remove_nodes(r1, e) for e in ("//aside", "//aside//p"))
+    r2 = parse_html(html)
+    bat = remove_nodes_batch(r2, ("//aside", "//aside//p"))
+    assert bat == seq == 1
+    assert r1.text_content() == r2.text_content()

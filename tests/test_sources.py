@@ -206,3 +206,48 @@ def test_expand_sitemaps_cycle_terminates_without_duplicates(spark):
         "feed_url string, body binary")
     urls = sorted(r["url"] for r in expand_sitemaps(feeds, bodies).collect())
     assert urls == ["https://h/s1", "https://h/s1-de", "https://h/s2"]
+
+
+def test_splash_fetcher_adapter(spark, tmp_path):
+    """S7: the Splash wrapper routes every engine fetch through
+    render.html with the original URL as a query param, keeping the
+    logical URL on the article (meta originalurl semantics)."""
+    from datetime import datetime, timezone
+    from urllib.parse import parse_qs, urlparse
+
+    from risjbot_spark.corpus import pages_df
+    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
+    from risjbot_spark.frontier.state import RefetchConfig
+    from risjbot_spark.sources.splash import splash_fetcher, splash_render_url
+    from risjbot_spark.urlnorm import canonicalize_py
+
+    assert splash_render_url("http://splash:8050", "https://h/a?x=1") == \
+        "http://splash:8050/render.html?url=https%3A%2F%2Fh%2Fa%3Fx%3D1"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="SPLASH_URL"):
+        splash_fetcher(lambda u, auth=None: None, "")
+
+    corpus = pages_df(spark, 12, partitions=2)
+    web = {canonicalize_py(r["url"]): bytes(r["html"])
+           for r in corpus.select("url", "html").collect()}
+
+    def http(url, auth=None, _web=web):
+        # a fake Splash: unwrap ?url= and serve the rendered page
+        assert "/render.html?url=" in url
+        target = parse_qs(urlparse(url).query)["url"][0]
+        body = _web.get(target)
+        if body is None:
+            return 404, b"", "Sat, 01 Apr 2017 12:00:00 GMT"
+        return 200, body, "Sat, 01 Apr 2017 12:00:00 GMT"
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh"), None, None,
+        CrawlConfig(refetch=RefetchConfig(), num_partitions=2,
+                    collect_lineage=False, use_bloom=False, salt=2),
+        fetcher=splash_fetcher(http, "http://splash:8050"))
+    seeds = corpus.select("url").withColumn("priority", F.lit(0))
+    eng.run_round(seeds, 0, datetime(2017, 4, 1, tzinfo=timezone.utc))
+    arts = eng.articles_table.read()
+    assert arts.count() > 0
+    # articles carry the ORIGINAL canonical urls, never the splash url
+    assert arts.filter(F.col("url_canon").contains("splash")).count() == 0

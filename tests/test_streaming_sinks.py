@@ -242,3 +242,40 @@ def test_stream_extract_articles_matches_batch(spark, tmp_path):
     for url, (_, bodytext, status) in got.items():
         if status == "ok":
             assert bodytext == want[url], url   # byte identity holds in-stream
+
+
+def test_stateful_host_budget_gate(spark, tmp_path):
+    """Streaming W1/W3: per-host budget per event-time window; over-budget
+    rows defer (never drop), a new window resets the counter."""
+    from datetime import timedelta
+
+    from risjbot_spark.streaming import stateful_host_budget_gate
+
+    src = str(tmp_path / "budget")
+    rows = [
+        ("slow.h", f"https://slow.h/{i}", T0 + timedelta(minutes=i))
+        for i in range(4)                                 # budget 2 → 2 defer
+    ] + [
+        ("fast.h", "https://fast.h/0", T0),               # default budget
+        ("slow.h", "https://slow.h/next",
+         T0 + timedelta(hours=1, minutes=5)),             # next window: allow
+    ]
+    spark.createDataFrame(
+        rows, "host string, url string, discovered_ts timestamp"
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "host string, url string, discovered_ts timestamp").parquet(src)
+    q = (stateful_host_budget_gate(stream, budgets={"slow.h": 2},
+                                   window_seconds=3600)
+         .writeStream.format("memory").queryName("budget_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["url"]: r["decision"]
+           for r in spark.sql("select * from budget_t").collect()}
+    slow_first_window = [got[f"https://slow.h/{i}"] for i in range(4)]
+    assert slow_first_window.count("allow") == 2
+    assert slow_first_window.count("defer") == 2
+    # event-time order: the two earliest rows win the budget
+    assert got["https://slow.h/0"] == got["https://slow.h/1"] == "allow"
+    assert got["https://fast.h/0"] == "allow"
+    assert got["https://slow.h/next"] == "allow"   # fresh window

@@ -102,3 +102,23 @@ def test_expr_twin_matches_on_boundary_cases(spark):
            df.select("url", canonicalize_expr(F.col("url")).alias("c")).collect()}
     for u in cases:
         assert got[u] == canonicalize_py(u), u
+
+
+def test_domain_rewrite_case_insensitive_twins(spark):
+    """REGRESSION: 'WWW.cnn.com' rewrote in the Python twin but not the
+    Spark expression — one page, two seen-set keys."""
+    from pyspark.sql import functions as F
+
+    from risjbot_spark.urlnorm import canonicalize_expr, canonicalize_py
+
+    urls = ["https://WWW.cnn.com/a", "HTTP://www.cnn.com/b",
+            "https://www.CNN.com/c", "ftp://www.cnn.com/d"]
+    got = {
+        r.u: r.c for r in
+        spark.createDataFrame([(u,) for u in urls], "u string")
+        .select("u", canonicalize_expr(F.col("u")).alias("c")).collect()
+    }
+    for u in urls:
+        assert got[u] == canonicalize_py(u), u
+    assert got["https://WWW.cnn.com/a"] == "https://edition.cnn.com/a"
+    assert got["ftp://www.cnn.com/d"] == "ftp://www.cnn.com/d"  # http(s) only
