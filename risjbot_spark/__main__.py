@@ -21,6 +21,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from .schema import HTTP_DATE_FMT
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="risjbot_spark")
@@ -75,7 +77,7 @@ def main(argv=None, spark=None) -> int:
             "article",
             extract_article_udf(
                 F.col("html"), F.col("url"),
-                F.date_format("warc_ts", "EEE, dd MMM yyyy HH:mm:ss 'GMT'"),
+                F.date_format("warc_ts", HTTP_DATE_FMT),
                 F.lit(None).cast("string")),
         ).select(F.col("url").alias("fetch_url"), "warc_ts", "article.*")
         out.write.mode("overwrite").parquet(args.out)
@@ -98,8 +100,6 @@ def main(argv=None, spark=None) -> int:
               if args.robots else None)
     seeds = (seeds_from_csv(spark, args.seeds) if args.seeds.endswith(".csv")
              else seeds_from_textfile(spark, args.seeds))
-    from pyspark.sql import functions as F
-    seeds = seeds.select("url").withColumn("priority", F.lit(0))
 
     cfg = CrawlConfig(
         refetch=RefetchConfig(maxfetches=args.maxfetches,

@@ -46,7 +46,7 @@ from .frontier.state import (
     trawl_candidates_pruned,
     trim_seen,
 )
-from .schema import SEEN_SCHEMA
+from .schema import HTTP_DATE_FMT, SEEN_SCHEMA
 from .store import SnapshotTable
 from .udfs import extract_article_udf
 from .urlnorm import with_canonical
@@ -484,7 +484,7 @@ class CrawlEngine:
             # HTTP Date header analogue: the page's warc_ts (fetch time)
             fetched = fetched.withColumn(
                 "fetchtime_str",
-                F.date_format("warc_ts", "EEE, dd MMM yyyy HH:mm:ss 'GMT'"),
+                F.date_format("warc_ts", HTTP_DATE_FMT),
             )
         fetched = fetched.withColumn(
             "meta_json",

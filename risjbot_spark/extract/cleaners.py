@@ -9,9 +9,9 @@ comma pack/unpack used for keywords/bylines. Byte-identical output of
 
 from __future__ import annotations
 
-import html
 import re
 from collections.abc import Iterable
+from html.entities import name2codepoint
 
 # w3lib.html.replace_escape_chars default escape set
 _ESCAPE_CHARS = ("\n", "\t", "\r")
@@ -23,8 +23,41 @@ def replace_escape_chars(text: str, replace_by: str = " ") -> str:
     return text
 
 
+# w3lib.html.replace_entities twin (remove_illegal=True, the reference
+# loader's default, loaders.py:86/101) — NOT html.unescape, whose HTML5
+# table and keep-unknown behavior diverge: w3lib resolves named entities
+# against the HTML4 name2codepoint table (so '&lpar;' is NOT an entity),
+# REMOVES unresolvable '&Name;' sequences when they end in ';', maps the
+# 0x80-0x9f numeric range through cp1252 (the classic smart-quote fix),
+# and converts named entities even without a trailing semicolon.
+_ENT_RE = re.compile(
+    r"&((?P<named>[a-z\d]+)|#(?P<dec>\d+)|#x(?P<hex>[a-f\d]+))(?P<semi>;?)",
+    re.IGNORECASE,
+)
+
+
 def replace_entities(text: str) -> str:
-    return html.unescape(text)
+    def convert(m: re.Match) -> str:
+        g = m.groupdict()
+        number = None
+        if g["dec"]:
+            number = int(g["dec"], 10)
+        elif g["hex"]:
+            number = int(g["hex"], 16)
+        elif g["named"]:
+            name = g["named"]
+            number = (name2codepoint.get(name)
+                      or name2codepoint.get(name.lower()))
+        if number is not None:
+            try:
+                if 0x80 <= number <= 0x9F:
+                    return bytes((number,)).decode("cp1252")
+                return chr(number)
+            except (ValueError, UnicodeDecodeError):
+                pass
+        return "" if g["semi"] else m.group(0)
+
+    return _ENT_RE.sub(convert, text)
 
 
 def clean_string(s: str) -> str:

@@ -17,6 +17,9 @@ import re
 from ..html import Node, xpath
 
 _SCHEMA_CTX_RE = re.compile(r"https?://schema.org/?")
+# extruct's HTML_OR_JS_COMMENTLINE: a leading comment line before the
+# JSON payload (seen on pages that wrap JSON-LD in <!-- -->)
+_COMMENTLINE_RE = re.compile(r"^\s*(//.*|<!--.*-->)")
 
 
 def extract_jsonld_blobs(root: Node) -> tuple[list, int]:
@@ -29,11 +32,20 @@ def extract_jsonld_blobs(root: Node) -> tuple[list, int]:
     blobs: list = []
     failed = 0
     for text in xpath(root, '//script[@type="application/ld+json"]/text()'):
+        # extruct JsonLdExtractor semantics (the reference's parser,
+        # metadata.py:35-43): strict=False tolerates literal control
+        # characters inside strings (newlines in articleBody are common
+        # in the wild), and a failed parse retries once with a leading
+        # HTML/JS comment line stripped
         try:
-            parsed = json.loads(text)
+            parsed = json.loads(text, strict=False)
         except json.JSONDecodeError:
-            failed += 1
-            continue
+            try:
+                parsed = json.loads(
+                    _COMMENTLINE_RE.sub("", text), strict=False)
+            except json.JSONDecodeError:
+                failed += 1
+                continue
         # top-level arrays flatten into individual blocks — the
         # reference's JsonLdExtractor does the same, and the NewsArticle
         # merge below only understands dicts (an array-wrapped block

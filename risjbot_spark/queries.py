@@ -900,6 +900,46 @@ def q_robots_gate(spark, sf):
     return kept.select("doc_id", "url_canon").orderBy("doc_id")
 
 
+def q_politeness_budget_scale(spark, sf):
+    """W1/W3 through the DataFrame budgets path end to end: synthetic
+    robots with per-host Crawl-delay (1 + ascii(first lang letter) mod 3
+    seconds) over the docs hosts → parse_rules_df → host_budgets_df →
+    politeness_schedule(budgets_df=...). The budget derivation and the
+    window cut are both pure functions of the documents table, so the
+    oracle states the expected schedule in ANSI SQL."""
+    from .frontier.politeness import (
+        host_budgets_df, parse_rules_df, politeness_schedule)
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.coalesce("lang", F.lit("en")).alias("lang"))
+    fr = d.select(
+        F.concat(F.lit("https://docs."), "lang", F.lit(".example.com/doc-"),
+                 F.col("doc_id").cast("string")).alias("url_canon"),
+        F.concat(F.lit("docs."), "lang", F.lit(".example.com")).alias("host"),
+        (F.col("doc_id") % 5).cast("int").alias("priority"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("discovered_ts"),
+        F.col("doc_id").cast("long").alias("url_hash"),
+        "doc_id",
+    )
+    robots = d.select("lang").distinct().select(
+        F.concat(F.lit("docs."), "lang", F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            (F.lit(1) + F.ascii(F.substring("lang", 1, 1)) % 3)
+            .cast("string"), F.lit("\n"),
+        ).alias("robots_txt"),
+    )
+    budgets = host_budgets_df(parse_rules_df(robots), round_seconds=10)
+    sched = politeness_schedule(
+        fr, {}, default_budget=4, spark=spark,
+        budgets_df=budgets, max_budget=10)
+    return (
+        sched.select("doc_id", F.col("host_rank").cast("long")
+                     .alias("host_rank"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -922,6 +962,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "tumbling_window": q_tumbling_window,
     "robots_gate": q_robots_gate,
+    "politeness_budget_scale": q_politeness_budget_scale,
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
     "lsh_dup_pairs": q_lsh_dup_pairs,
@@ -1156,6 +1197,24 @@ ORACLE_SQL = {
         FROM documents
         WHERE doc_id % 10 <> ascii(substr(coalesce(lang, 'en'), 1, 1)) % 10
         ORDER BY doc_id""",
+    "politeness_budget_scale": """
+        WITH f AS (
+          SELECT doc_id,
+                 concat('docs.', coalesce(lang, 'en'), '.example.com')
+                   AS host,
+                 CAST(doc_id % 5 AS INT) AS priority,
+                 CAST(1 + ascii(substr(coalesce(lang, 'en'), 1, 1)) % 3
+                      AS DOUBLE) AS crawl_delay
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY host
+                      ORDER BY priority DESC, doc_id ASC) AS host_rank,
+                 greatest(1, CAST(floor(10 / crawl_delay) AS BIGINT))
+                   AS budget
+          FROM f)
+        SELECT doc_id, CAST(host_rank AS BIGINT) AS host_rank
+        FROM r WHERE host_rank <= budget ORDER BY doc_id""",
     "exact_dedup": f"""
         WITH {_MUTANTS_CTE}
         SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,

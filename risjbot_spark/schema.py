@@ -19,17 +19,6 @@ PAGES_SCHEMA = T.StructType([
 ])
 
 # Frontier rows (SURVEY.md §1.2): one row per candidate URL per round.
-FRONTIER_SCHEMA = T.StructType([
-    T.StructField("url", T.StringType()),
-    T.StructField("url_canon", T.StringType()),
-    T.StructField("url_hash", T.LongType()),
-    T.StructField("host", T.StringType()),
-    T.StructField("priority", T.IntegerType()),
-    T.StructField("discovered_ts", T.TimestampType()),
-    T.StructField("source_kind", T.StringType()),
-    T.StructField("feed_meta", T.MapType(T.StringType(), T.StringType())),
-    T.StructField("round", T.IntegerType()),
-])
 
 # Seen-set / fetch-history state (replaces the reference's sqlite
 # `records(key, url, fetches, time)` table,
@@ -83,27 +72,14 @@ ARTICLE_STRUCT = T.StructType([
 
 # Per-partition, per-round lineage metrics (north_rule: frontier-in,
 # fetched, deduped, extracted counts per Iceberg commit).
-LINEAGE_SCHEMA = T.StructType([
-    T.StructField("round", T.IntegerType()),
-    T.StructField("partition_id", T.IntegerType()),
-    T.StructField("stage", T.StringType()),
-    T.StructField("counter", T.StringType()),
-    T.StructField("n", T.LongType()),
-])
 
 ROBOTS_SCHEMA = T.StructType([
     T.StructField("host", T.StringType()),
     T.StructField("robots_txt", T.StringType()),
 ])
 
-SEEDS_SCHEMA = T.StructType([
-    T.StructField("url", T.StringType()),
-    T.StructField("source_kind", T.StringType()),
-    T.StructField("priority", T.IntegerType()),
-])
 
-FEEDS_SCHEMA = T.StructType([
-    T.StructField("feed_url", T.StringType()),
-    T.StructField("kind", T.StringType()),
-    T.StructField("body", T.BinaryType()),
-])
+
+# RFC-1123 Date-header render format shared by the crawl engine and
+# the one-shot extract CLI (Spark pattern; EEE is render-only)
+HTTP_DATE_FMT = "EEE, dd MMM yyyy HH:mm:ss 'GMT'"

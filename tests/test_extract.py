@@ -473,3 +473,49 @@ def test_profile_for_ignores_port():
 
     assert profile_for("https://www.bbc.co.uk:443/news/x").name == \
         profile_for("https://www.bbc.co.uk/news/x").name != "generic"
+
+
+def test_replace_entities_w3lib_semantics():
+    """REGRESSION: html.unescape diverged from w3lib
+    replace_entities(remove_illegal=True) — the reference loader's
+    entity pass (loaders.py:86/101). Unresolvable '&Name;' is REMOVED,
+    HTML5-only names are NOT entities, 0x80-0x9f remaps via cp1252."""
+    from risjbot_spark.extract.cleaners import replace_entities
+
+    assert replace_entities("Fish &amp; Chips") == "Fish & Chips"
+    assert replace_entities("Fish &Chips; shop") == "Fish  shop"
+    assert replace_entities("&lpar;x&rpar;") == "x"     # HTML5-only: removed
+    assert replace_entities("&#146;s") == "’s"     # cp1252 remap
+    assert replace_entities("&amp no-semi") == "& no-semi"
+    assert replace_entities("&bogus no-semi") == "&bogus no-semi"
+
+
+def test_jsonld_strict_false_and_comment_strip():
+    """REGRESSION: extruct parses JSON-LD with strict=False (literal
+    newlines inside strings) and retries with a leading comment line
+    stripped; strict json.loads dropped those blocks entirely."""
+    import json as _json
+
+    from risjbot_spark.extract import extract_article
+
+    body_with_newline = '{"@context": "https://schema.org", "@type": "NewsArticle", "headline": "H1", "articleBody": "line one\nline two"}'
+    html = ('<html><head><script type="application/ld+json">'
+            + body_with_newline + "</script></head>"
+            '<body><article><div itemprop="articleBody"><p>fallback</p>'
+            "</div></article></body></html>")
+    res = extract_article(html.encode(), "https://x.example.com/a",
+                          run_nlp=False)
+    assert res.jsonld_failed == 0
+    assert res.item["headline"] == "H1"
+    # literal newline arrives, then the loader's escape-char pass spaces it
+    assert res.item["bodytext"] == "line one line two"
+
+    commented = ("<!-- json below -->\n"
+                 + _json.dumps({"@context": "https://schema.org",
+                                "@type": "NewsArticle", "headline": "H2"}))
+    html2 = ('<html><head><script type="application/ld+json">'
+             + commented + "</script></head><body><p>x</p></body></html>")
+    res2 = extract_article(html2.encode(), "https://x.example.com/b",
+                           run_nlp=False)
+    assert res2.jsonld_failed == 0
+    assert res2.item["headline"] == "H2"

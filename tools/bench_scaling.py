@@ -71,6 +71,10 @@ def run_at(cpus: int) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3000,
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"bench.py failed at cpus={cpus} (rc={out.returncode}):\n"
+            + out.stderr[-2000:])
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 

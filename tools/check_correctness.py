@@ -18,10 +18,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
+    import decimal
+
+    if isinstance(v, (float, decimal.Decimal)):
+        f = float(v)
+        if math.isnan(f):
             return "nan"
-        return f"{v:.6f}"
+        return f"{f + 0.0:.6f}"      # +0.0 folds -0.0 into 0.0
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)
@@ -55,6 +58,10 @@ def main(sf_dir: str, only: list[str]):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    unknown = [n for n in (only or []) if n not in QUERIES]
+    if unknown:
+        print(f"FAIL  unknown query name(s): {unknown}")
+        return 1
     failures = 0
     for name, fn in QUERIES.items():
         if only and name not in only:

@@ -156,11 +156,11 @@ def main() -> None:
     from risjbot_spark.store.snapshots import SnapshotTable
     captured = {}
     orig = SnapshotTable.commit
-    def cap(self, df, lineage=None, mode="replace"):
+    def cap(self, df, lineage=None, mode="replace", **kw):
         if self.name == "articles":
             captured["items"] = df
             raise RuntimeError("captured")
-        return orig(self, df, lineage=lineage, mode=mode)
+        return orig(self, df, lineage=lineage, mode=mode, **kw)
     SnapshotTable.commit = cap
     try:
         eng.run_round(pages.select("url").withColumn("priority", F.lit(0)), 0,
@@ -171,7 +171,7 @@ def main() -> None:
         SnapshotTable.commit = orig
     p = plan_of(captured["items"])
     sections.append(("crawl round (items plan)", p))
-    check("crawl_round", p.count("extract_article_udf") <= 2,
+    check("crawl_round", 1 <= p.count("extract_article_udf") <= 2,
           "extraction UDF appears once (formatted plan lists node+detail)")
     check("crawl_round", "ArrowEvalPython" in p, "Arrow-batched Python stage")
     check("crawl_round", "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p,
