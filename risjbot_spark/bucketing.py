@@ -1,0 +1,53 @@
+"""Beyond-broadcast fetch joins: bucketed pages tables.
+
+The corpus-join fetch broadcasts the per-round frontier into the pages
+scan (crawl.py) — the right plan while a round's scheduled URLs fit in a
+broadcast. Past that (billions of eligible URLs per round), the join
+must shuffle — and shuffling the PAGES side means moving the 100 TB of
+html every round. The classic warehouse answer is BUCKETING: write
+pages bucketed (and sorted) by the canonical-URL join key once, at
+ingest; every later fetch join then shuffles only the frontier side
+into the same bucket layout, while the pages scan stays in place
+(SortMergeJoin with an Exchange on exactly one side — plan-asserted in
+tests). This is the parquet-datasource analogue of the Iceberg
+`bucket(N, url)` partition transform SURVEY §4 names.
+
+Cost model at 10^10 URLs / 100 TB: one bucketed rewrite at ingest
+(amortized over every round), then per-round cost = frontier shuffle
+(O(round keys)) + co-located merge join — vs per-round pages shuffle
+(O(corpus)) without it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .urlnorm import with_canonical
+
+
+def write_bucketed_pages(pages: DataFrame, table: str,
+                         buckets: int = 64) -> None:
+    """One-time ingest: canonicalize and bucket the pages by page_url.
+
+    Written as a datasource table (bucket metadata lives in the session
+    catalog; no Hive needed). `buckets` sizes the per-bucket file to the
+    executor-memory budget — at 100 TB / 512 MiB targets that is ~200k
+    buckets, here a test-friendly default."""
+    (
+        with_canonical(pages)
+        .select(pages["*"], "url_canon")
+        .withColumnRenamed("url_canon", "page_url")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "page_url")
+        .sortBy("page_url")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed_pages(spark: SparkSession, table: str) -> DataFrame:
+    """The bucketed pages view for CrawlEngine(pages=...): reading via
+    the catalog preserves the bucket spec, so the engine's fetch join
+    (with cfg.broadcast_frontier=False) plans an Exchange on the
+    frontier side only."""
+    return spark.table(table)

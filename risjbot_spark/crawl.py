@@ -125,10 +125,18 @@ class CrawlEngine:
                 f"(got {tz!r}): set it on the SparkSession builder")
         self.seen_table = SnapshotTable(spark, warehouse, "seen")
         self.articles_table = SnapshotTable(spark, warehouse, "articles")
-        # pages keyed by canonical URL once, up front (column-pruned scan)
-        self.pages = None if pages is None else with_canonical(pages).select(
-            F.col("url_canon").alias("page_url"), "warc_ts", "html"
-        )
+        # pages keyed by canonical URL once, up front (column-pruned scan).
+        # A table already carrying page_url (bucketing.write_bucketed_pages
+        # canonicalized at ingest) is used AS-IS: re-deriving the key
+        # through expressions would discard the bucket spec and force the
+        # fetch join to shuffle the pages side.
+        if pages is None:
+            self.pages = None
+        elif "page_url" in pages.columns:
+            self.pages = pages.select("page_url", "warc_ts", "html")
+        else:
+            self.pages = with_canonical(pages).select(
+                F.col("url_canon").alias("page_url"), "warc_ts", "html")
         self.rules_df = None
         self.budgets_df = None
         self._max_budget: int | None = None
