@@ -229,7 +229,7 @@ def test_container_meta_attribute_order():
     html = ('<html><head><meta content="cont-9x" name="vf:container_id">'
             "</head><body><vf-conversations></vf-conversations></body></html>")
     api = FakeApi({
-        cont.replace("cont-7", "cont-9x"): {"content_container_uuid": CCID},
+        cont: {"content_container_uuid": CCID},
         page: {"contents": _comments(1), "more_available": False},
     })
     raws, texts, note, status = chase_one(html, api, SITE_UUID)

@@ -174,7 +174,7 @@ def test_fake404_dropped():
 
 
 def test_nul_studded_page_parses_fully():
-    html = wrap("<p itemprop='articleBody'>before\x00after</p>").replace(b"\\x00", b"\x00")
+    html = wrap("<p itemprop='articleBody'>before\x00after</p>")
     item = extract_article(html, "https://example.com/x").item
     assert item["bodytext"] == "beforeafter"
 

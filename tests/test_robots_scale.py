@@ -119,7 +119,7 @@ def test_politeness_schedule_budgets_df_parity(spark):
     for h in ("a.example.com", "c.example.com", "nodelay.example.com"):
         for i in range(30):
             rows.append((f"https://{h}/p{i:02d}", h, i % 3,
-                         t0 + timedelta(seconds=i), i * 7 + hash(h) % 100))
+                         t0 + timedelta(seconds=i), i * 7 + (len(h) * 31) % 100))
     fr = spark.createDataFrame(
         rows,
         "url_canon string, host string, priority int, "

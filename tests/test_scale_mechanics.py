@@ -46,34 +46,37 @@ def test_salted_repartition_bounds_hot_host(spark):
     assert hot_parts <= 8
 
 
-@pytest.mark.parametrize("partitions,shuffle", [(3, 5), (7, 13)])
-def test_ordering_invariant_across_parallelism(spark, tmp_path, partitions, shuffle):
+def test_ordering_invariant_across_parallelism(spark, tmp_path):
     """north_rule: crawl ordering is defined by (priority, discovered_ts,
     url_hash) — never by partition arrival. The same seeds at different
-    partition counts must produce the identical fetch sequence."""
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
-    try:
-        pages = pages_df(spark, 80, partitions=partitions)
-        eng = CrawlEngine(
-            spark, str(tmp_path / f"wh{partitions}"), pages, None,
-            CrawlConfig(refetch=RefetchConfig(), default_budget=9,
-                        num_partitions=partitions, collect_lineage=False),
-        )
-        seeds = spark.createDataFrame(
-            [(url_for(i), (i * 7) % 3) for i in range(80)],
-            "url string, priority int")
-        eng.run_round(seeds, 0, START, with_order_audit=True)
-        got = [r["url_canon"] for r in eng.articles_table.read()
-               .orderBy("fetch_seq").collect()]
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-    # store for cross-param comparison on the test class
-    key = "_crawl_order_result"
-    prev = getattr(spark, key, None)
-    if prev is None:
-        setattr(spark, key, got)
-    else:
-        assert got == prev, "fetch ordering depends on parallelism!"
+    partition counts must produce the identical fetch sequence.
+
+    Self-contained: both configurations run INSIDE this test — the old
+    parametrized form stashed the first run's result on the session and
+    only compared when both params happened to execute in order in one
+    process (single-param runs and xdist asserted nothing)."""
+    def run(partitions: int, shuffle: int) -> list[str]:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+        try:
+            pages = pages_df(spark, 80, partitions=partitions)
+            eng = CrawlEngine(
+                spark, str(tmp_path / f"wh{partitions}"), pages, None,
+                CrawlConfig(refetch=RefetchConfig(), default_budget=9,
+                            num_partitions=partitions,
+                            collect_lineage=False),
+            )
+            seeds = spark.createDataFrame(
+                [(url_for(i), (i * 7) % 3) for i in range(80)],
+                "url string, priority int")
+            eng.run_round(seeds, 0, START, with_order_audit=True)
+            return [r["url_canon"] for r in eng.articles_table.read()
+                    .orderBy("fetch_seq").collect()]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    first = run(3, 5)
+    second = run(7, 13)
+    assert first and first == second, "fetch ordering depends on parallelism!"
 
 
 def test_bloom_driver_path_equivalent(spark):

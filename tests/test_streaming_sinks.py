@@ -66,9 +66,8 @@ def test_stateful_refetch_gate(spark, tmp_path):
     got = [(r["decision"], r["previousfetches"])
            for r in spark.sql(
                "select * from gate_t order by previousfetches, decision").collect()]
-    assert ("first", 0) in got
-    assert ("skip", 1) in got
-    assert ("refetch", 1) in got
+    assert sorted(got) == sorted([("first", 0), ("skip", 1),
+                                  ("refetch", 1)])   # and nothing else
 
 
 def test_fetch_rate_metrics(spark, tmp_path):

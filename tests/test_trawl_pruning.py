@@ -11,6 +11,7 @@ from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import functions as F
 
+from risjbot_spark.frontier.xxhash import xxhash64
 from risjbot_spark.frontier.state import (
     RefetchConfig,
     seen_state,
@@ -30,7 +31,7 @@ def _rows(spark, rows):
     # timezone (time.mktime), shifting the stored instants on non-UTC
     # machines — the engine always writes from aware round_ts literals
     df = spark.createDataFrame(
-        [(hash(u) & 0x7FFFFFFF, u, u.split("/")[2], f, t)
+        [(xxhash64(u), u, u.split("/")[2], f, t)
          for (u, f, t) in rows],
         "url_hash long, url string, host string, fetches int,"
         " last_fetch timestamp")
@@ -116,7 +117,7 @@ def test_resolved_delta_replay_is_idempotent(spark, tmp_path):
     base = _rows(spark, [("https://h1/a", 2, T0 - timedelta(hours=8))])
     t.commit(base, mode="replace")
     fetched = spark.createDataFrame(
-        [(hash("https://h1/a") & 0x7FFFFFFF, "https://h1/a", "h1", 2)],
+        [(xxhash64("https://h1/a"), "https://h1/a", "h1", 2)],
         "url_hash long, url_canon string, host string, previousfetches int")
     delta = seen_updates(fetched, T0)
     t.commit(delta, mode="append")
@@ -129,7 +130,7 @@ def test_seen_updates_derives_previousfetches_from_seen(spark):
     """Callers without the previousfetches column get it joined on."""
     seen = _rows(spark, [("https://h1/a", 4, T0 - timedelta(hours=8))])
     fetched = spark.createDataFrame(
-        [(hash("https://h1/a") & 0x7FFFFFFF, "https://h1/a", "h1"),
+        [(xxhash64("https://h1/a"), "https://h1/a", "h1"),
          (12345, "https://h1/new", "h1")],
         "url_hash long, url_canon string, host string")
     got = {r.url: r.fetches
@@ -157,6 +158,7 @@ spark = (SparkSession.builder.master("local[2]")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from test_trawl_pruning import _mk_table, CFG, T0
+from risjbot_spark.frontier.xxhash import xxhash64
 from risjbot_spark.frontier.state import (
     seen_state, trawl_candidates, trawl_candidates_pruned)
 import pathlib
