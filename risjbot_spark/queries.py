@@ -687,6 +687,27 @@ def q_token_count(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_stratified_sample(spark, sf):
+    """Deterministic per-stratum sampling — the training-data-mix
+    staple: keep 50% of English documents and 20% of every other
+    language, selected by a multiplicative hash of doc_id (Knuth
+    2654435761), NOT an RNG. Reproducible across runs, engines, and
+    partitionings — the auditability property a 100 TB data mix needs
+    (df.sample() draws differ per execution), and a pure projection:
+    no shuffle, pushdown-friendly, trivially parallel."""
+    d = _t(spark, sf, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000))
+    rate = F.when(F.coalesce("lang", F.lit("en")) == "en",
+                  F.lit(500)).otherwise(F.lit(200))
+    return (
+        d.withColumn("bucket", bucket.cast("long"))
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", F.coalesce("lang", F.lit("en")).alias("lang"),
+                "bucket")
+        .orderBy("doc_id")
+    )
+
+
 def q_doc_fingerprint(spark, sf):
     """Document fingerprinting: md5 over normalized text + first-64-bit
     prefix as a numeric fingerprint."""
@@ -975,6 +996,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "stratified_sample": q_stratified_sample,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ivf_centroids": q_ivf_centroids,
@@ -1339,6 +1361,13 @@ ORACLE_SQL = {
                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
                substring(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16) AS fp64
         FROM documents ORDER BY doc_id""",
+    "stratified_sample": """
+        SELECT doc_id, coalesce(lang, 'en') AS lang,
+               (doc_id * 2654435761) % 1000 AS bucket
+        FROM documents
+        WHERE (doc_id * 2654435761) % 1000 <
+              CASE WHEN coalesce(lang, 'en') = 'en' THEN 500 ELSE 200 END
+        ORDER BY doc_id""",
     "ann_cosine_topk": """
         WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embd FROM embeddings),
         q AS (SELECT embd AS qv FROM e WHERE vec_id = 0)

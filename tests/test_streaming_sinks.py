@@ -278,3 +278,40 @@ def test_stateful_host_budget_gate(spark, tmp_path):
     assert got["https://slow.h/0"] == got["https://slow.h/1"] == "allow"
     assert got["https://fast.h/0"] == "allow"
     assert got["https://slow.h/next"] == "allow"   # fresh window
+
+
+def test_stream_checkpoint_resume_exactly_once(spark, tmp_path):
+    """§2.9 resumability: a checkpointed extraction stream restarted
+    over a grown source processes ONLY the new files — the first batch's
+    pages are not re-emitted (exactly-once against the parquet sink)."""
+    from risjbot_spark.corpus import pages_df
+    from risjbot_spark.streaming import stream_extract_articles
+
+    src = str(tmp_path / "pages_src")
+    out = str(tmp_path / "articles_out")
+    ckpt = str(tmp_path / "ckpt")
+    first = pages_df(spark, 10, partitions=1)
+    first.write.mode("overwrite").parquet(src)
+    schema = first.schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (stream_extract_articles(stream)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 10
+    # second batch lands as NEW files in the same source dir
+    pages_df(spark, 25, partitions=1).filter(
+        ~F.col("url").isin([r.url for r in first.select("url").collect()])
+    ).write.mode("append").parquet(src)
+    run_once()
+    arts = spark.read.parquet(out)
+    assert arts.count() == 25            # 10 old (not re-emitted) + 15 new
+    # no fetch_url appears twice — the checkpoint prevented reprocessing
+    assert arts.groupBy("fetch_url").count() \
+        .filter(F.col("count") > 1).count() == 0
