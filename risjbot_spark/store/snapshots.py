@@ -26,6 +26,13 @@ import time
 import uuid
 
 
+def _has_parquet_files(path: str) -> bool:
+    for _dir, _sub, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 class SnapshotTable:
     def __init__(self, spark, root: str, name: str):
         self.spark = spark
@@ -92,6 +99,15 @@ class SnapshotTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
+        if partition_by and not _has_parquet_files(data_dir):
+            # an EMPTY partitioned write leaves a dir with no data files
+            # at all (no partition dirs → no parquet footers), which a
+            # later read cannot infer a schema from; rewrite flat — the
+            # zero-row part file still carries the schema. Detected by a
+            # post-write directory scan, not an isEmpty() pre-check,
+            # which would execute the (compaction-sized) plan twice.
+            partition_by = None
+            df.write.mode("overwrite").parquet(data_dir)
         files = [data_dir]
         file_meta = {}
         if mode == "append" and parent is not None:

@@ -100,3 +100,28 @@ def test_rollback_unknown_snapshot_raises_valueerror(spark, tmp_path):
     t.commit(spark.range(3), mode="replace")
     with pytest.raises(ValueError, match="no snapshot 99"):
         t.rollback(99)
+
+
+def test_empty_partitioned_commit_readable(spark, tmp_path):
+    """REGRESSION GUARD: an empty partitioned commit (a compaction that
+    trims everything) must stay readable — a partitioned write of zero
+    rows leaves no parquet footers to infer a schema from, so the store
+    falls back to a flat zero-row file."""
+    from pyspark.sql import functions as F
+
+    from risjbot_spark.store import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "seen")
+    empty = spark.createDataFrame(
+        [], "url_hash long, url string, last_fetch timestamp"
+    ).withColumn("lf_day", F.to_date("last_fetch"))
+    t.commit(empty, mode="replace", partition_by=["lf_day"])
+    got = t.read()
+    assert got.count() == 0
+    assert "url_hash" in got.columns
+    # and a later delta appends fine on top of the empty base
+    t.commit(spark.createDataFrame(
+        [(1, "https://h/x", None, None)],
+        "url_hash long, url string, last_fetch timestamp, lf_day date"),
+        mode="append")
+    assert t.read().count() == 1
