@@ -29,7 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("crawl", help="round-based crawl over a pages table")
-    c.add_argument("--pages", required=True, help="pages parquet path")
+    c.add_argument("--pages", required=True,
+                   help="pages parquet path, or table:<name> for a "
+                        "catalog table (e.g. one written by "
+                        "bucketing.write_bucketed_pages — the fetch join "
+                        "then shuffles the frontier side only)")
     c.add_argument("--seeds", required=True,
                    help="seed URL file (newline-delimited) or .csv with a url column")
     c.add_argument("--warehouse", required=True, help="snapshot warehouse dir")
@@ -42,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--refetchsecs", type=int, default=10_800)
     c.add_argument("--maxfetches", type=int, default=8)
     c.add_argument("--partitions", type=int, default=32)
+    c.add_argument("--robots-scale-path", action="store_true",
+                   help="keep robots rules/budgets in DataFrames joined "
+                        "on host (for host counts beyond driver memory) "
+                        "instead of the broadcast dict")
+    c.add_argument("--no-broadcast-frontier", action="store_true",
+                   help="shuffle-join the fetch instead of broadcasting "
+                        "the frontier (pair with a bucketed pages table)")
 
     e = sub.add_parser("extract", help="one-shot extraction, no frontier state")
     e.add_argument("--pages", required=True)
@@ -95,7 +106,9 @@ def main(argv=None, spark=None) -> int:
     from .frontier.state import RefetchConfig
     from .sources import seeds_from_csv, seeds_from_textfile
 
-    pages = spark.read.parquet(args.pages)
+    pages = (spark.table(args.pages[len("table:"):])
+             if args.pages.startswith("table:")
+             else spark.read.parquet(args.pages))
     robots = (spark.read.parquet(args.robots).select("host", "robots_txt")
               if args.robots else None)
     seeds = (seeds_from_csv(spark, args.seeds) if args.seeds.endswith(".csv")
@@ -107,6 +120,8 @@ def main(argv=None, spark=None) -> int:
         default_budget=args.budget,
         num_partitions=args.partitions,
         follow_links=args.follow_links,
+        robots_scale_path=args.robots_scale_path,
+        broadcast_frontier=not args.no_broadcast_frontier,
     )
     eng = CrawlEngine(spark, args.warehouse, pages, robots, cfg)
     start = datetime.now(timezone.utc).replace(microsecond=0)

@@ -35,3 +35,41 @@ def test_cli_extract(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 30
     assert "headline" in df.columns and "bodytext" in df.columns
+
+
+def test_cli_scale_flags(spark, tmp_path):
+    """--robots-scale-path and --no-broadcast-frontier reach the config;
+    table:<name> pages resolve through the catalog."""
+    import risjbot_spark.__main__ as M
+    from risjbot_spark.bucketing import write_bucketed_pages
+    from risjbot_spark.corpus import pages_df, robots_rows, seed_urls
+    from risjbot_spark.schema import ROBOTS_SCHEMA
+
+    loc = tmp_path / "db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS clidb LOCATION '{loc}'")
+    try:
+        write_bucketed_pages(pages_df(spark, 20, partitions=2),
+                            "clidb.pages", buckets=4)
+        robots_path = str(tmp_path / "robots.parquet")
+        spark.createDataFrame(robots_rows(), ROBOTS_SCHEMA) \
+            .write.parquet(robots_path)
+        seeds_path = tmp_path / "seeds.txt"
+        seeds_path.write_text("\n".join(
+            s["url"] for s in seed_urls(20, every=1)) + "\n")
+        rc = M.main([
+            "crawl", "--pages", "table:clidb.pages",
+            "--seeds", str(seeds_path),
+            "--warehouse", str(tmp_path / "wh"),
+            "--rounds", "1", "--partitions", "2",
+            "--robots", robots_path,
+            "--robots-scale-path", "--no-broadcast-frontier",
+        ], spark=spark)
+        assert rc == 0
+        arts = spark.read.parquet(
+            *__import__("json").load(
+                open(tmp_path / "wh" / "articles" / "snap-1.manifest.json")
+            )["files"])
+        assert arts.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS clidb.pages")
+        spark.sql("DROP DATABASE IF EXISTS clidb")
