@@ -175,14 +175,27 @@ class CrawlEngine:
         self.bloom: PartitionedBloom | None = None
         if self.cfg.use_bloom:
             cur = self.seen_table.current_snapshot_id()
-            self.bloom = PartitionedBloom.load(self._bloom_dir)
+            loaded = PartitionedBloom.load(self._bloom_dir)
+            self.bloom = loaded
             if self.bloom is not None and self._bloom_marker() != cur:
                 self.bloom = None
             if self.bloom is None:
-                self.bloom = PartitionedBloom(
-                    self.cfg.bloom_buckets, self.cfg.bloom_bits_per_bucket)
+                # a stale checkpoint's SIZE is still the right size: the
+                # filter grew adaptively to fit this table, and
+                # rebuilding at the small configured default would
+                # produce a saturated (useless) filter that burns a full
+                # seen scan per 4x re-growth step
+                nb = loaded.n_buckets if loaded else self.cfg.bloom_buckets
+                m = loaded.m if loaded else self.cfg.bloom_bits_per_bucket
+                self.bloom = PartitionedBloom(nb, m)
                 if cur is not None:
                     self.bloom.add_df(self.seen().select("url_hash"))
+        # link-following resume: the last committed articles delta seeds
+        # discovered_frontier() so a resumed run's first round still
+        # unions the previous invocation's outlinks
+        a_man = self.articles_table.manifest()
+        if a_man is not None and a_man["files"]:
+            self.last_delta_dir = a_man["files"][-1]
 
     SEEN_FORMAT = 2   # 1 = increment deltas (sum-resolve); 2 = resolved rows
 
@@ -575,7 +588,10 @@ class CrawlEngine:
         # (J3b) materialize full state anyway, so they double as the
         # compaction: one replace-commit folds base + deltas back into
         # a single snapshot.
-        compact = round_no > 0 and round_no % cfg.trim_every == 0
+        # trim_every=0 → never compact (like expire_keep_last=0's
+        # keep-forever), not a ZeroDivisionError
+        compact = (cfg.trim_every > 0 and round_no > 0
+                   and round_no % cfg.trim_every == 0)
         if compact:
             new_seen = merge_seen(seen, fetched_keys, round_ts)
             if cfg.refetch.trimdb:
@@ -683,21 +699,33 @@ class CrawlEngine:
         seeds = seeds.select(*keep)
         if "priority" not in seeds.columns:
             seeds = seeds.withColumn("priority", F.lit(0))
-        # resume round numbering from the warehouse: restarting at 0 on a
-        # reused warehouse would both skew lineage and (before the
-        # round_ts token) mask crash recovery. Round timestamps stay a
-        # pure function of the absolute round number, so a resumed run's
-        # clock continues where the previous invocation stopped.
+        # resume round numbering AND the round clock from the warehouse:
+        # restarting numbering at 0 would skew lineage (and pre-token,
+        # mask crash recovery); deriving resumed timestamps from the
+        # caller's start_ts would SHIFT them when a CLI rerun passes a
+        # fresh wall-clock start (ts = now + start_round×gap aged every
+        # stored key past agelimit — the next compaction then wiped the
+        # whole fetch history). The recorded last round_ts anchors the
+        # clock instead, so a resumed run continues exactly where an
+        # uninterrupted one would be; start_ts only seeds a FRESH
+        # warehouse. A resumed first round also keeps link-following
+        # (gate on the absolute round, with last_delta_dir seeded from
+        # the manifest at init).
         last = self.articles_table.manifest()
         start_round = 0
+        base_ts = start_ts
         if last is not None and last.get("lineage", {}).get("round") is not None:
             start_round = last["lineage"]["round"] + 1
+            last_ts = last.get("lineage", {}).get("round_ts")
+            if last_ts is not None:
+                base_ts = (datetime.fromisoformat(last_ts)
+                           - timedelta(seconds=(start_round - 1) * gap))
         out = []
         for i in range(rounds):
             r = start_round + i
-            ts = start_ts + timedelta(seconds=r * gap)
+            ts = base_ts + timedelta(seconds=r * gap)
             round_seeds = seeds
-            if self.cfg.follow_links and i > 0:
+            if self.cfg.follow_links and r > 0:
                 disc = self.discovered_frontier()
                 if disc is not None:
                     sd = seeds

@@ -55,11 +55,18 @@ class SnapshotTable:
         return os.path.join(self.dir, f"snap-{sid}.manifest.json")
 
     def manifest(self, sid: int | None = None) -> dict | None:
+        explicit = sid is not None
         sid = sid if sid is not None else self.current_snapshot_id()
         if sid is None:
             return None
-        with open(self._manifest_path(sid)) as f:
-            return json.load(f)
+        try:
+            with open(self._manifest_path(sid)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            if explicit:   # unknown or expired id the caller asked for
+                raise ValueError(
+                    f"no snapshot {sid} in {self.name}") from None
+            raise       # CURRENT points at a missing manifest: corrupt
 
     def snapshots(self) -> list[dict]:
         out = []
@@ -91,8 +98,15 @@ class SnapshotTable:
         parent = self.current_snapshot_id()
         # sid from the MAX existing id, not parent+1: after rollback(),
         # parent+1 would reuse a live id and silently overwrite that
-        # snapshot's manifest (orphaning its data; breaking lineage)
-        existing = [m["id"] for m in self.snapshots()]
+        # snapshot's manifest (orphaning its data; breaking lineage).
+        # Ids come from the FILENAMES: parsing every manifest's JSON just
+        # for max(id) made cumulative commit cost O(N²) in manifest
+        # bytes on the driver's per-round critical path.
+        existing = [
+            int(fn[len("snap-"):-len(".manifest.json")])
+            for fn in os.listdir(self.dir)
+            if fn.startswith("snap-") and fn.endswith(".manifest.json")
+        ]
         sid = max(existing, default=0) + 1
         data_dir = os.path.join(self.dir, f"snap-{sid}-{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite")
@@ -177,12 +191,8 @@ class SnapshotTable:
         `rollback_to_snapshot`). Data files and manifests are immutable,
         so this is just the atomic catalog swap; later snapshots remain
         readable until expired."""
-        try:
-            man = self.manifest(snapshot_id)
-        except FileNotFoundError:   # unknown or already-expired id
-            man = None
-        if man is None:
-            raise ValueError(f"no snapshot {snapshot_id} in {self.name}")
+        # manifest() raises ValueError for an unknown/expired explicit id
+        self.manifest(snapshot_id)
         tmp = self._current_path() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(snapshot_id))

@@ -680,3 +680,50 @@ def test_naive_round_ts_coerced_to_utc(spark, corpus, tmp_path):
     n = seen.count()
     assert n > 0
     assert seen.filter(F.col("last_fetch") == F.lit(START)).count() == n
+
+
+def test_trim_every_zero_never_compacts(spark, corpus, tmp_path):
+    """REGRESSION: trim_every=0 ('never compact') crashed with
+    ZeroDivisionError on round 1."""
+    cfg = CrawlConfig(refetch=RefetchConfig(maxfetches=9, refetchsecs=3600),
+                      num_partitions=2, collect_lineage=False,
+                      use_bloom=False, trim_every=0)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), corpus, None, cfg)
+    seeds = corpus.select("url").withColumn("priority", F.lit(0)).limit(6)
+    for r in range(5):
+        eng.run_round(seeds, r, START + timedelta(seconds=3600 * r))
+    # never compacted: every seen commit is an append delta
+    assert all(not m["lineage"].get("compacted")
+               for m in eng.seen_table.snapshots())
+
+
+def test_resumed_run_keeps_clock_and_outlinks(spark, corpus, tmp_path):
+    """REGRESSION: a CLI rerun passing a fresh wall-clock start_ts
+    shifted resumed round timestamps start_round*gap into the future
+    (ageing every key past agelimit); and a resumed run's first round
+    dropped the previous invocation's outlinks. The warehouse's recorded
+    round_ts anchors the clock and last_delta_dir seeds link-following."""
+    cfg = CrawlConfig(refetch=RefetchConfig(maxfetches=9, refetchsecs=3600),
+                      num_partitions=2, collect_lineage=False,
+                      use_bloom=False, follow_links=True,
+                      link_deny="offsite")
+    wh = str(tmp_path / "wh")
+    seeds = corpus.select("url").withColumn("priority", F.lit(0)).limit(5)
+    CrawlEngine(spark, wh, corpus, None, cfg).run(seeds, 2, start_ts=START)
+    man1 = CrawlEngine(spark, wh, corpus, None, cfg) \
+        .articles_table.manifest()["lineage"]["round_ts"]
+    # resume with a DIFFERENT (later) start_ts, as a CLI rerun would
+    eng2 = CrawlEngine(spark, wh, corpus, None, cfg)
+    eng2.run(seeds, 1, start_ts=START + timedelta(days=400))
+    man2 = eng2.articles_table.manifest()["lineage"]
+    assert man2["round"] == 2
+    # clock continued from the warehouse: round 2 = round 1 ts + gap
+    got = datetime.fromisoformat(man2["round_ts"])
+    want = datetime.fromisoformat(man1) + timedelta(seconds=3600)
+    assert got == want
+    # and the seen table was NOT wiped by an aged-out trim
+    assert eng2.seen().count() > 0
+    # resumed round still unioned outlinks: round-2 articles exceed the
+    # 5 seeded urls (outlink discoveries fetched)
+    r2 = eng2.articles_table.read().filter(F.col("round") == 2).count()
+    assert r2 > 0

@@ -47,7 +47,7 @@ def test_expire_snapshots(spark, tmp_path):
     assert expired == [1, 2, 3]
     assert [m["id"] for m in t.snapshots()] == [4, 5]
     assert {r["x"] for r in t.read().collect()} == {4}
-    with pytest.raises(FileNotFoundError):
+    with pytest.raises(ValueError, match="no snapshot 1"):
         t.read(snapshot_id=1)
 
 
@@ -125,3 +125,16 @@ def test_empty_partitioned_commit_readable(spark, tmp_path):
         "url_hash long, url string, last_fetch timestamp, lf_day date"),
         mode="append")
     assert t.read().count() == 1
+
+
+def test_time_travel_read_of_expired_snapshot_raises_valueerror(spark, tmp_path):
+    """manifest()/read() of an unknown or expired explicit id reports
+    ValueError like rollback(), not a raw FileNotFoundError."""
+    import pytest
+
+    from risjbot_spark.store import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path), "t")
+    t.commit(spark.range(2), mode="replace")
+    with pytest.raises(ValueError, match="no snapshot 42"):
+        t.read(snapshot_id=42)
