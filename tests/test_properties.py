@@ -97,3 +97,55 @@ def test_loader_takefirst_invariant(values):
 def test_xxhash64_is_signed_64bit(data):
     h = xxhash64(data)
     assert -(1 << 63) <= h < (1 << 63)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_HTMLISH)
+def test_remove_nodes_batch_equals_sequential_fuzz(markup):
+    """Batched pruning is OBSERVABLY identical to sequential pruning on
+    arbitrary html-ish input for the real prune battery (incl. a
+    content-reading predicate): same surviving text, same count."""
+    from risjbot_spark.html import remove_nodes, remove_nodes_batch
+
+    exprs = ("//figure", "//script", "//style", "//form",
+             '//div[contains(@class, "submeta")]',
+             '//strong[contains(., "Lesen")]', "//aside")
+    r1 = parse_html(markup)
+    seq = sum(remove_nodes(r1, e) for e in exprs)
+    r2 = parse_html(markup)
+    bat = remove_nodes_batch(r2, exprs)
+    assert r1.text_content() == r2.text_content()
+    assert seq == bat
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120))
+def test_replace_entities_never_raises(text):
+    from risjbot_spark.extract.cleaners import replace_entities
+
+    out = replace_entities(text)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=60))
+def test_parse_datetime_with_relative_base_never_raises(s):
+    from datetime import datetime, timezone
+
+    base = datetime(2017, 4, 1, tzinfo=timezone.utc)
+    dt = parse_datetime(s, relative_base=base)
+    assert dt is None or dt.tzinfo is not None
+
+
+@settings(max_examples=100, deadline=None)
+@given(_HTMLISH)
+def test_chase_one_never_raises_and_status_in_enum(markup):
+    """The comment chase degrades gracefully on arbitrary page bytes and
+    a failing API — never an exception out of the task loop."""
+    from risjbot_spark.comments import chase_one
+
+    def api(method, url):
+        raise RuntimeError("no network")
+
+    raws, texts, note, status = chase_one(markup, api, "site-uuid")
+    assert status in ("ok", "none", "dropped", "failed")
