@@ -61,9 +61,17 @@ class CrawlConfig:
     salt: int = 0                 # >0 → salted-host fetch layout (HTTP mode)
     broadcast_frontier: bool = True  # per-round frontier → broadcast join
     use_bloom: bool = True
+    # "driver": PartitionedBloom — bitmaps in a driver dict, broadcast
+    #   probe; right while the filter fits comfortably in driver memory.
+    # "table": DistributedBloomTable — bitmaps as a bucket-keyed parquet
+    #   table, built/merged/probed distributed; the 10^10-key path (the
+    #   driver holds only n_buckets/m/n_keys). Output-identical
+    #   (parity-tested); per-round cost adds one small Spark job.
+    bloom_backend: str = "driver"
     # partition-aligned bloom probe (bucket-shipped bitmaps via cogroup)
     # instead of broadcasting the whole filter — switch on when the
-    # filter outgrows what executors can hold broadcast
+    # filter outgrows what executors can hold broadcast (the table
+    # backend always probes aligned)
     bloom_aligned_probe: bool = False
     bloom_buckets: int = 64
     bloom_bits_per_bucket: int = 1 << 18  # adaptive: grows 4× when full
@@ -172,24 +180,44 @@ class CrawlEngine:
         # authoritative join and re-fetch early — so staleness in either
         # direction forces a rebuild; empty table → empty filter.
         self._bloom_dir = os.path.join(warehouse, "bloom")
-        self.bloom: PartitionedBloom | None = None
+        self.bloom = None
         if self.cfg.use_bloom:
             cur = self.seen_table.current_snapshot_id()
-            loaded = PartitionedBloom.load(self._bloom_dir)
-            self.bloom = loaded
-            if self.bloom is not None and self._bloom_marker() != cur:
-                self.bloom = None
-            if self.bloom is None:
-                # a stale checkpoint's SIZE is still the right size: the
-                # filter grew adaptively to fit this table, and
-                # rebuilding at the small configured default would
-                # produce a saturated (useless) filter that burns a full
-                # seen scan per 4x re-growth step
-                nb = loaded.n_buckets if loaded else self.cfg.bloom_buckets
-                m = loaded.m if loaded else self.cfg.bloom_bits_per_bucket
-                self.bloom = PartitionedBloom(nb, m)
-                if cur is not None:
-                    self.bloom.add_df(self.seen().select("url_hash"))
+            if self.cfg.bloom_backend == "table":
+                from .frontier.bloom_table import DistributedBloomTable
+
+                loaded = DistributedBloomTable.load(spark, self._bloom_dir)
+                if loaded is not None and self._bloom_marker() == cur:
+                    self.bloom = loaded
+                elif loaded is not None:
+                    # stale vs the seen snapshot (rollback/time travel):
+                    # rebuild IN PLACE — next version on the same table,
+                    # grown size kept, old versions GC'd by the commit
+                    loaded.rebuild_from(self.seen().select("url_hash"))
+                    self.bloom = loaded
+                else:
+                    self.bloom = DistributedBloomTable(
+                        spark, self._bloom_dir, self.cfg.bloom_buckets,
+                        self.cfg.bloom_bits_per_bucket)
+                    if cur is not None:
+                        self.bloom.rebuild_from(
+                            self.seen().select("url_hash"))
+            else:
+                loaded = PartitionedBloom.load(self._bloom_dir)
+                self.bloom = loaded
+                if self.bloom is not None and self._bloom_marker() != cur:
+                    self.bloom = None
+                if self.bloom is None:
+                    # a stale checkpoint's SIZE is still the right size:
+                    # the filter grew adaptively to fit this table, and
+                    # rebuilding at the small configured default would
+                    # produce a saturated (useless) filter that burns a
+                    # full seen scan per 4x re-growth step
+                    nb = loaded.n_buckets if loaded else self.cfg.bloom_buckets
+                    m = loaded.m if loaded else self.cfg.bloom_bits_per_bucket
+                    self.bloom = PartitionedBloom(nb, m)
+                    if cur is not None:
+                        self.bloom.add_df(self.seen().select("url_hash"))
         # link-following resume: the last committed articles delta seeds
         # discovered_frontier() so a resumed run's first round still
         # unions the previous invocation's outlinks
@@ -643,8 +671,13 @@ class CrawlEngine:
                 # snapshot (one scan, amortized over the rounds the
                 # quadrupling buys); keeps the per-round broadcast +
                 # checkpoint sized to the table, not worst-case
-                self.bloom = PartitionedBloom.from_seen(
-                    self.seen(), self.bloom.n_buckets, self.bloom.m * 4)
+                if cfg.bloom_backend == "table":
+                    self.bloom.rebuild_from(
+                        self.seen().select("url_hash"),
+                        bits_per_bucket=self.bloom.m * 4)
+                else:
+                    self.bloom = PartitionedBloom.from_seen(
+                        self.seen(), self.bloom.n_buckets, self.bloom.m * 4)
             _mark("bloom_update")
             self.bloom.save(self._bloom_dir)  # checkpointed with the round
             self._write_bloom_marker()        # ties bloom ↔ seen snapshot

@@ -1,0 +1,227 @@
+"""Bloom filter as a bucket-keyed parquet TABLE — the 10^10-key path.
+
+`PartitionedBloom` (bloom.py) keeps every bucket's bitmap in a driver
+dict: right at sandbox scale (one broadcast, no per-round Spark job for
+small rounds), but at the north_star's 10^10-key frontier the filter is
+~12 GiB of bitmap living on — and shipped through — the driver every
+round. Here the bitmaps are a first-class *table*:
+
+  * data = parquet rows (bucket int, bitmap binary, n long) at
+    `path/v{version}/`, one row per url_hash bucket, `n` = cumulative
+    inserts into that bucket;
+  * built and OR-merged DISTRIBUTED: a round's delta bitmaps come from
+    one applyInPandas over the round's keys, then (current ∪ delta)
+    groupBy-OR-merges into the next immutable version — no bitmap bytes
+    ever pass through the driver (no collect, no createDataFrame, no
+    broadcast);
+  * probed partition-aligned: frontier cogrouped with the bitmap table
+    on url_hash % n_buckets — each bucket's bitmap ships exactly once to
+    the task probing that bucket's rows (bloom.py:split_aligned's plan,
+    with the table side read from parquet instead of re-shipped from
+    driver memory);
+  * the driver holds ONLY (n_buckets, m, n_keys, version) — a few ints
+    in `meta.json`, swapped atomically after each version write;
+  * versions are immutable; the previous version is retained so a crash
+    mid-write can never corrupt the current filter (meta swaps last).
+
+False positives still fall through to the authoritative seen join —
+same correctness contract as PartitionedBloom (probe parity is locked
+by tests/test_frontier.py against split() on identical keys).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .bloom import _K, _positions
+
+_BITMAP_SCHEMA = "bucket int, bitmap binary, n long"
+
+
+def _make_delta(m: int):
+    """Per-bucket delta bitmap builder (applyInPandas over a bucket's keys)."""
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        pos = _positions(pdf["url_hash"].to_numpy(), m).ravel()
+        np.bitwise_or.at(bits, pos >> 3,
+                         np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "bitmap": [bits.tobytes()],
+                             "n": [len(pdf)]})
+    return make
+
+
+def _or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    """OR a bucket's bitmap rows (current ∪ delta) into one row."""
+    acc = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+    for b in pdf["bitmap"].iloc[1:]:
+        acc |= np.frombuffer(b, dtype=np.uint8)
+    return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                         "bitmap": [acc.tobytes()],
+                         "n": [int(pdf["n"].sum())]})
+
+
+class DistributedBloomTable:
+    """Interface-compatible with PartitionedBloom where the engine needs
+    it (split / split_aligned / add_df / overfull / save / from_seen),
+    with every bitmap byte staying executor-side."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 64, bits_per_bucket: int = 1 << 18):
+        assert bits_per_bucket & (bits_per_bucket - 1) == 0, "power of two"
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+        self.m = bits_per_bucket
+        self.n_keys = 0          # inserted-key upper bound (drives growth)
+        self.version = 0         # 0 → empty filter (no data dir yet)
+        os.makedirs(path, exist_ok=True)
+
+    # -- catalog ----------------------------------------------------------
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "meta.json")
+
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.path, f"v{v}")
+
+    def _write_meta(self) -> None:
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": self.n_buckets, "m": self.m,
+                       "n_keys": self.n_keys, "version": self.version}, f)
+        os.replace(tmp, self._meta_path())
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "DistributedBloomTable | None":
+        mp = os.path.join(path, "meta.json")
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            meta = json.load(f)
+        self = cls(spark, path, meta["n_buckets"], meta["m"])
+        self.n_keys = meta["n_keys"]
+        self.version = meta["version"]
+        return self
+
+    def bitmaps_df(self) -> DataFrame | None:
+        if self.version == 0:
+            return None
+        return self.spark.read.parquet(self._vdir(self.version))
+
+    # -- build / update ---------------------------------------------------
+    def _delta_df(self, keys: DataFrame) -> DataFrame:
+        return (
+            keys.select(F.col("url_hash"),
+                        F.pmod(F.col("url_hash"), F.lit(self.n_buckets))
+                        .alias("bucket"))
+            .groupBy("bucket")
+            .applyInPandas(_make_delta(self.m), schema=_BITMAP_SCHEMA)
+        )
+
+    def _commit(self, merged: DataFrame) -> None:
+        """Write the next immutable version and swap meta; n_keys comes
+        from the committed table's own per-bucket counts (one scalar agg
+        over n_buckets tiny rows — no bitmap bytes on the driver)."""
+        new_v = self.version + 1
+        # ~1 bucket row per output file: bitmap rows are large (m/8 B)
+        # and few (n_buckets); default shuffle partitioning already
+        # spreads them — repartition by bucket only to bound small files
+        nparts = max(1, min(self.n_buckets, 64))
+        merged.repartition(nparts, "bucket").write.mode(
+            "overwrite").parquet(self._vdir(new_v))
+        total = (self.spark.read.parquet(self._vdir(new_v))
+                 .agg(F.sum("n")).first()[0])
+        old_gc = self.version - 1          # keep current-1 for crash safety
+        self.version = new_v
+        self.n_keys = int(total or 0)
+        self._write_meta()
+        if old_gc > 0:
+            shutil.rmtree(self._vdir(old_gc), ignore_errors=True)
+
+    def add_df(self, keys: DataFrame, driver_threshold: int = 0) -> None:
+        """OR a key batch into the filter — one distributed job, one new
+        table version. `driver_threshold` is accepted for interface
+        parity and ignored: this backend never stages bitmaps on the
+        driver."""
+        delta = self._delta_df(keys)
+        cur = self.bitmaps_df()
+        merged = (delta if cur is None else cur.unionByName(delta)
+                  .groupBy("bucket")
+                  .applyInPandas(_or_merge, schema=_BITMAP_SCHEMA))
+        self._commit(merged)
+
+    def rebuild_from(self, keys: DataFrame, bits_per_bucket: int | None = None,
+                     n_buckets: int | None = None) -> None:
+        """Adaptive-growth rebuild (PartitionedBloom.from_seen analogue):
+        fresh bitmaps at a new size from the seen snapshot, committed as
+        the next version — one distributed scan, nothing driver-side."""
+        if bits_per_bucket is not None:
+            assert bits_per_bucket & (bits_per_bucket - 1) == 0
+            self.m = bits_per_bucket
+        if n_buckets is not None:
+            self.n_buckets = n_buckets
+        self._commit(self._delta_df(keys))
+
+    def overfull(self) -> bool:
+        """True past ~capacity (10 bits/key, the ~1% FP point for k=7)."""
+        return self.n_keys * 10 > self.n_buckets * self.m
+
+    # -- probe ------------------------------------------------------------
+    def split_aligned(self, frontier: DataFrame, spark=None
+                      ) -> tuple[DataFrame, DataFrame]:
+        """(maybe_seen, definite_new) via the cogroup probe: frontier
+        shuffled by bucket meets the bitmap table read from parquet —
+        each bitmap deserializes once, in the task that needs it."""
+        bm = self.bitmaps_df()
+        if bm is None:
+            return frontier.limit(0), frontier
+        nb, m = self.n_buckets, self.m
+        fr = frontier.withColumn(
+            "_b", F.pmod(F.col("url_hash"), F.lit(nb)).cast("int"))
+        out_schema = T.StructType(
+            fr.schema.fields + [T.StructField("_maybe", T.BooleanType())])
+
+        def probe(key, left, right):
+            left = left.copy()
+            if len(left) == 0:
+                left["_maybe"] = pd.Series([], dtype=bool)
+                return left
+            if len(right) == 0:
+                left["_maybe"] = False
+                return left
+            bits = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
+            h = left["url_hash"].to_numpy()
+            pos = _positions(h, m)
+            hit = np.ones(len(h), dtype=bool)
+            for kk in range(_K):
+                p = pos[kk]
+                hit &= (bits[p >> 3]
+                        & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
+            left["_maybe"] = hit
+            return left
+
+        flagged = (
+            fr.groupBy("_b")
+            .cogroup(bm.select(F.col("bucket").alias("_b"), "bitmap")
+                     .groupBy("_b"))
+            .applyInPandas(probe, schema=out_schema)
+        )
+        return (flagged.filter(F.col("_maybe")).drop("_maybe", "_b"),
+                flagged.filter(~F.col("_maybe")).drop("_maybe", "_b"))
+
+    # table backend has exactly one probe plan; split() aliases it so the
+    # engine can treat both backends uniformly
+    def split(self, frontier: DataFrame, spark=None):
+        return self.split_aligned(frontier, spark)
+
+    def save(self, path: str | None = None) -> None:
+        """No-op: every add_df/rebuild_from commit IS the checkpoint
+        (meta.json + the immutable version dir)."""

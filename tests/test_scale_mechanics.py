@@ -214,3 +214,102 @@ def test_engine_round_same_under_aligned_probe(spark, tmp_path):
 
     from datetime import timedelta
     assert run(False, "wa") == run(True, "wb")
+
+
+# ---------------------------------------------------------------------------
+# DistributedBloomTable — the table-backed (10^10-key) bloom
+# ---------------------------------------------------------------------------
+
+def _table_bloom(spark, tmp_path, name, nb=8, m=1 << 14):
+    from risjbot_spark.frontier.bloom_table import DistributedBloomTable
+    return DistributedBloomTable(spark, str(tmp_path / name), nb, m)
+
+
+def test_bloom_table_probe_parity_with_driver_bloom(spark, tmp_path):
+    """Same keys, same (n_buckets, m, k) → the table-backed probe must
+    classify every key exactly like the driver-resident filter (they
+    share the hash family, so the bitmaps are bit-identical)."""
+    seen = spark.createDataFrame(
+        [(xxhash64(f"seen{i}"),) for i in range(300)], "url_hash long")
+    drv = PartitionedBloom(8, 1 << 14)
+    drv.add_df(seen)
+    tbl = _table_bloom(spark, tmp_path, "bt")
+    tbl.add_df(seen)
+    fr = spark.createDataFrame(
+        [(xxhash64(f"seen{i}"),) for i in range(0, 300, 3)]
+        + [(xxhash64(f"new{i}"),) for i in range(200)], "url_hash long")
+    key = lambda df: sorted(r.url_hash for r in df.collect())
+    m1, f1 = drv.split(fr, spark)
+    m2, f2 = tbl.split_aligned(fr)
+    assert key(m1) == key(m2)
+    assert key(f1) == key(f2)
+    members = {xxhash64(f"seen{i}") for i in range(0, 300, 3)}
+    assert members <= set(key(m2))          # no false negatives
+
+
+def test_bloom_table_incremental_checkpoint_and_gc(spark, tmp_path):
+    """Two incremental adds OR together; state survives a reload from
+    disk (meta.json + version dir only — no driver bitmap state); old
+    versions beyond current-1 are garbage-collected."""
+    import os
+
+    from risjbot_spark.frontier.bloom_table import DistributedBloomTable
+
+    tbl = _table_bloom(spark, tmp_path, "bt2", nb=4, m=1 << 12)
+    b1 = spark.createDataFrame(
+        [(xxhash64(f"a{i}"),) for i in range(100)], "url_hash long")
+    b2 = spark.createDataFrame(
+        [(xxhash64(f"b{i}"),) for i in range(100)], "url_hash long")
+    tbl.add_df(b1)
+    tbl.add_df(b2)
+    assert tbl.version == 2 and tbl.n_keys == 200
+    # the instance holds NO bitmap bytes — only metadata ints
+    assert not hasattr(tbl, "bitmaps")
+    re = DistributedBloomTable.load(spark, str(tmp_path / "bt2"))
+    assert re.version == 2 and re.n_keys == 200 and re.m == 1 << 12
+    fr = spark.createDataFrame(
+        [(xxhash64(f"a{i}"),) for i in range(100)]
+        + [(xxhash64(f"b{i}"),) for i in range(100)], "url_hash long")
+    maybe, fresh = re.split_aligned(fr)
+    assert fresh.count() == 0               # both batches present
+    tbl.add_df(b1)                          # v3 → v1 GC'd, v2 kept
+    assert not os.path.isdir(str(tmp_path / "bt2" / "v1"))
+    assert os.path.isdir(str(tmp_path / "bt2" / "v2"))
+
+
+def test_bloom_table_growth_rebuild(spark, tmp_path):
+    tbl = _table_bloom(spark, tmp_path, "bt3", nb=4, m=1 << 10)
+    keys = spark.createDataFrame(
+        [(xxhash64(f"k{i}"),) for i in range(500)], "url_hash long")
+    tbl.add_df(keys)
+    assert tbl.overfull()                   # 500 keys > ~409 capacity
+    tbl.rebuild_from(keys, bits_per_bucket=1 << 12)
+    assert tbl.m == 1 << 12 and not tbl.overfull()
+    assert tbl.n_keys == 500
+    maybe, fresh = tbl.split_aligned(keys)
+    assert fresh.count() == 0               # rebuilt filter keeps members
+
+
+def test_engine_round_same_under_table_bloom_backend(spark, tmp_path):
+    """A crawl run on the table-backed bloom must fetch exactly the same
+    articles as the driver-backed run, survive engine re-construction
+    (checkpoint resume), and grow adaptively without driver bitmaps."""
+    from datetime import timedelta
+
+    pages = pages_df(spark, 120, partitions=4)
+    seeds = pages.select("url").withColumn("priority", F.lit(0))
+
+    def run(backend, wh):
+        cfg = CrawlConfig(refetch=RefetchConfig(), num_partitions=4,
+                          collect_lineage=False, use_bloom=True,
+                          bloom_buckets=8, bloom_backend=backend)
+        eng = CrawlEngine(spark, str(tmp_path / wh), pages, None, cfg)
+        eng.run_round(seeds, 0, START)
+        # re-open mid-run: round 1 must resume from the checkpointed
+        # filter (not rebuild) and still gate correctly
+        eng = CrawlEngine(spark, str(tmp_path / wh), pages, None, cfg)
+        eng.run_round(seeds, 1, START + timedelta(seconds=10801))
+        return sorted((r.url_canon, r.round)
+                      for r in eng.articles_table.read().collect())
+
+    assert run("driver", "wd") == run("table", "wt")
