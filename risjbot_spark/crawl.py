@@ -95,6 +95,14 @@ class CrawlConfig:
     # J3a via manifest-stat/partition pruning instead of resolving the
     # whole seen table each round (output-identical; parity-tested)
     pruned_trawl: bool = True
+    # compact the seen base BUCKETED by url_hash (Iceberg bucket(N,col)
+    # transform; day partitions kept for the trawl). The J1 gate and the
+    # MoR resolve then run SPLIT — frontier × bucketed base with no
+    # exchange on the base side + a small resolved-delta join — instead
+    # of an O(table) groupBy+shuffle every round. Output-identical
+    # (parity-tested); plan-asserted in tests.
+    bucket_seen_base: bool = True
+    seen_buckets: int = 32
 
 
 class CrawlEngine:
@@ -313,14 +321,52 @@ class CrawlEngine:
         os.replace(tmp, path)
 
     # ------------------------------------------------------------------
+    _SEEN_COLS = ["url_hash", "url", "host", "fetches", "last_fetch"]
+
+    def _seen_parts(self) -> tuple[DataFrame, DataFrame | None] | None:
+        """(bucketed base, post-compaction deltas) when the current seen
+        snapshot has that shape — a url_hash-bucketed compacted base as
+        its first data dir, flat round deltas after it. None otherwise
+        (fresh table, pre-bucketing warehouse, bucket_seen_base off) —
+        callers fall back to the generic groupBy resolve."""
+        man = self.seen_table.manifest()
+        if man is None or not man["files"]:
+            return None
+        meta = man.get("file_meta", {})
+        first, rest = man["files"][0], man["files"][1:]
+        if not meta.get(first, {}).get("bucket_table"):
+            return None
+        if any(meta.get(d, {}).get("bucket_table")
+               or meta.get(d, {}).get("partition_by") for d in rest):
+            return None                     # unexpected shape: be generic
+        base = self.seen_table.read_dir(first, man).select(*self._SEEN_COLS)
+        if not rest:
+            return base, None
+        from functools import reduce
+
+        deltas = reduce(
+            lambda a, b: a.unionByName(b),
+            [self.spark.read.parquet(d).select(*self._SEEN_COLS)
+             for d in rest])
+        return base, deltas
+
     def seen(self) -> DataFrame:
         """Current per-key seen state — merge-on-read: the table holds a
         compacted base plus per-round update deltas (Iceberg MoR
-        pattern); `seen_state` resolves them. Idempotent over a freshly
-        compacted table, and the groupBy hash-partitions by url_hash —
-        the same key the J1 join shuffles on, so Catalyst reuses the
-        exchange rather than shuffling twice."""
-        return seen_state(self.seen_table.read(schema=SEEN_SCHEMA))
+        pattern). With a url_hash-bucketed base the resolve runs SPLIT —
+        deltas resolve among themselves (O(delta) shuffle) and anti-join
+        into the base with no exchange on the base side — instead of
+        re-shuffling the whole table through `seen_state`'s groupBy
+        every round. Both forms are row-identical (parity-locked)."""
+        parts = self._seen_parts()
+        if parts is None:
+            return seen_state(self.seen_table.read(schema=SEEN_SCHEMA))
+        base, deltas = parts
+        if deltas is None:
+            return base                     # freshly compacted: resolved
+        from .frontier.state import resolve_split
+
+        return resolve_split(base, seen_state(deltas))
 
     def run_round(
         self,
@@ -438,16 +484,34 @@ class CrawlEngine:
         # ---- seen-set gate: bloom pre-filter + authoritative join (J1).
         # Definite-new URLs skip the join shuffle entirely; the filter is
         # maintained incrementally across rounds (no per-round rebuild).
+        # With a bucketed compacted base the gate runs SPLIT (frontier ×
+        # base with no exchange on the base side + small resolved-delta
+        # join) instead of joining the union-resolved table.
+        parts = self._seen_parts() if cfg.bucket_seen_base else None
+        if parts is not None:
+            from .frontier.state import seen_filter_split
+
+            base, deltas = parts
+            newer = (seen_state(deltas) if deltas is not None
+                     else self.spark.createDataFrame([], SEEN_SCHEMA))
+
+            def gate(f):
+                return seen_filter_split(f, base, newer, cfg.refetch,
+                                         round_ts)
+        else:
+            def gate(f):
+                return seen_filter(f, seen, cfg.refetch, round_ts)
+
         if cfg.use_bloom and self.bloom is not None:
             split = (self.bloom.split_aligned if cfg.bloom_aligned_probe
                      else self.bloom.split)
             maybe, fresh = split(fr, self.spark)
-            gated = seen_filter(maybe, seen, cfg.refetch, round_ts)
+            gated = gate(maybe)
             eligible = gated.unionByName(
                 fresh.withColumn("previousfetches", F.lit(0).cast("int"))
             )
         else:
-            eligible = seen_filter(fr, seen, cfg.refetch, round_ts)
+            eligible = gate(fr)
         eligible = _observe(eligible, "after_seen_gate")
 
         # ---- politeness (W1/W3) + deterministic order
@@ -621,7 +685,19 @@ class CrawlEngine:
         compact = (cfg.trim_every > 0 and round_no > 0
                    and round_no % cfg.trim_every == 0)
         if compact:
-            new_seen = merge_seen(seen, fetched_keys, round_ts)
+            if parts is not None:
+                # split-form MERGE: this round's resolved updates are
+                # strictly newer than every pre-round row, so the
+                # compacted state is updates ∪ (seen ∖ update-keys) —
+                # skips re-shuffling the full table through the groupBy
+                # (the bucketed WRITE below clusters it once anyway).
+                # Row-identical to merge_seen (parity-locked).
+                from .frontier.state import resolve_split
+
+                new_seen = resolve_split(
+                    seen, seen_updates(fetched_keys, round_ts))
+            else:
+                new_seen = merge_seen(seen, fetched_keys, round_ts)
             if cfg.refetch.trimdb:
                 # protect REQUESTED keys, as the reference's keysrqd does
                 # (refetchcontrol.py:150-193) — a scheduled key whose
@@ -633,9 +709,10 @@ class CrawlEngine:
                 new_seen = trim_seen(
                     new_seen, scheduled_plain.select("url_hash"),
                     cfg.refetch, round_ts)
-            # base partitions by last-fetch day: the pruned trawl then
-            # skips day directories outside its window (file-level
-            # min/max pruning, SURVEY §4)
+            # base partitions by last-fetch day (the pruned trawl skips
+            # day directories outside its window — SURVEY §4) and, on
+            # the bucketed path, clusters by url_hash so next rounds'
+            # gate joins and resolves read it exchange-free
             self.seen_table.commit(
                 new_seen.withColumn("lf_day", F.to_date("last_fetch")),
                 lineage={"round": round_no,
@@ -644,6 +721,8 @@ class CrawlEngine:
                          "counters": lineage, "compacted": True},
                 mode="replace",
                 partition_by=["lf_day"],
+                bucket_by="url_hash" if cfg.bucket_seen_base else None,
+                n_buckets=cfg.seen_buckets,
             )
             if cfg.expire_keep_last > 0:
                 # maintenance rides the compaction commit: pre-compaction

@@ -129,6 +129,58 @@ def seen_state(rows: DataFrame) -> DataFrame:
     )
 
 
+def resolve_split(base: DataFrame, newer: DataFrame) -> DataFrame:
+    """Merge-on-read resolve for the SPLIT representation: `base` already
+    holds one resolved row per key (a compacted snapshot), `newer` holds
+    one resolved row per key that is strictly newer wherever keys
+    overlap (post-compaction deltas: round timestamps strictly increase,
+    so a delta row always supersedes the base row for its key). Then
+    latest-wins collapses to  newer ∪ (base ∖ newer-keys)  — no O(table)
+    groupBy. Against a url_hash-bucketed base the anti join runs with NO
+    exchange on the base side (the newer side broadcasts or shuffles
+    O(delta)). Output ≡ seen_state(base ∪ newer) row-for-row
+    (parity-locked in tests)."""
+    return newer.unionByName(
+        base.join(newer.select("url_hash"), "url_hash", "left_anti"))
+
+
+def seen_filter_split(
+    frontier: DataFrame, base: DataFrame, newer: DataFrame,
+    cfg: RefetchConfig, round_ts: datetime,
+) -> DataFrame:
+    """J1 against the split representation WITHOUT unioning base and
+    deltas first: a union node discards the base scan's bucket
+    distribution, forcing the gate join to shuffle the whole seen table
+    every round. Two left joins instead — frontier × bucketed base
+    (exchange on the frontier side only), then × the small resolved
+    delta table (broadcast-eligible) — with delta values taking
+    precedence (resolved rows: newest wins). Output ≡
+    seen_filter(frontier, resolve_split(base, newer)) (parity-locked)."""
+    age = _age_secs(round_ts)
+    b = base.select("url_hash", F.col("fetches").alias("_bf"),
+                    F.col("last_fetch").alias("_bl"))
+    d = newer.select("url_hash", F.col("fetches").alias("_df"),
+                     F.col("last_fetch").alias("_dl"))
+    j = (
+        frontier.join(b, "url_hash", "left_outer")
+        .join(d, "url_hash", "left_outer")
+        .withColumn("fetches", F.coalesce("_df", "_bf"))
+        .withColumn("last_fetch", F.coalesce("_dl", "_bl"))
+    )
+    first_fetch = F.col("fetches").isNull()
+    refetch_ok = (
+        (F.col("fetches") < cfg.maxfetches)
+        & (age(F.col("last_fetch")) >= cfg.refetchsecs)
+        & (age(F.col("last_fetch")) <= cfg.age_limit_secs)
+    )
+    return (
+        j.filter(first_fetch | refetch_ok)
+        .withColumn("previousfetches",
+                    F.coalesce(F.col("fetches"), F.lit(0)).cast("int"))
+        .drop("fetches", "last_fetch", "_bf", "_bl", "_df", "_dl")
+    )
+
+
 def merge_seen(
     seen: DataFrame, fetched: DataFrame, round_ts: datetime
 ) -> DataFrame:
@@ -207,7 +259,10 @@ def trawl_candidates_pruned(
         pby = m.get("partition_by")
         rng = m.get("last_fetch_range")
         if pby:
-            df = spark.read.parquet(d)
+            # read_dir: a bucketed base must resolve through the catalog
+            # (schema + partition listing live there; the dir may even be
+            # file-free when the compacted state was empty)
+            df = seen_table.read_dir(d, man)
             day = F.col(pby[0])
             window_srcs.append(
                 df.filter(day.between(F.lit(lo.date()), F.lit(hi.date())))
@@ -220,11 +275,11 @@ def trawl_candidates_pruned(
             mn = mn if mn.tzinfo else mn.replace(tzinfo=timezone.utc)
             mx = mx if mx.tzinfo else mx.replace(tzinfo=timezone.utc)
             if mx > lo and mn <= hi:
-                window_srcs.append(spark.read.parquet(d).select(*cols))
+                window_srcs.append(seen_table.read_dir(d, man).select(*cols))
             if mx > hi:
-                newer_srcs.append(spark.read.parquet(d).select(*cols))
+                newer_srcs.append(seen_table.read_dir(d, man).select(*cols))
         else:  # legacy dir without stats: cannot prune, read for both
-            df = spark.read.parquet(d).select(*cols)
+            df = seen_table.read_dir(d, man).select(*cols)
             window_srcs.append(df)
             newer_srcs.append(df)
 

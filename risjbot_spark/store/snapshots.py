@@ -79,7 +79,9 @@ class SnapshotTable:
     # -- write path ---------------------------------------------------------
     def commit(self, df, lineage: dict | None = None, mode: str = "replace",
                partition_by: list[str] | None = None,
-               stats: dict | None = None) -> int:
+               stats: dict | None = None,
+               bucket_by: str | None = None,
+               n_buckets: int = 32) -> int:
         """Write df as a new immutable snapshot and swap CURRENT.
 
         mode='replace': snapshot contents = df (the seen-table MERGE result).
@@ -94,7 +96,17 @@ class SnapshotTable:
         {"last_fetch_range": [iso, iso]} — a round delta's last_fetch is
         the round timestamp on every row) — Iceberg's manifest column
         stats, enabling whole-file skips without opening footers. Both
-        are recorded per data dir in the manifest's file_meta."""
+        are recorded per data dir in the manifest's file_meta.
+
+        bucket_by: ALSO hash-bucket the data files by this column — the
+        Iceberg `bucket(N, col)` transform. The snapshot is written as an
+        EXTERNAL datasource table (unique catalog name, data under this
+        table's own dir), so later equi-joins/aggregations on the bucket
+        column read it exchange-free via read_dir(); composes with
+        partition_by (day dirs × url_hash buckets). The manifest records
+        the table name + DDL schema, and read_dir() re-registers it in a
+        fresh session's (in-memory) catalog — the data outlives any one
+        SparkSession."""
         parent = self.current_snapshot_id()
         # sid from the MAX existing id, not parent+1: after rollback(),
         # parent+1 would reuse a live id and silently overwrite that
@@ -109,26 +121,54 @@ class SnapshotTable:
         ]
         sid = max(existing, default=0) + 1
         data_dir = os.path.join(self.dir, f"snap-{sid}-{uuid.uuid4().hex[:8]}")
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_dir)
-        if partition_by and not _has_parquet_files(data_dir):
-            # an EMPTY partitioned write leaves a dir with no data files
-            # at all (no partition dirs → no parquet footers), which a
-            # later read cannot infer a schema from; rewrite flat — the
-            # zero-row part file still carries the schema. Detected by a
-            # post-write directory scan, not an isEmpty() pre-check,
-            # which would execute the (compaction-sized) plan twice.
-            partition_by = None
-            df.write.mode("overwrite").parquet(data_dir)
+        bucket_entry = {}
+        if bucket_by:
+            # align write tasks to buckets (Murmur3 repartition == the
+            # bucketBy hash) so each task writes exactly one bucket's
+            # file per partition dir instead of n_buckets small files
+            from pyspark.sql import functions as F
+
+            tbl = f"snap_{self.name}_{sid}_{uuid.uuid4().hex[:8]}"
+            (
+                df.repartition(n_buckets, F.col(bucket_by))
+                .write.mode("overwrite").format("parquet")
+                .option("path", data_dir)
+                .partitionBy(*(partition_by or []))
+                .bucketBy(n_buckets, bucket_by).sortBy(bucket_by)
+                .saveAsTable(tbl)
+            )
+            # schema DDL for re-registration in a later session's catalog
+            # (partition columns last, as saveAsTable lays them out)
+            pset = set(partition_by or [])
+            fields = ([f for f in df.schema.fields if f.name not in pset]
+                      + [f for f in df.schema.fields if f.name in pset])
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+            bucket_entry = {"bucket_table": tbl, "bucket_by": bucket_by,
+                            "n_buckets": n_buckets, "schema_ddl": ddl}
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(data_dir)
+            if partition_by and not _has_parquet_files(data_dir):
+                # an EMPTY partitioned write leaves a dir with no data
+                # files at all (no partition dirs → no parquet footers),
+                # which a later read cannot infer a schema from; rewrite
+                # flat — the zero-row part file still carries the schema.
+                # Detected by a post-write directory scan, not an
+                # isEmpty() pre-check, which would execute the
+                # (compaction-sized) plan twice. (Bucketed commits don't
+                # need this: the catalog entry carries the schema.)
+                partition_by = None
+                df.write.mode("overwrite").parquet(data_dir)
         files = [data_dir]
         file_meta = {}
         if mode == "append" and parent is not None:
             pman = self.manifest(parent)
             files = pman["files"] + files
             file_meta = dict(pman.get("file_meta", {}))
-        entry = {}
+        entry = dict(bucket_entry)
         if partition_by:
             entry["partition_by"] = list(partition_by)
         if stats:
@@ -156,6 +196,32 @@ class SnapshotTable:
         return sid
 
     # -- read path ----------------------------------------------------------
+    def read_dir(self, data_dir: str, manifest: dict | None = None):
+        """DataFrame over ONE manifest data dir. Flat/hive dirs read as
+        parquet; bucketed dirs read through the session catalog so the
+        bucket spec survives (exchange-free joins on the bucket column),
+        re-registering the external table first when this session's
+        (in-memory) catalog hasn't seen it — resume on a fresh cluster."""
+        man = manifest or self.manifest()
+        entry = (man or {}).get("file_meta", {}).get(data_dir, {})
+        tbl = entry.get("bucket_table")
+        if not tbl:
+            return self.spark.read.parquet(data_dir)
+        if not self.spark.catalog.tableExists(tbl):
+            pby = entry.get("partition_by") or []
+            ddl = (f"CREATE TABLE {tbl} ({entry['schema_ddl']}) "
+                   f"USING parquet ")
+            if pby:
+                ddl += f"PARTITIONED BY ({', '.join(pby)}) "
+            ddl += (f"CLUSTERED BY ({entry['bucket_by']}) "
+                    f"SORTED BY ({entry['bucket_by']}) "
+                    f"INTO {entry['n_buckets']} BUCKETS "
+                    f"LOCATION '{data_dir}'")
+            self.spark.sql(ddl)
+            if pby:
+                self.spark.sql(f"ALTER TABLE {tbl} RECOVER PARTITIONS")
+        return self.spark.table(tbl)
+
     def read(self, snapshot_id: int | None = None, schema=None):
         """DataFrame view of a snapshot (default: CURRENT). Empty-typed DF
         when the table has no snapshot yet.
@@ -172,10 +238,11 @@ class SnapshotTable:
                 raise ValueError(f"table {self.name} is empty and no schema given")
             return self.spark.createDataFrame([], schema)
         meta = man.get("file_meta", {})
-        if any(meta.get(d, {}).get("partition_by") for d in man["files"]):
+        if any(meta.get(d, {}).get("partition_by")
+               or meta.get(d, {}).get("bucket_table") for d in man["files"]):
             from functools import reduce
 
-            parts = [self.spark.read.parquet(d) for d in man["files"]]
+            parts = [self.read_dir(d, man) for d in man["files"]]
             return reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True),
                 parts)
@@ -222,6 +289,12 @@ class SnapshotTable:
         for m in dead:
             for f in m["files"]:
                 if f not in live_files and os.path.isdir(f):
+                    tbl = m.get("file_meta", {}).get(f, {}).get("bucket_table")
+                    if tbl:
+                        # unregister before deleting the data: a stale
+                        # catalog entry over a removed dir would fail
+                        # later reads with a confusing path error
+                        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
                     shutil.rmtree(f, ignore_errors=True)
             os.remove(self._manifest_path(m["id"]))
             expired.append(m["id"])
