@@ -490,11 +490,26 @@ def q_ngram_jaccard_pairs(spark, sf):
     )
 
 
+# SimHash geometry. 60 bits (15 md5 hex chars — parses into a SIGNED
+# 64-bit long identically in Spark and DuckDB, the engine-portability
+# constraint) in 4 bands of 15 bits → 32768 distinct values per band.
+# The r2 design was 32-bit/4×8-bit: only 256 values per band, so
+# per-bucket pair blocks grew O((n/256)²) — invisible at 622 docs,
+# quadratic-in-practice at 10^9 (the r2 verdict's scale ceiling #3).
+# Band count stays 4 so the pigeonhole guarantee is unchanged:
+# hamming ≤ 3 ⇒ ≥ 1 identical band. tools/bench_band_cardinality.py
+# measures the bucket-size distributions side by side.
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS   # 15
+_SIMHASH_BAND_VALS = 1 << _SIMHASH_BAND_BITS           # 32768
+
+
 def _simhash_fp(spark, sf):
-    """32-bit SimHash per doc over distinct 3-token shingles: md5-prefix
-    shingle hash (32 bits, engine-portable), per-bit ±1 majority vote
-    (Charikar's scheme; bit b of the fingerprint is 1 iff the sum of
-    ±1 votes for bit b is > 0). Shingles, not single tokens: with a
+    """60-bit SimHash per doc over distinct 3-token shingles: md5-prefix
+    shingle hash (15 hex chars, engine-portable), per-bit ±1 majority
+    vote (Charikar's scheme; bit b of the fingerprint is 1 iff the sum
+    of ±1 votes for bit b is > 0). Shingles, not single tokens: with a
     small shared vocabulary the unweighted-token vote degenerates toward
     the corpus-majority fingerprint (measured: 13% of all pairs at
     hamming<=3); shingles are doc-specific so unrelated docs separate.
@@ -507,35 +522,39 @@ def _simhash_fp(spark, sf):
     def build():
         sh = _distinct_shingles(spark, sf)
         h = sh.withColumn(
-            "h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long"))
+            "h",
+            F.conv(F.substring(F.md5("s"), 1, _SIMHASH_BITS // 4), 16, 10)
+            .cast("long"))
         votes = h.groupBy("doc_id").agg(*[
             F.sum(F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1))
             .alias(f"v{b}")
-            for b in range(32)
+            for b in range(_SIMHASH_BITS)
         ])
         fp = sum(
             F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
-            for b in range(32)
+            for b in range(_SIMHASH_BITS)
         )
         return votes.select("doc_id", fp.cast("long").alias("simhash"))
     return _cached_stage(spark, sf, "simhash_fp", build)
 
 
 def q_simhash_fingerprint(spark, sf):
-    """SimHash fingerprint table (doc_id → 32-bit simhash)."""
+    """SimHash fingerprint table (doc_id → 60-bit simhash)."""
     return _simhash_fp(spark, sf).orderBy("doc_id")
 
 
 def q_simhash_dup_pairs(spark, sf):
-    """SimHash near-dup pairs: banded LSH self-join (4 bands × 8 bits —
-    pigeonhole: hamming ≤ 3 over 32 bits ⇒ ≥ 1 band identical, so the
+    """SimHash near-dup pairs: banded LSH self-join (4 bands × 15 bits —
+    pigeonhole: hamming ≤ 3 over 60 bits ⇒ ≥ 1 band identical, so the
     band join loses no qualifying pair) then exact hamming verify via
     xor + bit_count. At 10^10 docs the band join shuffles only
-    (band_idx, band_val) buckets instead of the full cross join."""
+    (band_idx, band_val) buckets instead of the full cross join, and
+    32768 values per band keep the per-bucket pair blocks bounded."""
     fp = _simhash_fp(spark, sf)
     band_arr = F.array(*[
-        (F.shiftright(F.col("simhash"), 8 * i) % 256).cast("int")
-        for i in range(4)
+        (F.shiftright(F.col("simhash"), _SIMHASH_BAND_BITS * i)
+         % _SIMHASH_BAND_VALS).cast("int")
+        for i in range(_SIMHASH_BANDS)
     ])
     bl = fp.select("doc_id", "simhash",
                    F.posexplode(band_arr).alias("bi", "bv"))
@@ -573,12 +592,35 @@ def _emb_with_mutants(spark, sf):
     return e.unionByName(mut)
 
 
+# Sign-hyperplane count for the embedding LSH family. 16 bits → 65536
+# buckets (was 8/256 in r2: per-bucket blocks grew O((n/256)²) — the r2
+# verdict's scale ceiling). At corpus scale, size this ∝ log2(n): the
+# expected bucket population is n / 2^bits, and the pair-block work is
+# sum(n_b²) — tools/bench_band_cardinality.py shows the 8-bit version
+# exploding at 10^6 vectors while 16 bits stays bounded. Axis-aligned
+# planes (sign of dimension i) keep it deterministic and SQL-portable;
+# a production index would draw random Gaussian planes per seed.
+_EMB_LSH_BITS = 16
+
+
+def _emb_bucket_expr(col: str, bits: int = _EMB_LSH_BITS):
+    """Sign-pattern bucket id over the first `bits` dimensions."""
+    terms = [
+        F.when(F.element_at(col, i + 1) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        for i in range(bits)
+    ]
+    return sum(terms).cast("int")
+
+
 def q_embedding_near_dup(spark, sf):
-    """Embedding-cosine near-dup: sign-pattern LSH bucket (8 fixed
-    hyperplanes) → in-bucket pair join → cosine ≥ 0.99. The bucket join
-    turns the O(n²) cross join into per-bucket blocks — the 10^9-vector
-    scale path; the brute-force twin (q_ann_cosine_topk) is the recall
-    baseline. JVM higher-order functions only, no Python."""
+    """Embedding-cosine near-dup: sign-pattern LSH bucket (_EMB_LSH_BITS
+    fixed hyperplanes) → in-bucket pair join → cosine ≥ 0.99. The bucket
+    join turns the O(n²) cross join into per-bucket blocks — the
+    10^9-vector scale path; the brute-force twin (q_ann_cosine_topk) is
+    the recall baseline. Recall for the planted mutants is 1.0 by
+    construction at ANY bit width: the perturbation preserves every
+    element's sign, so a mutant always lands in its original's bucket.
+    JVM higher-order functions only, no Python."""
     # normalize ONCE per vector, not per pair: the higher-order
     # aggregate/zip_with exprs are interpreted (not codegen), so cosine
     # as dot-of-unit-vectors does 1 fold per candidate pair instead of 3
@@ -590,12 +632,7 @@ def q_embedding_near_dup(spark, sf):
         nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda acc, v: acc + v * v))
         b = e.withColumn("nrm", nrm).withColumn(
             "u", F.transform("emb", lambda v: v / F.col("nrm")))
-        bits = [
-            F.when(F.element_at("emb", i + 1) >= 0,
-                   F.lit(2 ** i)).otherwise(F.lit(0))
-            for i in range(8)
-        ]
-        return b.withColumn("bucket", sum(bits).cast("int")).select(
+        return b.withColumn("bucket", _emb_bucket_expr("emb")).select(
             "vec_id", "bucket", "u")
     b = _cached_stage(spark, sf, "emb_unit_buckets", build)
     x, y = b.alias("x"), b.alias("y")
@@ -835,16 +872,12 @@ def q_ivf_search(spark, sf):
 
 
 def q_ann_lsh_bucket(spark, sf):
-    """LSH-bucketed ANN scale path: sign pattern over 8 fixed hyperplanes
-    (axis-aligned → deterministic and SQL-portable); bucket histogram."""
+    """LSH-bucketed ANN scale path: sign pattern over _EMB_LSH_BITS
+    fixed hyperplanes (axis-aligned → deterministic and SQL-portable);
+    bucket histogram."""
     e = _t(spark, sf, "embeddings")
-    bits = [
-        F.when(F.col("embedding").getItem(i) >= 0, F.lit(1)).otherwise(F.lit(0))
-        for i in range(8)
-    ]
-    bucket = sum(b * (2 ** i) for i, b in enumerate(bits))
     return (
-        e.select(bucket.cast("int").alias("bucket"))
+        e.select(_emb_bucket_expr("embedding").alias("bucket"))
         .groupBy("bucket").agg(F.count("*").alias("n"))
         .orderBy("bucket")
     )
@@ -1056,28 +1089,39 @@ WITH {_MUTANTS_CTE},
 {_SIG_SELECT} ORDER BY doc_id"""
 
 
-_HEX32 = " + ".join(
-    f"(instr('0123456789abcdef', substring(md5(s),{i + 1},1))-1)*{16 ** (7 - i)}"
-    for i in range(8)
+_HEX_DIGITS = _SIMHASH_BITS // 4           # 15 — same md5 prefix as Spark
+_HEX60 = " + ".join(
+    f"(instr('0123456789abcdef', substring(md5(s),{i + 1},1))-1)"
+    f"*{16 ** (_HEX_DIGITS - 1 - i)}"
+    for i in range(_HEX_DIGITS)
 )
 
 _SIMHASH_VOTES = ", ".join(
     f"sum(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
-    for b in range(32)
+    for b in range(_SIMHASH_BITS)
 )
 
 _SIMHASH_FP = " + ".join(
-    f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32)
+    f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)"
+    for b in range(_SIMHASH_BITS)
 )
 
 _SIMHASH_FP_SQL = f"""
 WITH {_MUTANTS_CTE},
 {_SHINGLE_CTE},
 tt AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh),
-th AS (SELECT doc_id, {_HEX32} AS h FROM tt),
+th AS (SELECT doc_id, {_HEX60} AS h FROM tt),
 v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM th GROUP BY doc_id),
 fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM v)
 SELECT doc_id, simhash FROM fp ORDER BY doc_id"""
+
+def _emb_bucket_sql(col: str, bits: int = _EMB_LSH_BITS) -> str:
+    """Sign-pattern bucket id in DuckDB SQL — mechanically mirrors
+    _emb_bucket_expr for any hyperplane count."""
+    return ("\n               + ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(bits)))
+
 
 _EMB_MUTANTS_CTE = """
 e0 AS (
@@ -1247,8 +1291,12 @@ ORACLE_SQL = {
     "simhash_dup_pairs": f"""
         WITH fp AS ({_SIMHASH_FP_SQL.replace('ORDER BY doc_id', '')}),
         bl AS (
-          SELECT doc_id, simhash, i AS bi, (simhash >> (8*i)) % 256 AS bv
-          FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
+          SELECT doc_id, simhash, i AS bi,
+                 (simhash >> ({_SIMHASH_BAND_BITS}*i))
+                   % {_SIMHASH_BAND_VALS} AS bv
+          FROM fp CROSS JOIN
+               (SELECT unnest(generate_series(0, {_SIMHASH_BANDS - 1}))
+                  AS i)),
         p AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.simhash AS ha, b.simhash AS hb
@@ -1264,14 +1312,7 @@ ORACLE_SQL = {
           SELECT vec_id,
                  list_transform(emb,
                    x -> x / sqrt(list_dot_product(emb, emb))) AS u,
-                 (CASE WHEN emb[1] >= 0 THEN 1 ELSE 0 END)
-               + (CASE WHEN emb[2] >= 0 THEN 2 ELSE 0 END)
-               + (CASE WHEN emb[3] >= 0 THEN 4 ELSE 0 END)
-               + (CASE WHEN emb[4] >= 0 THEN 8 ELSE 0 END)
-               + (CASE WHEN emb[5] >= 0 THEN 16 ELSE 0 END)
-               + (CASE WHEN emb[6] >= 0 THEN 32 ELSE 0 END)
-               + (CASE WHEN emb[7] >= 0 THEN 64 ELSE 0 END)
-               + (CASE WHEN emb[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+                 {_emb_bucket_sql('emb')} AS bucket
           FROM e),
         p AS (
           SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
@@ -1441,16 +1482,9 @@ ORACLE_SQL = {
         FROM e JOIN topc ON e.label = topc.centroid, q
         WHERE vec_id <> 0
         ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
-    "ann_lsh_bucket": """
+    "ann_lsh_bucket": f"""
         WITH b AS (
-          SELECT (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-               + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-               + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-               + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
-               + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
-               + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
-               + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
-               + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+          SELECT {_emb_bucket_sql('embedding')} AS bucket
           FROM embeddings)
         SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""",
     "knn_label_vote": """
