@@ -108,8 +108,22 @@ def main() -> None:
     # folds deltas back). Flat warm rounds = the claim holds; a rising
     # series would expose an O(rounds) resolve cost.
     mor_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_MOR_ROUNDS", "32"))
+    # bloom backend for the MoR series: 'driver' (broadcast probe) or
+    # 'table' (bucket-keyed parquet bitmaps — the 10^10-key path); the
+    # table run also tracks driver-Python RSS to show the filter no
+    # longer grows driver memory per round
+    mor_bloom = os.environ.get("SPARK_GRAFT_BENCH_BLOOM", "driver")
     mor_series: list[float] = []
     mor_commit: list[float] = []
+    mor_rss: list[int] = []
+
+    def _driver_rss_mb() -> int:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) // 1024
+        return -1
+
     if mor_rounds > 0:
         from datetime import timedelta
 
@@ -124,7 +138,7 @@ def main() -> None:
                 refetch=RefetchConfig(maxfetches=mor_rounds + 1,
                                       refetchsecs=3600),
                 num_partitions=max(CPUS, 8), collect_lineage=False,
-                use_bloom=True),
+                use_bloom=True, bloom_backend=mor_bloom),
         )
         for r in range(mor_rounds):
             perf: dict = {}
@@ -134,6 +148,7 @@ def main() -> None:
                               perf=perf)
             mor_series.append(round(time.monotonic() - t0, 3))
             mor_commit.append(perf.get("seen_merge_commit", 0.0))
+            mor_rss.append(_driver_rss_mb())
         mor_pages.unpersist()
         timings["mor_rounds_total"] = round(sum(mor_series), 3)
 
@@ -146,13 +161,26 @@ def main() -> None:
         "politeness_window", "customer_top_order", "sessionize",
         "exact_dedup", "minhash_signature", "lsh_dup_pairs",
         "ngram_jaccard_pairs", "simhash_dup_pairs", "embedding_near_dup",
-        "ann_cosine_topk", "ivf_assign", "ivf_search", "lang_id", "doc_fingerprint",
+        "ann_cosine_topk", "ivf_assign", "ivf_search", "ivf_kmeans",
+        "ivf_kmeans_search", "lang_id", "doc_fingerprint",
         "quality_score", "token_count",
     ]
     for name in bench_queries:
         t0 = time.monotonic()
         _noop(QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
+
+    recall = {}
+    if run_suite:
+        # ANN recall@10 vs the exact brute-force baseline: how many of
+        # the true top-10 the nprobe=3 IVF searches return (label-seeded
+        # and Lloyd-k-means index builds)
+        truth = {r.vec_id
+                 for r in QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()}
+        for name in ("ivf_search", "ivf_kmeans_search"):
+            got = {r.vec_id for r in QUERIES[name](spark, SF_DIR).collect()}
+            recall[f"{name}_recall_at_10"] = round(
+                len(truth & got) / max(len(truth), 1), 2)
 
     if run_suite:
         # multimodal feature-extraction throughput (binary → 64-d features)
@@ -183,12 +211,16 @@ def main() -> None:
         "crawl_urls_per_sec_warm": (
             round(n_articles / warm_best, 1) if warm_best else None),
     }
+    if recall:
+        out["ann_recall"] = recall
     if mor_series:
         import statistics
 
         warm = mor_series[1:]
         out["mor_rounds"] = mor_series
         out["mor_seen_commit_secs"] = mor_commit
+        out["mor_bloom_backend"] = mor_bloom
+        out["mor_driver_rss_mb"] = mor_rss
         out["mor_summary"] = {
             "rounds": len(mor_series),
             "pages_per_round": mor_pages_n,

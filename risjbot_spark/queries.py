@@ -871,6 +871,119 @@ def q_ivf_search(spark, sf):
     )
 
 
+# Lloyd k-means geometry for the iterative IVF build. Deterministic
+# everywhere: seeds are the K smallest vec_ids, assignment ties break on
+# centroid id, and each iteration's centroids are ROUNDED to 6 decimals
+# before the next assignment — quantizing at the iteration boundary
+# pins engine-vs-oracle float drift to zero instead of letting summation
+# order compound across iterations. The label-seeded build
+# (q_ivf_centroids) stays as the oracle-exact one-shot variant; this is
+# the real index build a 10^9-vector deployment iterates (more rounds,
+# sampled init — the structure is the same DataFrame loop).
+_KMEANS_K = 10
+_KMEANS_ITERS = 2
+
+
+def _kmeans_cents(spark, sf):
+    """Final Lloyd centroids as (centroid int, cvec array<double>) —
+    K iterations unrolled into one DataFrame plan; centroids broadcast
+    into the assignment join each round (K rows — never a shuffle of
+    the vector side). Cached: build + search both read it."""
+    def build():
+        e = _t(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
+        cents = e.filter(F.col("vec_id") < _KMEANS_K).select(
+            F.col("vec_id").cast("int").alias("centroid"),
+            F.col("emb").alias("cvec"))
+        dist = F.aggregate(
+            F.zip_with("emb", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        for _ in range(_KMEANS_ITERS):
+            w = Window.partitionBy("vec_id").orderBy(
+                F.col("d").asc(), F.col("centroid").asc())
+            assigned = (
+                e.crossJoin(F.broadcast(cents))
+                .select("vec_id", "emb", "centroid", dist.alias("d"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+            )
+            cents = (
+                assigned.select(
+                    "centroid", F.posexplode("emb").alias("pos", "v"))
+                .groupBy("centroid", "pos")
+                .agg(F.round(F.avg("v"), 6).alias("c"))
+                .groupBy("centroid")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("pos", "c"))).alias("pc"))
+                .select("centroid",
+                        F.expr("transform(pc, x -> x.c)").alias("cvec"))
+            )
+        return cents
+    return _cached_stage(spark, sf, "ivf_kmeans_cents", build)
+
+
+def q_ivf_kmeans(spark, sf):
+    """Lloyd-iterated IVF index build (r2 verdict item #4): the missing
+    half of the 10^9-vector story next to the label-seeded
+    q_ivf_centroids. Output = final centroids, dimension-exploded."""
+    return (
+        _kmeans_cents(spark, sf)
+        .select("centroid", F.posexplode("cvec").alias("pos", "c"))
+        .orderBy("centroid", "pos")
+    )
+
+
+def q_ivf_kmeans_search(spark, sf):
+    """IVF top-k search over the k-means index: assign vectors to their
+    final-centroid cluster, probe the nprobe=3 centroids nearest the
+    query, exact cosine within those clusters. Recall@10 vs the
+    brute-force q_ann_cosine_topk is reported by bench.py."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
+    cents = _kmeans_cents(spark, sf)
+    dist = F.aggregate(
+        F.zip_with("emb", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d").asc(), F.col("centroid").asc())
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid").alias("cluster"))
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, v: acc + v)
+    nrm = lambda c: F.sqrt(dot(c, c))
+    ccos = (dot(F.col("cvec"), F.col("qv"))
+            / (nrm(F.col("cvec")) * nrm(F.col("qv"))))
+    top_cents = (
+        cents.crossJoin(F.broadcast(q))
+        .select("centroid", ccos.alias("ccos"))
+        .orderBy(F.col("ccos").desc(), F.col("centroid").asc())
+        .limit(3)
+        .select(F.col("centroid").alias("cluster"))
+    )
+    cands = (
+        e.filter(F.col("vec_id") != 0)
+        .join(assigned, "vec_id")
+        .join(F.broadcast(top_cents), "cluster")
+        .crossJoin(F.broadcast(q))
+    )
+    vcos = (dot(F.col("emb"), F.col("qv"))
+            / (nrm(F.col("emb")) * nrm(F.col("qv"))))
+    return (
+        cands.select("vec_id", F.round(vcos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 def q_ann_lsh_bucket(spark, sf):
     """LSH-bucketed ANN scale path: sign pattern over _EMB_LSH_BITS
     fixed hyperplanes (axis-aligned → deterministic and SQL-portable);
@@ -1035,6 +1148,8 @@ QUERIES = {
     "ivf_centroids": q_ivf_centroids,
     "ivf_assign": q_ivf_assign,
     "ivf_search": q_ivf_search,
+    "ivf_kmeans": q_ivf_kmeans,
+    "ivf_kmeans_search": q_ivf_kmeans_search,
     "knn_label_vote": q_knn_label_vote,
     "binary_meta": q_binary_meta,
 }
@@ -1114,6 +1229,41 @@ th AS (SELECT doc_id, {_HEX60} AS h FROM tt),
 v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM th GROUP BY doc_id),
 fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM v)
 SELECT doc_id, simhash FROM fp ORDER BY doc_id"""
+
+def _kmeans_cte() -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs — mechanically mirrors
+    _kmeans_cents (seeded init, argmin assignment with centroid-id tie
+    break, per-iteration round(avg, 6) quantization)."""
+    parts = [f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS centroid, emb AS cvec
+  FROM e WHERE vec_id < {_KMEANS_K})"""]
+    prev = "c0"
+    for it in range(1, _KMEANS_ITERS + 1):
+        parts.append(f"""a{it} AS (
+  SELECT vec_id, emb, centroid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d ASC, centroid ASC) AS rn
+  FROM (SELECT e.vec_id, e.emb, c.centroid,
+               list_sum(list_transform(list_zip(e.emb, c.cvec),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+        FROM e CROSS JOIN {prev} c)),
+c{it} AS (
+  SELECT centroid, list(c ORDER BY pos) AS cvec FROM (
+    SELECT centroid, pos, round(avg(v), 6) AS c
+    FROM (SELECT centroid, unnest(emb) AS v,
+                 generate_subscripts(emb, 1) AS pos
+          FROM a{it} WHERE rn = 1)
+    GROUP BY centroid, pos)
+  GROUP BY centroid)""")
+        prev = f"c{it}"
+    return ",\n".join(parts), prev
+
+
+_KMEANS_CTES, _KMEANS_FINAL = _kmeans_cte()
+
 
 def _emb_bucket_sql(col: str, bits: int = _EMB_LSH_BITS) -> str:
     """Sign-pattern bucket id in DuckDB SQL — mechanically mirrors
@@ -1482,6 +1632,41 @@ ORACLE_SQL = {
         FROM e JOIN topc ON e.label = topc.centroid, q
         WHERE vec_id <> 0
         ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "ivf_kmeans": f"""
+        WITH {_KMEANS_CTES}
+        SELECT centroid, pos - 1 AS pos, c
+        FROM (SELECT centroid, unnest(cvec) AS c,
+                     generate_subscripts(cvec, 1) AS pos
+              FROM {_KMEANS_FINAL})
+        ORDER BY centroid, pos""",
+    "ivf_kmeans_search": f"""
+        WITH {_KMEANS_CTES},
+        af AS (
+          SELECT vec_id, centroid AS cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d ASC, centroid ASC) AS rn
+          FROM (SELECT e.vec_id, c.centroid,
+                       list_sum(list_transform(list_zip(e.emb, c.cvec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+                FROM e CROSS JOIN {_KMEANS_FINAL} c)),
+        q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+        topc AS (
+          SELECT centroid AS cluster
+          FROM {_KMEANS_FINAL}, q
+          ORDER BY list_dot_product(cvec, qv)
+                   / (sqrt(list_dot_product(cvec, cvec))
+                      * sqrt(list_dot_product(qv, qv))) DESC, centroid ASC
+          LIMIT 3)
+        SELECT e.vec_id,
+               round(list_dot_product(emb, qv)
+                     / (sqrt(list_dot_product(emb, emb))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+        FROM e
+        JOIN (SELECT vec_id, cluster FROM af WHERE rn = 1) a
+          ON e.vec_id = a.vec_id
+        JOIN topc ON a.cluster = topc.cluster, q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""",
     "ann_lsh_bucket": f"""
         WITH b AS (
           SELECT {_emb_bucket_sql('embedding')} AS bucket
