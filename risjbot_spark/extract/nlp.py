@@ -63,6 +63,47 @@ HAS_CMU_DICT = _pronouncing is not None and _probe(
     lambda: _pronouncing.phones_for_word("probe")[0])
 
 # ---------------------------------------------------------------------------
+# Driver-decided backend pinning
+# ---------------------------------------------------------------------------
+# The HAS_* probes run per Python PROCESS, so a heterogeneous deployment
+# (driver has nltk, some executors don't — or vice versa) would silently
+# mix real-library and stand-in values inside one run. The engine's UDF
+# factories (udfs.py) therefore capture the DRIVER's probe result in the
+# UDF closure and pin it in every worker: pinned-available-but-missing
+# fails loudly instead of degrading one partition's values.
+
+_PINNED: dict[str, bool] | None = None
+
+
+def backend_flags() -> dict[str, bool]:
+    """This process's probe result — capture on the driver, ship in UDF
+    closures, pin on workers."""
+    return {"textblob": HAS_TEXTBLOB, "nltk_tokenize": HAS_NLTK_TOKENIZE,
+            "nltk_ner": HAS_NLTK_NER, "cmu": HAS_CMU_DICT}
+
+
+def pin_backend(flags: dict[str, bool] | None) -> None:
+    """Pin the dispatch decision for this process (None → unpin, fall
+    back to the local probe). Clears the syllable cache: cached values
+    are backend-specific."""
+    global _PINNED
+    _PINNED = dict(flags) if flags is not None else None
+    count_syllables.cache_clear()
+
+
+def _use(name: str, local_has: bool) -> bool:
+    if _PINNED is None:
+        return local_has
+    want = _PINNED.get(name, False)
+    if want and not local_has:
+        raise RuntimeError(
+            f"NLP backend {name!r} was pinned available by the driver but "
+            f"is not importable in this worker — heterogeneous deployment "
+            f"would silently mix real-library and stand-in values; install "
+            f"the library on every executor (or pin it off)")
+    return want
+
+# ---------------------------------------------------------------------------
 # Word count — len(str.split()) exactly (wordcount.py:15)
 # ---------------------------------------------------------------------------
 
@@ -108,7 +149,7 @@ _WORD_RE = re.compile(r"[A-Za-z']+")
 def sentiment(text: str) -> tuple[float, float]:
     """(polarity, subjectivity) — textblob's PatternAnalyzer when
     available (sentiment.py:16-23 exactly), else the lexicon stand-in."""
-    if HAS_TEXTBLOB:
+    if _use("textblob", HAS_TEXTBLOB):
         s = _textblob.TextBlob(text).sentiment
         return s.polarity, s.subjectivity
     return sentiment_standin(text)
@@ -148,7 +189,7 @@ _PUNCT_ASCII = frozenset(string.punctuation)
 
 def sent_tokenize(text: str) -> list[str]:
     """nltk punkt when available (readingage.py:60), else regex split."""
-    if HAS_NLTK_TOKENIZE:
+    if _use("nltk_tokenize", HAS_NLTK_TOKENIZE):
         return _nltk.tokenize.sent_tokenize(text)
     return sent_tokenize_standin(text)
 
@@ -162,7 +203,7 @@ def sent_tokenize_standin(text: str) -> list[str]:
 
 def word_tokenize(text: str) -> list[str]:
     """nltk punkt when available (readingage.py:61), else regex."""
-    if HAS_NLTK_TOKENIZE:
+    if _use("nltk_tokenize", HAS_NLTK_TOKENIZE):
         return _nltk.tokenize.word_tokenize(text)
     return word_tokenize_standin(text)
 
@@ -200,7 +241,7 @@ def count_syllables(word: str) -> int | None:
     return None and are omitted from the tally — no per-word fallback to
     the heuristic, mirroring the reference exactly), else the vowel-group
     stand-in."""
-    if HAS_CMU_DICT:
+    if _use("cmu", HAS_CMU_DICT):
         try:
             return _pronouncing.syllable_count(
                 _pronouncing.phones_for_word(word.lower())[0])
@@ -263,7 +304,7 @@ def named_people(text: str) -> list[str]:
     """nltk ne_chunk PERSON entities when available (namedpeople.py:50-57
     verbatim: ne_chunk(pos_tag(word_tokenize)) → PERSON subtrees joined
     with spaces, duplicates kept), else the TitleCase-run stand-in."""
-    if HAS_NLTK_NER:
+    if _use("nltk_ner", HAS_NLTK_NER):
         ents = _nltk.ne_chunk(_nltk.pos_tag(_nltk.word_tokenize(text)))
         return [
             " ".join(tok for tok, _tag in t.leaves())

@@ -37,6 +37,27 @@ def _try_readability():
 _readability = _try_readability()
 HAS_READABILITY_LXML = _readability is not None
 
+# driver-decided pinning — same contract as extract.nlp.pin_backend:
+# the per-process probe must not differ silently between driver and
+# executors, so the extraction UDF pins the driver's decision
+_PINNED: bool | None = None
+
+
+def pin_backend(flag: bool | None) -> None:
+    global _PINNED
+    _PINNED = flag
+
+
+def use_real() -> bool:
+    if _PINNED is None:
+        return HAS_READABILITY_LXML
+    if _PINNED and not HAS_READABILITY_LXML:
+        raise RuntimeError(
+            "readability-lxml was pinned available by the driver but is "
+            "not importable in this worker — install it on every executor "
+            "(or pin it off)")
+    return _PINNED
+
 
 def extract_from_html(html_text: str, want_title: bool = True,
                       want_body: bool = True):
@@ -44,7 +65,7 @@ def extract_from_html(html_text: str, want_title: bool = True,
     readified_doc once and reuses it, loaders.py:408-422): →
     (short_title | None, body text list). The readability parse is the
     expensive step; parsing twice doubled the hottest fallback path."""
-    if not HAS_READABILITY_LXML:
+    if not use_real():
         return None, []
     try:
         doc = _readability.Document(html_text)

@@ -217,7 +217,7 @@ def _add_readability(loader: NewsItemLoader, root: Node,
     need_body = not loader.get_output_value("bodytext")
     if not need_title and not need_body:
         return
-    use_real = readability.HAS_READABILITY_LXML and html_text is not None
+    use_real = readability.use_real() and html_text is not None
     if use_real:
         # ONE Document parse covers both fields (reference builds
         # readified_doc once, loaders.py:408)

@@ -13,6 +13,7 @@ fixtures by construction (SURVEY.md §7 M0).
 from __future__ import annotations
 
 import json
+import logging
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -56,56 +57,112 @@ def _extract_one(html, url, fetchtime, meta_json) -> dict:
     return row
 
 
-@pandas_udf(ARTICLE_STRUCT)
-def extract_article_udf(
-    html: pd.Series, url: pd.Series, fetchtime: pd.Series, meta_json: pd.Series
-) -> pd.DataFrame:
+# --- driver-decided library backends ----------------------------------------
+# The HAS_* probes in extract.nlp / extract.readability run per Python
+# PROCESS; a heterogeneous deployment would silently mix real-library and
+# stand-in values across partitions. Every UDF below is built by a
+# FACTORY on the driver: the driver's probe result rides the UDF closure
+# (cloudpickle serializes locally-defined functions by value) and is
+# pinned in each worker before the batch runs — pinned-available-but-
+# missing raises instead of degrading (extract/nlp.py:_use).
+
+def _driver_backend_flags() -> dict:
+    from .extract import readability as _rd
+
+    return {**_nlp.backend_flags(), "readability": _rd.HAS_READABILITY_LXML}
+
+
+def _pin_worker(flags: dict) -> None:
+    from .extract import readability as _rd
+
+    if _nlp._PINNED != {k: v for k, v in flags.items() if k != "readability"}:
+        _nlp.pin_backend({k: v for k, v in flags.items()
+                          if k != "readability"})
+        _rd.pin_backend(flags.get("readability"))
+
+
+def make_extract_article_udf(flags: dict | None = None):
     """(html, url, fetchtime, feed-meta JSON) → NewsItem struct.
 
     One lxml-style parse per row producing the FULL struct — never N UDFs
     × N parses (the reference's parse-once constraint, SURVEY.md §4)."""
-    rows = [
-        _extract_one(h, u, ft, mj)
-        for h, u, ft, mj in zip(html, url, fetchtime, meta_json)
-    ]
-    return pd.DataFrame(rows, columns=_ARTICLE_FIELDS)
+    flags = dict(flags) if flags is not None else _driver_backend_flags()
+    logging.getLogger(__name__).info("extract UDF NLP backends: %s", flags)
+
+    @pandas_udf(ARTICLE_STRUCT)
+    def _extract(html: pd.Series, url: pd.Series, fetchtime: pd.Series,
+                 meta_json: pd.Series) -> pd.DataFrame:
+        _pin_worker(flags)
+        rows = [
+            _extract_one(h, u, ft, mj)
+            for h, u, ft, mj in zip(html, url, fetchtime, meta_json)
+        ]
+        return pd.DataFrame(rows, columns=_ARTICLE_FIELDS)
+
+    # The UDF is pure, but we declare it nondeterministic so Catalyst
+    # never duplicates it: a filter on a struct field (status !=
+    # 'fake404') pushed below a repartition Exchange re-evaluates the
+    # WHOLE extraction on both sides of the exchange — measured 2× the
+    # round cost at 24k pages.
+    return _extract.asNondeterministic()
 
 
-# The UDF is pure, but we declare it nondeterministic so Catalyst never
-# duplicates it: a filter on a struct field (status != 'fake404') pushed
-# below a repartition Exchange re-evaluates the WHOLE extraction on both
-# sides of the exchange — measured 2× the round cost at 24k pages.
-extract_article_udf = extract_article_udf.asNondeterministic()
+extract_article_udf = make_extract_article_udf()
 
 
 # --- NLP UDFs usable standalone over any text column ------------------------
 
-@pandas_udf(T.StructType([
-    T.StructField("sentiment", T.DoubleType()),
-    T.StructField("subjectivity", T.DoubleType()),
-]))
-def sentiment_udf(text: pd.Series) -> pd.DataFrame:
-    vals = [_nlp.sentiment(t) if isinstance(t, str) else (None, None) for t in text]
-    return pd.DataFrame(vals, columns=["sentiment", "subjectivity"])
+def make_sentiment_udf(flags: dict | None = None):
+    flags = dict(flags) if flags is not None else _driver_backend_flags()
+
+    @pandas_udf(T.StructType([
+        T.StructField("sentiment", T.DoubleType()),
+        T.StructField("subjectivity", T.DoubleType()),
+    ]))
+    def _sentiment(text: pd.Series) -> pd.DataFrame:
+        _pin_worker(flags)
+        vals = [_nlp.sentiment(t) if isinstance(t, str) else (None, None)
+                for t in text]
+        return pd.DataFrame(vals, columns=["sentiment", "subjectivity"])
+
+    return _sentiment
 
 
-@pandas_udf(T.StructType([
-    T.StructField("fleschreadingease", T.DoubleType()),
-    T.StructField("kincaidgradelevel", T.DoubleType()),
-]))
-def reading_scores_udf(text: pd.Series) -> pd.DataFrame:
-    rows = []
-    for t in text:
-        s = _nlp.reading_scores(t) if isinstance(t, str) else None
-        rows.append(s if s is not None else (None, None))
-    return pd.DataFrame(rows, columns=["fleschreadingease", "kincaidgradelevel"])
+def make_reading_scores_udf(flags: dict | None = None):
+    flags = dict(flags) if flags is not None else _driver_backend_flags()
+
+    @pandas_udf(T.StructType([
+        T.StructField("fleschreadingease", T.DoubleType()),
+        T.StructField("kincaidgradelevel", T.DoubleType()),
+    ]))
+    def _scores(text: pd.Series) -> pd.DataFrame:
+        _pin_worker(flags)
+        rows = []
+        for t in text:
+            s = _nlp.reading_scores(t) if isinstance(t, str) else None
+            rows.append(s if s is not None else (None, None))
+        return pd.DataFrame(
+            rows, columns=["fleschreadingease", "kincaidgradelevel"])
+
+    return _scores
 
 
-@pandas_udf(T.ArrayType(T.StringType()))
-def named_people_udf(text: pd.Series) -> pd.Series:
-    return pd.Series(
-        [_nlp.named_people(t) if isinstance(t, str) else [] for t in text]
-    )
+def make_named_people_udf(flags: dict | None = None):
+    flags = dict(flags) if flags is not None else _driver_backend_flags()
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _people(text: pd.Series) -> pd.Series:
+        _pin_worker(flags)
+        return pd.Series(
+            [_nlp.named_people(t) if isinstance(t, str) else [] for t in text]
+        )
+
+    return _people
+
+
+sentiment_udf = make_sentiment_udf()
+reading_scores_udf = make_reading_scores_udf()
+named_people_udf = make_named_people_udf()
 
 
 def wordcount_expr(col):

@@ -1,0 +1,131 @@
+"""Prove the real-library adapter seams EXECUTE (r2 verdict item #5):
+vendored fixture doubles expose the textblob / nltk / pronouncing /
+readability-lxml API surfaces, so both branches of every dispatch seam
+run in this container — the stand-in branch (default) and the
+real-library branch (with the doubles on sys.path)."""
+
+import importlib
+import os
+import sys
+
+import pytest
+
+FAKES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "fixtures", "fakelibs")
+_LIB_ROOTS = ("textblob", "nltk", "pronouncing", "readability", "lxml")
+
+
+def _reload_seams():
+    """Purge the fake/real libraries and re-execute the seam modules'
+    import-time probes. importlib.reload mutates the existing module
+    objects in place, so references held by udfs/semantics stay valid."""
+    for m in list(sys.modules):
+        if m.split(".")[0] in _LIB_ROOTS:
+            del sys.modules[m]
+    import risjbot_spark.extract.nlp as nlp
+    import risjbot_spark.extract.readability as rd
+    nlp = importlib.reload(nlp)
+    rd = importlib.reload(rd)
+    nlp.count_syllables.cache_clear()
+    nlp.count_syllables_standin.cache_clear()
+    return nlp, rd
+
+
+@pytest.fixture
+def fake_libs():
+    sys.path.insert(0, FAKES)
+    try:
+        yield _reload_seams()
+    finally:
+        sys.path.remove(FAKES)
+        nlp, rd = _reload_seams()
+        assert not nlp.HAS_TEXTBLOB and not rd.HAS_READABILITY_LXML
+
+
+def test_nlp_seam_dispatches_to_real_libraries(fake_libs):
+    nlp, _rd = fake_libs
+    assert nlp.HAS_TEXTBLOB and nlp.HAS_NLTK_TOKENIZE
+    assert nlp.HAS_NLTK_NER and nlp.HAS_CMU_DICT
+    # sentiment comes from the double's constants, not the lexicon
+    assert nlp.sentiment("a bad terrible day") == (0.123, 0.456)
+    assert nlp.sentiment_standin("a bad terrible day") != (0.123, 0.456)
+    # NER runs ne_chunk(pos_tag(word_tokenize)) through the double
+    assert nlp.named_people("John Smith visited") == ["John Smith visited"] \
+        or nlp.named_people("John Smith visited lower town") == ["John Smith"]
+    # syllables come from the CMU double (2 per word); 'q' words are OOV
+    # → IndexError path → None, mirroring the reference's omission
+    assert nlp.count_syllables("anything") == 2
+    assert nlp.count_syllables("quixotic") is None
+    # sentence split on the double's distinctive '|' separator
+    assert nlp.sent_tokenize("one|two|three") == ["one", "two", "three"]
+
+
+def test_reading_scores_through_real_seam(fake_libs):
+    nlp, _rd = fake_libs
+    # 2 sentences ('|' split), 4 words after punct-strip drops the
+    # standalone '|' token, every word 2 syllables via the CMU double →
+    # exact Flesch/Kincaid from the reference coefficients
+    text = "alpha beta | gamma delta"
+    flesch, kincaid = nlp.reading_scores(text)
+    nwords, nsent, spw = 4, 2, 2.0
+    assert flesch == pytest.approx(
+        206.835 - 1.015 * (nwords / nsent) - 84.6 * spw)
+    assert kincaid == pytest.approx(
+        0.39 * (nwords / nsent) + 11.8 * spw - 15.59)
+
+
+def test_readability_seam_dispatches(fake_libs):
+    _nlp, rd = fake_libs
+    assert rd.HAS_READABILITY_LXML
+    assert rd.short_title_from_html("<html></html>") \
+        == "FAKE READABILITY TITLE"
+    assert rd.body_texts_from_html("<html></html>") \
+        == ["FAKE BODY ONE", "FAKE BODY TWO"]
+
+
+def test_pin_backend_forces_standin_despite_libraries(fake_libs):
+    """Driver-decided pinning (ADVICE #2): an all-off pin must force the
+    stand-ins even when the libraries import fine."""
+    nlp, rd = fake_libs
+    try:
+        nlp.pin_backend({"textblob": False, "nltk_tokenize": False,
+                         "nltk_ner": False, "cmu": False})
+        rd.pin_backend(False)
+        assert nlp.sentiment("good") == nlp.sentiment_standin("good")
+        assert nlp.sent_tokenize("one|two") == ["one|two"]
+        assert rd.short_title_from_html("<x>") is None
+    finally:
+        nlp.pin_backend(None)
+        rd.pin_backend(None)
+
+
+def test_pin_backend_raises_when_pinned_lib_missing():
+    """The heterogeneous-deployment guard: pinned-available but locally
+    missing must raise, never silently fall back (one partition scoring
+    with the stand-in would corrupt the run undetectably)."""
+    import risjbot_spark.extract.nlp as nlp
+    import risjbot_spark.extract.readability as rd
+    assert not nlp.HAS_TEXTBLOB           # container has no textblob
+    try:
+        nlp.pin_backend({"textblob": True})
+        with pytest.raises(RuntimeError, match="pinned available"):
+            nlp.sentiment("anything")
+        rd.pin_backend(True)
+        with pytest.raises(RuntimeError, match="pinned available"):
+            rd.use_real()
+    finally:
+        nlp.pin_backend(None)
+        rd.pin_backend(None)
+
+
+def test_udf_factory_captures_driver_flags():
+    """The UDF factories embed the driver's probe in the closure (the
+    channel that ships the decision to workers)."""
+    from risjbot_spark import udfs
+    flags = udfs._driver_backend_flags()
+    assert set(flags) == {"textblob", "nltk_tokenize", "nltk_ner", "cmu",
+                          "readability"}
+    assert all(v is False for v in flags.values())   # this container
+    # factory accepts explicit flags (what a driver ships)
+    u = udfs.make_sentiment_udf(flags)
+    assert u is not None
