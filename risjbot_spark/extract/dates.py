@@ -102,6 +102,16 @@ _REL_UNIT_SECS = {
     "seconde": 1, "secondes": 1, "heure": 3600, "heures": 3600,
     "jour": 86400, "jours": 86400, "semaine": 604800, "semaines": 604800,
 }
+# month/year units are CALENDAR shifts, not fixed seconds — dateparser
+# (via dateutil.relativedelta) subtracts whole months with day clamping
+# ("3 months ago" from May 31 → Feb 28), and years are 12 such months
+_REL_UNIT_MONTHS = {
+    "month": 1, "months": 1, "monat": 1, "monate": 1, "monaten": 1,
+    "mois": 1,
+    "year": 12, "years": 12, "jahr": 12, "jahre": 12, "jahren": 12,
+    "an": 12, "ans": 12, "année": 12, "années": 12, "annee": 12,
+    "annees": 12,
+}
 _REL_RE = re.compile(
     r"^(?:(vor|il\s+y\s+a)\s+)?"
     r"(\d{1,4}|an|a|eine[rm]?|eine|une|un)\s+"
@@ -109,22 +119,50 @@ _REL_RE = re.compile(
     re.IGNORECASE,
 )
 
+# bare named-day words → whole days before the base, time-of-day kept
+# (dateparser's RELATIVE_BASE semantics: "yesterday" = now - 1 day)
+_NAMED_DAYS = {
+    "today": 0, "tonight": 0, "heute": 0, "aujourd'hui": 0,
+    "aujourd’hui": 0,
+    "yesterday": 1, "gestern": 1, "hier": 1,
+    "vorgestern": 2, "avant-hier": 2,
+}
 
-def _parse_relative(s: str) -> int | None:
-    """Seconds-before-base for a relative phrase, else None. The marker
-    ('ago' / 'vor' / 'il y a') is REQUIRED — a bare '3 days' is not a
-    relative date (dateparser likewise needs the preposition)."""
-    m = _REL_RE.match(s.strip().lower())
+
+def _parse_relative(s: str) -> tuple[str, int] | None:
+    """('secs'|'months', n) before the base for a relative phrase, else
+    None. For counted units the marker ('ago' / 'vor' / 'il y a') is
+    REQUIRED — a bare '3 days' is not a relative date (dateparser
+    likewise needs the preposition); named days are markers themselves."""
+    low = s.strip().lower()
+    if low in _NAMED_DAYS:
+        return "secs", _NAMED_DAYS[low] * 86400
+    m = _REL_RE.match(low)
     if not m:
         return None
     marker_pre, n_str, unit, marker_post = m.groups()
     if not marker_pre and not marker_post:
         return None
-    secs = _REL_UNIT_SECS.get(unit)
-    if secs is None:
-        return None
     n = 1 if not n_str.isdigit() else int(n_str)
-    return n * secs
+    secs = _REL_UNIT_SECS.get(unit)
+    if secs is not None:
+        return "secs", n * secs
+    months = _REL_UNIT_MONTHS.get(unit)
+    if months is not None:
+        return "months", n * months
+    return None
+
+
+def _shift_months_back(dt: datetime, months: int) -> datetime:
+    """Calendar-aware month subtraction with day clamping — the
+    dateutil.relativedelta semantics dateparser applies."""
+    import calendar
+
+    y, m = dt.year, dt.month - months
+    y += (m - 1) // 12
+    m = (m - 1) % 12 + 1
+    return dt.replace(year=y, month=m,
+                      day=min(dt.day, calendar.monthrange(y, m)[1]))
 
 
 def _localized_to_english(s: str) -> str | None:
@@ -199,9 +237,13 @@ def parse_datetime(s, relative_base: datetime | None = None) -> datetime | None:
 
     # relative phrases, anchored to the caller-supplied base
     if relative_base is not None:
-        secs = _parse_relative(s)
-        if secs is not None:
-            return _aware(relative_base) - timedelta(seconds=secs)
+        rel = _parse_relative(s)
+        if rel is not None:
+            kind, n = rel
+            base = _aware(relative_base)
+            if kind == "months":
+                return _shift_months_back(base, n)
+            return base - timedelta(seconds=n)
 
     try:  # RFC-ish strings that failed the shape gate
         dt = parsedate_to_datetime(s)

@@ -370,6 +370,41 @@ def test_parse_datetime_localized_months_and_relative():
         assert parse_datetime(s) is None, s
     # the marker is required: a bare count is not a relative date
     assert parse_datetime("3 days", relative_base=base) is None
+    # named days keep the base's time-of-day (dateparser RELATIVE_BASE)
+    named = {
+        "today": base, "Today": base, "heute": base, "aujourd'hui": base,
+        "yesterday": base - timedelta(days=1),
+        "gestern": base - timedelta(days=1),
+        "hier": base - timedelta(days=1),
+        "vorgestern": base - timedelta(days=2),
+        "avant-hier": base - timedelta(days=2),
+    }
+    for s, want in named.items():
+        assert parse_datetime(s, relative_base=base) == want, s
+        assert parse_datetime(s) is None, s
+    # month/year units are CALENDAR shifts with day clamping
+    # (relativedelta semantics), not fixed-second offsets
+    months = {
+        "2 months ago": datetime(2017, 2, 1, 12, 0, tzinfo=utc),
+        "vor 2 Monaten": datetime(2017, 2, 1, 12, 0, tzinfo=utc),
+        "il y a 2 mois": datetime(2017, 2, 1, 12, 0, tzinfo=utc),
+        "a year ago": datetime(2016, 4, 1, 12, 0, tzinfo=utc),
+        "2 years ago": datetime(2015, 4, 1, 12, 0, tzinfo=utc),
+        "vor einem Jahr": datetime(2016, 4, 1, 12, 0, tzinfo=utc),
+        "il y a un an": datetime(2016, 4, 1, 12, 0, tzinfo=utc),
+        "il y a 3 ans": datetime(2014, 4, 1, 12, 0, tzinfo=utc),
+    }
+    for s, want in months.items():
+        assert parse_datetime(s, relative_base=base) == want, s
+        assert parse_datetime(s) is None, s
+    # clamping: 1 month before May 31 is April 30; 1 year before a leap
+    # Feb 29 is Feb 28
+    may31 = datetime(2017, 5, 31, 9, 30, tzinfo=utc)
+    assert parse_datetime("a month ago", relative_base=may31) == \
+        datetime(2017, 4, 30, 9, 30, tzinfo=utc)
+    feb29 = datetime(2016, 2, 29, 8, 0, tzinfo=utc)
+    assert parse_datetime("1 year ago", relative_base=feb29) == \
+        datetime(2015, 2, 28, 8, 0, tzinfo=utc)
     # english paths unchanged
     assert parse_datetime("2017-02-27T18:02:16.787Z") == \
         datetime(2017, 2, 27, 18, 2, 16, tzinfo=utc)

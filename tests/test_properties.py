@@ -137,6 +137,37 @@ def test_parse_datetime_with_relative_base_never_raises(s):
     assert dt is None or dt.tzinfo is not None
 
 
+@settings(max_examples=150, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=120),
+    unit=st.sampled_from(["months", "month", "Monaten", "mois",
+                          "years", "Jahren", "ans", "années"]),
+    base=st.datetimes(
+        min_value=__import__("datetime").datetime(1990, 1, 1),
+        max_value=__import__("datetime").datetime(2030, 12, 31)),
+)
+def test_relative_month_year_units_calendar_invariants(n, unit, base):
+    """Month/year phrases: result is a valid datetime strictly before
+    the base, time-of-day preserved, and month arithmetic is exact
+    (the month index goes back exactly n*k months, day clamped)."""
+    from datetime import timezone
+
+    base = base.replace(tzinfo=timezone.utc)
+    marker = ("vor " if unit[0].isupper()
+              else "il y a " if unit in ("mois", "ans", "années") else "")
+    phrase = (f"{marker}{n} {unit}" if marker
+              else f"{n} {unit} ago")
+    dt = parse_datetime(phrase, relative_base=base)
+    assert dt is not None and dt < base
+    assert (dt.hour, dt.minute, dt.second) == \
+        (base.hour, base.minute, base.second)
+    k = 12 if unit.lower().startswith(("year", "jahr", "an")) else 1
+    months_back = n * k
+    total = base.year * 12 + (base.month - 1) - months_back
+    assert (dt.year, dt.month) == (total // 12, total % 12 + 1)
+    assert dt.day <= base.day                  # clamping only shrinks
+
+
 @settings(max_examples=100, deadline=None)
 @given(_HTMLISH)
 def test_chase_one_never_raises_and_status_in_enum(markup):
