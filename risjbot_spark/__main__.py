@@ -53,6 +53,23 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--no-broadcast-frontier", action="store_true",
                    help="shuffle-join the fetch instead of broadcasting "
                         "the frontier (pair with a bucketed pages table)")
+    c.add_argument("--no-bucket-seen", action="store_true",
+                   help="compact the seen base flat instead of bucketed "
+                        "by url_hash")
+    c.add_argument("--bloom-backend", choices=["driver", "table"],
+                   default="driver",
+                   help="'table' keeps bloom bitmaps as a bucket-keyed "
+                        "parquet table built/probed distributed (the "
+                        "10^10-key path); 'driver' broadcasts them")
+    c.add_argument("--comments-host", default="",
+                   help="chase viafoura comment threads for pages on "
+                        "this host (e.g. liverpoolecho.co.uk) via the "
+                        "stdlib HTTP adapter")
+    c.add_argument("--comments-site", default="www.liverpoolecho.co.uk",
+                   help="viafoura bootstrap site name")
+    c.add_argument("--comments-delay", type=float, default=0.0,
+                   help="seconds between consecutive comment-API chases "
+                        "per task")
 
     e = sub.add_parser("extract", help="one-shot extraction, no frontier state")
     e.add_argument("--pages", required=True)
@@ -122,8 +139,19 @@ def main(argv=None, spark=None) -> int:
         follow_links=args.follow_links,
         robots_scale_path=args.robots_scale_path,
         broadcast_frontier=not args.no_broadcast_frontier,
+        bucket_seen_base=not args.no_bucket_seen,
+        bloom_backend=args.bloom_backend,
+        comments_host=args.comments_host,
+        comments_site=args.comments_site,
+        comments_delay_secs=args.comments_delay,
     )
-    eng = CrawlEngine(spark, args.warehouse, pages, robots, cfg)
+    comments_api = None
+    if args.comments_host:
+        from .comments import urllib_api
+
+        comments_api = urllib_api()
+    eng = CrawlEngine(spark, args.warehouse, pages, robots, cfg,
+                      comments_api=comments_api)
     start = datetime.now(timezone.utc).replace(microsecond=0)
     lineages = eng.run(seeds, rounds=args.rounds, start_ts=start)
     n = eng.articles_table.read().count()

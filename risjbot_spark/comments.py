@@ -140,10 +140,25 @@ def chase_one(html_text: str, api, site_uuid, limit: int = 100,
 
 def chase_comments(pages: DataFrame, api, site_uuid,
                    host_filter: str = "liverpoolecho.co.uk",
-                   limit: int = 100) -> DataFrame:
+                   limit: int = 100,
+                   max_parallelism: int = 4,
+                   delay_secs: float = 0.0,
+                   sleep_fn=None) -> DataFrame:
     """Steps 2-3 over the host-filtered pages (url_canon, host, html) —
-    returns COMMENTS_SCHEMA rows for every matching page."""
+    returns COMMENTS_SCHEMA rows for every matching page.
+
+    Politeness: the reference serializes these API requests through
+    Scrapy's per-domain download slot; an unbounded mapInPandas would
+    hammer the comments API at partition-count parallelism. The
+    host-filtered subset therefore coalesces to `max_parallelism` tasks
+    (the distributed analogue of N download slots), and `delay_secs`
+    sleeps between consecutive page chases within a task (injectable
+    `sleep_fn` keeps it unit-testable)."""
+    import time as _time
+
     import pandas as pd
+
+    do_sleep = sleep_fn or _time.sleep
 
     # dot-boundary host match, not substring: 'liverpoolecho.co.uk' must
     # match itself and 'www.liverpoolecho.co.uk' but never
@@ -165,6 +180,7 @@ def chase_comments(pages: DataFrame, api, site_uuid,
     )
 
     def run(batches):
+        first = True
         for pdf in batches:
             rows = []
             for url, html in zip(pdf["url_canon"], pdf["html"]):
@@ -172,6 +188,9 @@ def chase_comments(pages: DataFrame, api, site_uuid,
                     rows.append((url, None, None,
                                  "No comments section", "none"))
                     continue
+                if not first and delay_secs > 0:
+                    do_sleep(delay_secs)
+                first = False
                 text = (html if isinstance(html, str)
                         else bytes(html).decode("utf-8", "replace"))
                 raws, texts, note, status = chase_one(
@@ -180,7 +199,24 @@ def chase_comments(pages: DataFrame, api, site_uuid,
             yield pd.DataFrame(
                 rows, columns=[f.name for f in COMMENTS_SCHEMA.fields])
 
-    return sub.mapInPandas(run, schema=COMMENTS_SCHEMA)
+    laid_out = (sub.coalesce(max_parallelism) if max_parallelism > 0
+                else sub)
+    return laid_out.mapInPandas(run, schema=COMMENTS_SCHEMA)
+
+
+def urllib_api(timeout: float = 10.0):
+    """Stdlib HTTP adapter for a live deployment:
+    `api(method, url) -> dict` over urllib with JSON decode. Untested
+    against a real socket in this sandbox (no network — same status as
+    crawl.fetch_stage's HTTP mode); tests inject fakes."""
+    import urllib.request
+
+    def api(method: str, url: str) -> dict:
+        req = urllib.request.Request(url, method=method)
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    return api
 
 
 def join_comments(articles: DataFrame, chased: DataFrame) -> DataFrame:

@@ -103,6 +103,17 @@ class CrawlConfig:
     # (parity-tested); plan-asserted in tests.
     bucket_seen_base: bool = True
     seen_buckets: int = 32
+    # S8 comment chase: when set (and a comments_api is injected into
+    # the engine), pages on this host get their viafoura threads chased
+    # before the articles commit — dropped/failed/ok semantics exactly
+    # as the reference spider (comments.py). Bounded API parallelism +
+    # optional inter-chase delay stand in for Scrapy's per-domain
+    # download slot.
+    comments_host: str = ""
+    comments_site: str = "www.liverpoolecho.co.uk"
+    comments_limit: int = 100
+    comments_parallelism: int = 4
+    comments_delay_secs: float = 0.0
 
 
 class CrawlEngine:
@@ -123,10 +134,23 @@ class CrawlEngine:
         robots: DataFrame | None,
         cfg: CrawlConfig | None = None,
         fetcher=None,
+        comments_api=None,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.fetcher = fetcher
+        # S8: comment-API chase — injectable `api(method, url) -> dict`
+        # (comments.urllib_api for live deployments). Bootstrap runs
+        # ONCE per engine, driver-side, like the reference's
+        # start_requests gate; a failed bootstrap crawls without
+        # comments (liverpoolecho.py:42-47).
+        self.comments_api = comments_api
+        self._comments_site_uuid = None
+        if comments_api is not None and self.cfg.comments_host:
+            from .comments import bootstrap_site_uuid
+
+            self._comments_site_uuid = bootstrap_site_uuid(
+                comments_api, self.cfg.comments_site)
         if pages is None and fetcher is None:
             raise ValueError("need a pages corpus or a fetcher")
         # the engine's determinism contract (literal round timestamps,
@@ -637,6 +661,27 @@ class CrawlEngine:
                 F.col("bodytext").isNull()
                 & ~F.col("url_canon").rlike("picture|video|gallery")
             ).count()
+
+        # ---- S8 comment chase (host-gated): runs BEFORE the commit, as
+        # the reference chases inline before yielding the item — so a
+        # 'dropped' chase (bad contentcontainer payload) removes the
+        # article from the round exactly like the reference's
+        # StopIteration. The chase re-derives the host subset from
+        # `fetched` (it needs the raw html); a single-host subset of the
+        # round is small, and the API parallelism is bounded
+        # (comments.chase_comments politeness notes).
+        if self.comments_api is not None and cfg.comments_host:
+            from .comments import chase_comments, join_comments
+
+            chased = chase_comments(
+                fetched.select("url_canon", "host", "html", "warc_ts"),
+                self.comments_api, self._comments_site_uuid,
+                host_filter=cfg.comments_host,
+                limit=cfg.comments_limit,
+                max_parallelism=cfg.comments_parallelism,
+                delay_secs=cfg.comments_delay_secs,
+            )
+            items = join_comments(items, chased)
 
         # ---- commit articles FIRST, then derive the seen MERGE input from
         # the committed files: extraction runs exactly once per round (the

@@ -272,3 +272,129 @@ def test_chase_dedups_canonical_url_and_tolerates_null_html(spark):
     assert len(rows) == 2
     assert rows["https://www.liverpoolecho.co.uk/a"].comment_status == "ok"
     assert rows["https://www.liverpoolecho.co.uk/nobody"].comment_status == "none"
+
+
+# ---------------------------------------------------------------------------
+# Engine/CLI wiring: the chase runs inside a crawl round (r2 verdict #7)
+# ---------------------------------------------------------------------------
+
+def test_engine_round_chases_comments_end_to_end(spark, tmp_path):
+    """Crawl with a fake viafoura API: committed articles (and JSONL
+    rows) carry rawcomments/comments; a bad contentcontainer payload
+    DROPS the article from the round (reference StopIteration), so its
+    key never upserts seen and is retried next round; off-host pages
+    are untouched."""
+    import glob
+    import os
+    from datetime import datetime, timezone
+
+    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
+    from risjbot_spark.frontier.state import RefetchConfig
+
+    host = "www.liverpoolecho.co.uk"
+    cont_ok, page_ok = _urls("cont-ok")
+    cont_bad, _ = _urls("cont-bad")
+    def mkhtml(i, cid=None, conv=False):
+        meta = (f'<meta name="vf:container_id" content="{cid}">'
+                if cid else "")
+        conv_el = "<vf-conversations></vf-conversations>" if conv else ""
+        return (f"<html><head><title>T {i}</title>{meta}</head>"
+                f"<body><article><p>body text {i}</p></article>"
+                f"{conv_el}</body></html>").encode()
+
+    rows = [
+        # chased OK (2 comments)
+        (f"https://{host}/news/with-comments.html",
+         mkhtml(0, "cont-ok", True)),
+        # bad contentcontainer payload → whole item dropped
+        (f"https://{host}/news/dropped.html", mkhtml(1, "cont-bad", True)),
+        # no conversations element → article kept, no chase
+        (f"https://{host}/news/plain.html", mkhtml(2)),
+        # off-host → never filtered into the chase
+        ("https://other.example.com/story.html",
+         mkhtml(3, "cont-ok", True)),
+    ]
+    pages = spark.createDataFrame(
+        [(u, datetime(2017, 4, 1, tzinfo=timezone.utc), h)
+         for u, h in rows],
+        "url string, warc_ts timestamp, html binary")
+    responses = {
+        BOOTSTRAP_URL.format(site=host): {
+            "http_status": 200,
+            "result": {"settings": {"site_uuid": SITE_UUID}}},
+        cont_ok: {"content_container_uuid": CCID},
+        page_ok: {"contents": _comments(2), "more_available": False},
+        cont_bad: {"error": "nope"},
+    }
+
+    # local closure, not the module-level FakeApi: executors cannot
+    # import the test module, but cloudpickle ships locals by value
+    def api(method, url, _r=responses):
+        return _r[url]
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh"), pages, None,
+        CrawlConfig(refetch=RefetchConfig(), num_partitions=4,
+                    collect_lineage=False,
+                    comments_host="liverpoolecho.co.uk"),
+        comments_api=api,
+    )
+    assert eng._comments_site_uuid == SITE_UUID          # bootstrap ran
+    seeds = pages.select("url").withColumn("priority", F.lit(0))
+    eng.run_round(seeds, 0, datetime(2017, 4, 1, tzinfo=timezone.utc))
+
+    arts = {r.url_canon: r for r in eng.articles_table.read().collect()}
+    assert f"https://{host}/news/dropped.html" not in arts   # dropped
+    chased = arts[f"https://{host}/news/with-comments.html"]
+    assert chased.comments == ["comment 0", "comment 1"]
+    assert [json.loads(c)["content_uuid"] for c in chased.rawcomments] \
+        == ["u0", "u1"]
+    plain = arts[f"https://{host}/news/plain.html"]
+    assert plain.comments is None
+    assert "No comments section" in (plain.notes or [])
+    off = arts["https://other.example.com/story.html"]
+    assert off.comments is None and not off.notes
+
+    # dropped key never reached seen → retried next round
+    seen_urls = {r.url for r in eng.seen().collect()}
+    assert f"https://{host}/news/dropped.html" not in seen_urls
+    assert f"https://{host}/news/with-comments.html" in seen_urls
+
+    # JSONL rows carry the comments
+    out = str(tmp_path / "jsonl")
+    eng.export_jsonl(out)
+    recs = []
+    for f in glob.glob(os.path.join(out, "part-*")):
+        with open(f) as fh:
+            recs += [json.loads(l) for l in fh if l.strip()]
+    by_url = {r.get("url_canon") or r.get("url"): r for r in recs}
+    assert by_url[f"https://{host}/news/with-comments.html"]["comments"] \
+        == ["comment 0", "comment 1"]
+
+
+def test_chase_parallelism_bounded_and_paced(spark):
+    """ADVICE #1: the chase coalesces to max_parallelism tasks and
+    sleeps delay_secs between consecutive chases in a task."""
+    rows = [(f"https://www.liverpoolecho.co.uk/n/{i}",
+             "www.liverpoolecho.co.uk", _page("cont-7")) for i in range(12)]
+    pages = spark.createDataFrame(
+        rows, "url_canon string, host string, html string")
+    cont, page = _urls()
+    responses = {cont: {"content_container_uuid": CCID},
+                 page: {"contents": _comments(1),
+                        "more_available": False}}
+
+    def api(method, url, _r=responses):
+        return _r[url]
+    out = chase_comments(pages, api, SITE_UUID, max_parallelism=2,
+                         delay_secs=0.0)
+    assert out.rdd.getNumPartitions() <= 2
+    assert out.count() == 12
+    # pacing: 12 chases in one task with delay 0.05 -> >= 11 x 0.05 s of
+    # inter-chase sleep (wall-clock lower bound; the sleeps happen in the
+    # python worker, so a recording hook can't observe them from here)
+    import time as _t
+    t0 = _t.monotonic()
+    out2 = chase_comments(pages, api, SITE_UUID, max_parallelism=1,
+                          delay_secs=0.05)
+    assert out2.count() == 12
+    assert _t.monotonic() - t0 >= 11 * 0.05
