@@ -129,3 +129,83 @@ def test_udf_factory_captures_driver_flags():
     # factory accepts explicit flags (what a driver ships)
     u = udfs.make_sentiment_udf(flags)
     assert u is not None
+
+
+# ---------------------------------------------------------------------------
+# Media decode probe seam (multimodal.py — r2 verdict item #8)
+# ---------------------------------------------------------------------------
+
+def _reload_multimodal():
+    for m in list(sys.modules):
+        if m.split(".")[0] in ("PIL", "soundfile"):
+            del sys.modules[m]
+    import risjbot_spark.multimodal as mm
+    return importlib.reload(mm)
+
+
+@pytest.fixture
+def fake_media_libs():
+    sys.path.insert(0, FAKES)
+    try:
+        yield _reload_multimodal()
+    finally:
+        sys.path.remove(FAKES)
+        mm = _reload_multimodal()
+        assert not mm.HAS_PIL and not mm.HAS_SOUNDFILE
+
+
+def test_media_seam_dispatches_to_real_decoders(fake_media_libs):
+    import numpy as np
+    mm = fake_media_libs
+    assert mm.HAS_PIL and mm.HAS_SOUNDFILE
+    # image: the double's 2x2x3 ramp, not the 8x8x3 stand-in
+    arr = mm.decode_image(b"png-bytes")
+    assert arr.shape == (2, 2, 3) and arr.dtype == np.uint8
+    assert (arr.ravel() == np.arange(12)).all()
+    # fake=True still forces the stand-in even with the lib present
+    assert mm.decode_image(b"png-bytes", fake=True).shape == (8, 8, 3)
+    # audio: stereo double channel-averaged to mono
+    wave = mm.decode_audio(b"wav-bytes")
+    assert wave.dtype == np.float32
+    assert np.allclose(wave, [0.3, 0.7])
+    # the pipeline decision flips accordingly (video still fake: no
+    # ffmpeg binary)
+    fake_map = mm.use_fake_decode()
+    assert fake_map == {"image": False, "audio": False, "video": True}
+    # features flow through the REAL image decode
+    f = mm._feature_of("image", b"png-bytes", fake_map)
+    assert f.shape == (64,) and abs(float(f.sum()) - 1.0) < 1e-6
+
+
+def test_media_video_seam_via_ffmpeg_runner(monkeypatch):
+    """The ffmpeg path is probed by binary presence (not sys.path), so
+    drive it through the monkeypatchable runner."""
+    import numpy as np
+
+    import risjbot_spark.multimodal as mm
+    raw = bytes(range(192)) + bytes(range(192))
+
+    def fake_run(args, stdin_bytes=None):
+        assert args[0] == "-i" and "-pix_fmt" in args
+        return raw
+    monkeypatch.setattr(mm, "_run_ffmpeg", fake_run)
+    monkeypatch.setattr(mm, "HAS_FFMPEG", True)
+    frames = mm.sample_video_frames(b"mp4-bytes", n_frames=2)
+    assert len(frames) == 2
+    assert frames[0].shape == (8, 8, 3)
+    assert (frames[0].ravel() == np.arange(192)).all()
+
+
+def test_media_pin_raises_when_backend_missing():
+    import risjbot_spark.multimodal as mm
+    assert not mm.HAS_PIL                  # container has no Pillow
+    try:
+        mm.pin_backend({"image": True})
+        with pytest.raises(RuntimeError, match="pinned available"):
+            mm.decode_image(b"x")
+        mm.pin_backend({"image": False, "audio": False, "video": False})
+        # pinned-off → stand-in decisions everywhere
+        assert mm.use_fake_decode() == {"image": True, "audio": True,
+                                        "video": True}
+    finally:
+        mm.pin_backend(None)
