@@ -114,6 +114,16 @@ class CrawlConfig:
     comments_limit: int = 100
     comments_parallelism: int = 4
     comments_delay_secs: float = 0.0
+    # pages-table canonicalization contract. None → infer: a table
+    # carrying a `page_url` column is treated as already canonicalized
+    # at ingest (bucketing.write_bucketed_pages' contract — re-deriving
+    # the key through expressions would discard the bucket spec and
+    # force the fetch join to shuffle the pages side). True → REQUIRE
+    # page_url (raise if absent). False → always canonicalize `url`,
+    # even when an unrelated page_url column happens to exist — set
+    # this when your corpus has its own page_url with different
+    # semantics.
+    pages_precanonicalized: bool | None = None
 
 
 class CrawlEngine:
@@ -170,9 +180,16 @@ class CrawlEngine:
         # canonicalized at ingest) is used AS-IS: re-deriving the key
         # through expressions would discard the bucket spec and force the
         # fetch join to shuffle the pages side.
+        pre = self.cfg.pages_precanonicalized
         if pages is None:
             self.pages = None
-        elif "page_url" in pages.columns:
+        elif pre is True and "page_url" not in pages.columns:
+            raise ValueError(
+                "pages_precanonicalized=True but the pages table has no "
+                "page_url column — ingest it with "
+                "bucketing.write_bucketed_pages (or pass "
+                "pages_precanonicalized=False/None)")
+        elif pre is not False and "page_url" in pages.columns:
             self.pages = pages.select("page_url", "warc_ts", "html")
         else:
             self.pages = with_canonical(pages).select(

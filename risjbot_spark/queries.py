@@ -72,6 +72,16 @@ def _cached_stage(spark, sf, key, build):
         app = spark.sparkContext.applicationId
     except Exception:
         app = id(spark)
+    # evict entries bound to STOPPED contexts on lookup: long-lived
+    # processes that cycle SparkSessions would otherwise accumulate
+    # persisted DataFrames pinned to dead contexts forever
+    for ck_old, df_old in list(_STAGE_CACHE.items()):
+        try:
+            stopped = df_old.sparkSession.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            _STAGE_CACHE.pop(ck_old, None)
     ck = (app, sf, key)
     df = _STAGE_CACHE.get(ck)
     if df is None:

@@ -144,7 +144,19 @@ def stateful_host_budget_gate(
     round picks them up via the seen/trawl path, so the stream stays
     monotone — nothing is silently dropped). Event time =
     discovered_ts; rows replay in event-time order within a batch, url
-    as the deterministic tiebreak (the batch order key's analogue)."""
+    as the deterministic tiebreak (the batch order key's analogue).
+
+    Late-arrival semantics — INTENTIONAL: state tracks only the latest
+    window per host, so a cross-batch straggler whose event-time window
+    already passed counts against the CURRENT window's budget (and may
+    defer) even if its own window had budget left. Politeness budgets
+    bound the rate of actual fetches, which happen at processing time —
+    a late row fetched now spends now's budget, so deferring is the
+    safe direction (the gate can only ever be politer than the batch
+    twin, never ruder). Tracking per-window counters indefinitely would
+    trade unbounded state for permission to burst on stale windows;
+    compose an upstream withWatermark + filter if late rows should be
+    dropped instead of deferred."""
     budget_map = {k: int(v) for k, v in (budgets or {}).items()}
 
     def gate(key, pdfs, state: GroupState):

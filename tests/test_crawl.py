@@ -727,3 +727,37 @@ def test_resumed_run_keeps_clock_and_outlinks(spark, corpus, tmp_path):
     # 5 seeded urls (outlink discoveries fetched)
     r2 = eng2.articles_table.read().filter(F.col("round") == 2).count()
     assert r2 > 0
+
+
+def test_pages_precanonicalized_contract(spark, tmp_path):
+    """ADVICE #3: the page_url fast path is gated by an explicit
+    contract — True requires the column, False ignores an unrelated
+    page_url column instead of silently trusting it as the join key."""
+    import pytest as _pytest
+
+    from risjbot_spark.corpus import pages_df
+
+    pages = pages_df(spark, 30, partitions=2)
+    with _pytest.raises(ValueError, match="page_url"):
+        CrawlEngine(spark, str(tmp_path / "w1"), pages, None,
+                    CrawlConfig(refetch=RefetchConfig(),
+                                collect_lineage=False,
+                                pages_precanonicalized=True))
+    # poisoned column: an unrelated page_url must NOT be trusted when
+    # the caller says pages_precanonicalized=False
+    poisoned = pages.withColumn("page_url", F.lit("https://bogus/x"))
+    eng = CrawlEngine(spark, str(tmp_path / "w2"), poisoned, None,
+                      CrawlConfig(refetch=RefetchConfig(),
+                                  num_partitions=2, collect_lineage=False,
+                                  pages_precanonicalized=False))
+    seeds = pages.select("url").withColumn("priority", F.lit(0))
+    eng.run_round(seeds, 0, START)
+    assert eng.articles_table.read().count() == 30    # joined on url
+    # default (None) infers: same poisoned table would join on the bogus
+    # column and fetch nothing
+    eng2 = CrawlEngine(spark, str(tmp_path / "w3"), poisoned, None,
+                       CrawlConfig(refetch=RefetchConfig(),
+                                   num_partitions=2,
+                                   collect_lineage=False))
+    eng2.run_round(seeds, 0, START)
+    assert eng2.articles_table.read().count() == 0
