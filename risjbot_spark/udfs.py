@@ -90,8 +90,9 @@ def make_extract_article_udf(flags: dict | None = None):
     logging.getLogger(__name__).info("extract UDF NLP backends: %s", flags)
 
     @pandas_udf(ARTICLE_STRUCT)
-    def _extract(html: pd.Series, url: pd.Series, fetchtime: pd.Series,
-                 meta_json: pd.Series) -> pd.DataFrame:
+    def extract_article_udf(html: pd.Series, url: pd.Series,
+                            fetchtime: pd.Series,
+                            meta_json: pd.Series) -> pd.DataFrame:
         _pin_worker(flags)
         rows = [
             _extract_one(h, u, ft, mj)
@@ -104,7 +105,7 @@ def make_extract_article_udf(flags: dict | None = None):
     # 'fake404') pushed below a repartition Exchange re-evaluates the
     # WHOLE extraction on both sides of the exchange — measured 2× the
     # round cost at 24k pages.
-    return _extract.asNondeterministic()
+    return extract_article_udf.asNondeterministic()
 
 
 extract_article_udf = make_extract_article_udf()
@@ -119,13 +120,13 @@ def make_sentiment_udf(flags: dict | None = None):
         T.StructField("sentiment", T.DoubleType()),
         T.StructField("subjectivity", T.DoubleType()),
     ]))
-    def _sentiment(text: pd.Series) -> pd.DataFrame:
+    def sentiment_udf(text: pd.Series) -> pd.DataFrame:
         _pin_worker(flags)
         vals = [_nlp.sentiment(t) if isinstance(t, str) else (None, None)
                 for t in text]
         return pd.DataFrame(vals, columns=["sentiment", "subjectivity"])
 
-    return _sentiment
+    return sentiment_udf
 
 
 def make_reading_scores_udf(flags: dict | None = None):
@@ -135,7 +136,7 @@ def make_reading_scores_udf(flags: dict | None = None):
         T.StructField("fleschreadingease", T.DoubleType()),
         T.StructField("kincaidgradelevel", T.DoubleType()),
     ]))
-    def _scores(text: pd.Series) -> pd.DataFrame:
+    def reading_scores_udf(text: pd.Series) -> pd.DataFrame:
         _pin_worker(flags)
         rows = []
         for t in text:
@@ -144,20 +145,20 @@ def make_reading_scores_udf(flags: dict | None = None):
         return pd.DataFrame(
             rows, columns=["fleschreadingease", "kincaidgradelevel"])
 
-    return _scores
+    return reading_scores_udf
 
 
 def make_named_people_udf(flags: dict | None = None):
     flags = dict(flags) if flags is not None else _driver_backend_flags()
 
     @pandas_udf(T.ArrayType(T.StringType()))
-    def _people(text: pd.Series) -> pd.Series:
+    def named_people_udf(text: pd.Series) -> pd.Series:
         _pin_worker(flags)
         return pd.Series(
             [_nlp.named_people(t) if isinstance(t, str) else [] for t in text]
         )
 
-    return _people
+    return named_people_udf
 
 
 sentiment_udf = make_sentiment_udf()

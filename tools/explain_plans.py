@@ -177,6 +177,64 @@ def main() -> None:
     check("crawl_round", "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p,
           "frontier broadcast into pages scan")
 
+    # --- bucketed seen base (r3): after compaction the J1 gate reads
+    # the base Bucketed: true with NO exchange on its ancestor chain —
+    # the only hash exchanges are the frontier and the O(delta) resolve
+    from datetime import timedelta
+
+    from risjbot_spark.frontier.state import (
+        RefetchConfig as _RC,
+        seen_filter_split,
+        seen_state,
+    )
+    wh2 = tempfile.mkdtemp()
+    eng2 = CrawlEngine(spark, wh2, pages, None,
+                       CrawlConfig(refetch=_RC(), num_partitions=8,
+                                   collect_lineage=False, trim_every=2,
+                                   seen_buckets=8))
+    seeds2 = pages.select("url").withColumn("priority", F.lit(0))
+    start = datetime(2017, 4, 1, tzinfo=timezone.utc)
+    for r in range(4):
+        eng2.run_round(seeds2, r, start + timedelta(seconds=10801 * r))
+    base, deltas = eng2._seen_parts()
+    gated = seen_filter_split(
+        pages.select(F.col("url").alias("url_canon"))
+        .withColumn("url_hash", F.xxhash64("url_canon")),
+        base, seen_state(deltas), _RC(), start + timedelta(days=2))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    p = plan_of(gated, "simple")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    sections.append(("seen gate over bucketed base (split J1)", p))
+    check("seen_gate_bucketed", "Bucketed: true" in p,
+          "compacted base scanned with its bucket spec")
+    check("seen_gate_bucketed", p.count("Exchange hashpartitioning") == 2,
+          "exchanges = frontier + delta resolve only; base side in place")
+
+    # --- table-backed bloom probe (r3): partition-aligned cogroup of
+    # frontier and the bitmap TABLE — no bitmap broadcast, no driver
+    # round-trip in the plan
+    from risjbot_spark.frontier.bloom_table import DistributedBloomTable
+    bt = DistributedBloomTable(spark, tempfile.mkdtemp(), 8, 1 << 14)
+    bt.add_df(spark.range(1000).select(F.xxhash64("id").alias("url_hash")))
+    maybe, _new = bt.split_aligned(
+        spark.range(100).select(F.xxhash64("id").alias("url_hash")))
+    p = plan_of(maybe)
+    sections.append(("bloom table probe (cogrouped bitmaps)", p))
+    check("bloom_table_probe", "FlatMapCoGroupsInPandas" in p,
+          "probe is a cogroup with the parquet bitmap table")
+    check("bloom_table_probe", "Scan parquet" in p or "FileScan parquet" in p,
+          "bitmaps read from the table, not shipped from the driver")
+
+    # --- ivf_kmeans: every Lloyd iteration broadcasts the K-row
+    # centroid table into the assignment join; vectors never shuffle
+    # for assignment (only the K-row centroid recompute aggregates)
+    p = plan_of(QUERIES["ivf_kmeans"](spark, SF))
+    sections.append(("ivf_kmeans (Lloyd iterations)", p))
+    check("ivf_kmeans", "CartesianProduct" not in p,
+          "no cartesian: centroids broadcast into the assignment join")
+    check("ivf_kmeans", "BroadcastNestedLoopJoin" in p
+          or "BroadcastHashJoin" in p, "centroid side broadcast")
+
     ok = all(c[1] for c in checks)
     lines = ["# PLANS — physical-plan audit\n",
              f"Generated by tools/explain_plans.py at sf dir `{SF}`.\n",
