@@ -648,6 +648,24 @@ class CrawlEngine:
             ),
         )
 
+        # ---- S8 gate decided up front: the chase needs the bootstrap
+        # uuid — a failed bootstrap crawls WITHOUT comment collection
+        # (liverpoolecho.py:42-47), it must not stamp every host article
+        # with a false 'No comments section' note via chase_one's
+        # uuid-missing short-circuit
+        chase_active = (self.comments_api is not None
+                        and bool(cfg.comments_host)
+                        and self._comments_site_uuid is not None)
+        fetched_cached = None
+        if chase_active and self.fetcher is not None:
+            # live-fetcher mode with the chase on has TWO consumers of
+            # the fetch stage (extraction + chase) and fetch_stage is a
+            # side-effecting HTTP scan: cache it so each URL is fetched
+            # exactly once per round, whichever branch materializes
+            # first (MEMORY_AND_DISK — spills, never refetches)
+            fetched_cached = fetched.persist()
+            fetched = fetched_cached
+
         # ---- extraction (one vectorized UDF: fake404/prune/batteries/NLP)
         extracted = fetched.withColumn(
             "article",
@@ -687,7 +705,8 @@ class CrawlEngine:
         # `fetched` (it needs the raw html); a single-host subset of the
         # round is small, and the API parallelism is bounded
         # (comments.chase_comments politeness notes).
-        if self.comments_api is not None and cfg.comments_host:
+        chased_cached = None
+        if chase_active:
             from .comments import chase_comments, join_comments
 
             chased = chase_comments(
@@ -698,7 +717,15 @@ class CrawlEngine:
                 max_parallelism=cfg.comments_parallelism,
                 delay_secs=cfg.comments_delay_secs,
             )
-            items = join_comments(items, chased)
+            # the chase issues live API requests — it must run EXACTLY
+            # once per round. items is evaluated by up to two actions
+            # (the per-partition lineage collect and the commit), so
+            # persist+count materializes the chase here and both actions
+            # read the cached rows instead of re-issuing every
+            # container/comments GET
+            chased_cached = chased.persist()
+            chased_cached.count()
+            items = join_comments(items, chased_cached)
 
         # ---- commit articles FIRST, then derive the seen MERGE input from
         # the committed files: extraction runs exactly once per round (the
@@ -825,6 +852,10 @@ class CrawlEngine:
             _mark("bloom_save")
         if fr_cached is not None:
             fr_cached.unpersist()
+        if chased_cached is not None:
+            chased_cached.unpersist()
+        if fetched_cached is not None:
+            fetched_cached.unpersist()
         return lineage
 
     # ------------------------------------------------------------------

@@ -117,6 +117,11 @@ class DistributedBloomTable:
         return self.spark.read.parquet(self._vdir(self.version))
 
     # -- build / update ---------------------------------------------------
+    def _nparts(self) -> int:
+        # bitmap rows are large (m/8 B) and few (n_buckets): bound the
+        # file count so a version is at most 64 file groups
+        return max(1, min(self.n_buckets, 64))
+
     def _delta_df(self, keys: DataFrame) -> DataFrame:
         return (
             keys.select(F.col("url_hash"),
@@ -126,17 +131,17 @@ class DistributedBloomTable:
             .applyInPandas(_make_delta(self.m), schema=_BITMAP_SCHEMA)
         )
 
-    def _commit(self, merged: DataFrame) -> None:
-        """Write the next immutable version and swap meta; n_keys comes
-        from the committed table's own per-bucket counts (one scalar agg
-        over n_buckets tiny rows — no bitmap bytes on the driver)."""
-        new_v = self.version + 1
-        # ~1 bucket row per output file: bitmap rows are large (m/8 B)
-        # and few (n_buckets); default shuffle partitioning already
-        # spreads them — repartition by bucket only to bound small files
-        nparts = max(1, min(self.n_buckets, 64))
-        merged.repartition(nparts, "bucket").write.mode(
-            "overwrite").parquet(self._vdir(new_v))
+    def _with_group(self, df: DataFrame) -> DataFrame:
+        # file-group partition column: versions are laid out as
+        # `v{N}/g={bucket % nparts}/...` so an incremental commit can
+        # rewrite only the groups a delta touches and hard-link the rest
+        return df.withColumn(
+            "g", F.pmod(F.col("bucket"), F.lit(self._nparts())).cast("int"))
+
+    def _finalize(self, new_v: int) -> None:
+        """Swap meta to `new_v`; n_keys comes from the committed table's
+        own per-bucket counts (one column-pruned agg — no bitmap bytes
+        on the driver)."""
         total = (self.spark.read.parquet(self._vdir(new_v))
                  .agg(F.sum("n")).first()[0])
         old_gc = self.version - 1          # keep current-1 for crash safety
@@ -146,17 +151,81 @@ class DistributedBloomTable:
         if old_gc > 0:
             shutil.rmtree(self._vdir(old_gc), ignore_errors=True)
 
+    def _commit(self, merged: DataFrame) -> None:
+        """Full write of the next immutable version (initial build and
+        adaptive-growth rebuilds; round updates take the incremental
+        path in add_df)."""
+        new_v = self.version + 1
+        (self._with_group(merged)
+         .repartition(self._nparts(), "bucket")
+         .write.mode("overwrite").partitionBy("g")
+         .parquet(self._vdir(new_v)))
+        self._finalize(new_v)
+
     def add_df(self, keys: DataFrame, driver_threshold: int = 0) -> None:
         """OR a key batch into the filter — one distributed job, one new
         table version. `driver_threshold` is accepted for interface
         parity and ignored: this backend never stages bitmaps on the
-        driver."""
-        delta = self._delta_df(keys)
+        driver.
+
+        The commit is O(touched file groups), not O(filter): only the
+        groups the delta's buckets hash into are read+rewritten (the
+        `g=` partition filter prunes the rest of the scan); untouched
+        groups are hard-linked from the previous version. A small round
+        against a 10^10-key filter therefore rewrites a handful of
+        groups, never the full ~12 GiB bitmap table."""
         cur = self.bitmaps_df()
-        merged = (delta if cur is None else cur.unionByName(delta)
-                  .groupBy("bucket")
-                  .applyInPandas(_or_merge, schema=_BITMAP_SCHEMA))
-        self._commit(merged)
+        if cur is None or "g" not in cur.columns:
+            # empty filter, or a pre-group-layout version on disk: full
+            # write (one-time migration to the partitioned layout)
+            delta = self._delta_df(keys)
+            merged = (delta if cur is None else
+                      cur.select("bucket", "bitmap", "n").unionByName(delta)
+                      .groupBy("bucket")
+                      .applyInPandas(_or_merge, schema=_BITMAP_SCHEMA))
+            self._commit(merged)
+            return
+        nb, nparts = self.n_buckets, self._nparts()
+        # touched groups straight from the keys (column-pruned scan of
+        # url_hash only — cheaper than materializing the delta twice)
+        touched = sorted(
+            r["g"] for r in keys.select(
+                F.pmod(F.pmod(F.col("url_hash"), F.lit(nb)), F.lit(nparts))
+                .cast("int").alias("g")).distinct().collect())
+        if not touched:
+            return                          # empty round: nothing to commit
+        new_v = self.version + 1
+        new_dir = self._vdir(new_v)
+        old_dir = self._vdir(self.version)
+        # a crash between the link/append below and _finalize leaves a
+        # partial v{N+1}; meta still points at v{N}, so clear the debris
+        # rather than appending onto it
+        shutil.rmtree(new_dir, ignore_errors=True)
+        os.makedirs(new_dir, exist_ok=True)
+        for name in os.listdir(old_dir):    # hard-link untouched groups
+            if not name.startswith("g="):
+                continue
+            if int(name.split("=", 1)[1]) in touched:
+                continue
+            src, dst = os.path.join(old_dir, name), os.path.join(new_dir, name)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                if fn.startswith(("_", ".")):
+                    continue
+                try:
+                    os.link(os.path.join(src, fn), os.path.join(dst, fn))
+                except OSError:
+                    shutil.copy2(os.path.join(src, fn), os.path.join(dst, fn))
+        merged = (
+            cur.filter(F.col("g").isin(touched))      # partition-pruned
+            .select("bucket", "bitmap", "n")
+            .unionByName(self._delta_df(keys))
+            .groupBy("bucket")
+            .applyInPandas(_or_merge, schema=_BITMAP_SCHEMA))
+        (self._with_group(merged)
+         .repartition(len(touched), "bucket")
+         .write.mode("append").partitionBy("g").parquet(new_dir))
+        self._finalize(new_v)
 
     def rebuild_from(self, keys: DataFrame, bits_per_bucket: int | None = None,
                      n_buckets: int | None = None) -> None:

@@ -74,12 +74,16 @@ def _cached_stage(spark, sf, key, build):
         app = id(spark)
     # evict entries bound to STOPPED contexts on lookup: long-lived
     # processes that cycle SparkSessions would otherwise accumulate
-    # persisted DataFrames pinned to dead contexts forever
+    # persisted DataFrames pinned to dead contexts forever. A stopped
+    # context already released its cached blocks, so dropping the dict
+    # entry suffices; if liveness can't be VERIFIED (attribute/Py4J
+    # hiccup) the entry is kept — evicting a live entry here would leak
+    # its persisted InMemoryRelation and rebuild a duplicate
     for ck_old, df_old in list(_STAGE_CACHE.items()):
         try:
             stopped = df_old.sparkSession.sparkContext._jsc is None
         except Exception:
-            stopped = True
+            continue
         if stopped:
             _STAGE_CACHE.pop(ck_old, None)
     ck = (app, sf, key)

@@ -75,9 +75,13 @@ def _driver_backend_flags() -> dict:
 def _pin_worker(flags: dict) -> None:
     from .extract import readability as _rd
 
-    if _nlp._PINNED != {k: v for k, v in flags.items() if k != "readability"}:
-        _nlp.pin_backend({k: v for k, v in flags.items()
-                          if k != "readability"})
+    # the two modules pin independently: a warm worker may have run a UDF
+    # whose flags differ ONLY in 'readability', so each pin gets its own
+    # changed-guard (a shared guard would skip the readability re-pin)
+    nlp_flags = {k: v for k, v in flags.items() if k != "readability"}
+    if _nlp._PINNED != nlp_flags:
+        _nlp.pin_backend(nlp_flags)
+    if _rd._PINNED != flags.get("readability"):
         _rd.pin_backend(flags.get("readability"))
 
 

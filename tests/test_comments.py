@@ -371,6 +371,118 @@ def test_engine_round_chases_comments_end_to_end(spark, tmp_path):
         == ["comment 0", "comment 1"]
 
 
+def test_chase_api_called_exactly_once_per_round(spark, tmp_path):
+    """The chase issues live API traffic, and run_round evaluates `items`
+    with up to two actions (per-partition lineage collect + commit) — in
+    live-fetcher deployments a third consumer (the chase branch re-reads
+    the fetch stage). Every container/comments request must still be
+    issued exactly ONCE per round (run_round persists the chase output
+    and materializes it eagerly). The fake API appends each call to a
+    shared file so executor-side calls are observable."""
+    import os
+    from collections import Counter
+    from datetime import datetime, timezone
+
+    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
+    from risjbot_spark.frontier.state import RefetchConfig
+
+    host = "www.liverpoolecho.co.uk"
+    cont_ok, page_ok = _urls("cont-ok")
+
+    def mkhtml(i):
+        return (f'<html><head><title>T {i}</title>'
+                f'<meta name="vf:container_id" content="cont-ok"></head>'
+                f"<body><article><p>body {i}</p></article>"
+                f"<vf-conversations></vf-conversations></body></html>"
+                ).encode()
+
+    pages = spark.createDataFrame(
+        [(f"https://{host}/news/a{i}.html",
+          datetime(2017, 4, 1, tzinfo=timezone.utc), mkhtml(i))
+         for i in range(4)],
+        "url string, warc_ts timestamp, html binary")
+    responses = {
+        BOOTSTRAP_URL.format(site=host): {
+            "http_status": 200,
+            "result": {"settings": {"site_uuid": SITE_UUID}}},
+        cont_ok: {"content_container_uuid": CCID},
+        page_ok: {"contents": _comments(2), "more_available": False},
+    }
+    log = str(tmp_path / "api_calls.log")
+
+    def api(method, url, _r=responses, _log=log):
+        with open(_log, "a") as fh:
+            fh.write(url + "\n")
+        return _r[url]
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh"), pages, None,
+        CrawlConfig(refetch=RefetchConfig(), num_partitions=4,
+                    collect_lineage=True,       # the two-action shape
+                    comments_host="liverpoolecho.co.uk"),
+        comments_api=api,
+    )
+    seeds = pages.select("url").withColumn("priority", F.lit(0))
+    eng.run_round(seeds, 0, datetime(2017, 4, 1, tzinfo=timezone.utc))
+
+    with open(log) as fh:
+        calls = Counter(l.strip() for l in fh if l.strip())
+    # bootstrap once (driver), and every chase request exactly once per
+    # page: 4 pages → 4 container lookups + 4 comment-page GETs. A
+    # re-executed chase stage would double (or triple) the latter two.
+    assert calls[BOOTSTRAP_URL.format(site=host)] == 1
+    assert calls[cont_ok] == 4
+    assert calls[page_ok] == 4
+    arts = eng.articles_table.read().collect()
+    assert all(r.comments == ["comment 0", "comment 1"] for r in arts)
+
+
+def test_failed_bootstrap_crawls_without_comment_collection(spark, tmp_path):
+    """A failed bootstrap means 'crawl without comments'
+    (liverpoolecho.py:42-47): the chase stage must not run at all — no
+    API traffic beyond the bootstrap attempt, and NO false 'No comments
+    section' notes stamped on host articles that do have conversation
+    elements."""
+    from datetime import datetime, timezone
+
+    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
+    from risjbot_spark.frontier.state import RefetchConfig
+
+    host = "www.liverpoolecho.co.uk"
+    html = (f'<html><head><title>T</title>'
+            f'<meta name="vf:container_id" content="cont-ok"></head>'
+            f"<body><article><p>body</p></article>"
+            f"<vf-conversations></vf-conversations></body></html>").encode()
+    pages = spark.createDataFrame(
+        [(f"https://{host}/news/a.html",
+          datetime(2017, 4, 1, tzinfo=timezone.utc), html)],
+        "url string, warc_ts timestamp, html binary")
+    log = str(tmp_path / "api_calls.log")
+
+    def api(method, url, _log=log):
+        with open(_log, "a") as fh:
+            fh.write(url + "\n")
+        return {"http_status": 500}          # bootstrap fails
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh"), pages, None,
+        CrawlConfig(refetch=RefetchConfig(), num_partitions=2,
+                    collect_lineage=False,
+                    comments_host="liverpoolecho.co.uk"),
+        comments_api=api,
+    )
+    assert eng._comments_site_uuid is None
+    seeds = pages.select("url").withColumn("priority", F.lit(0))
+    eng.run_round(seeds, 0, datetime(2017, 4, 1, tzinfo=timezone.utc))
+    arts = eng.articles_table.read().collect()
+    assert len(arts) == 1                    # article kept, not dropped
+    assert arts[0].comments is None
+    assert "No comments section" not in (arts[0].notes or [])
+    with open(log) as fh:
+        calls = [l.strip() for l in fh if l.strip()]
+    assert calls == [BOOTSTRAP_URL.format(site=host)]   # bootstrap only
+
+
 def test_chase_parallelism_bounded_and_paced(spark):
     """ADVICE #1: the chase coalesces to max_parallelism tasks and
     sleeps delay_secs between consecutive chases in a task."""

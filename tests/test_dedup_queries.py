@@ -74,3 +74,47 @@ def test_embedding_near_dup_recalls_planted_mutants_exactly(spark, sf_dir):
     # and nothing beyond the planted mutants at this threshold on this
     # corpus (max natural pairwise cosine ~0.51)
     assert got == planted
+
+
+def test_stage_cache_sweep_keeps_unverifiable_entries(spark):
+    """The stopped-context sweep in _cached_stage evicts ONLY entries it
+    can positively verify as stopped. An entry whose liveness probe
+    raises must be kept (evicting it would leak its persisted
+    InMemoryRelation and rebuild a duplicate), and a live entry must
+    survive and be returned from cache."""
+    from risjbot_spark import queries as Q
+
+    Q.clear_stage_cache()
+    try:
+        builds = []
+        live = Q._cached_stage(spark, "sfX", "k1",
+                               lambda: (builds.append(1),
+                                        spark.range(3))[1])
+        assert len(builds) == 1
+
+        class _Raises:
+            @property
+            def sparkSession(self):
+                raise RuntimeError("py4j hiccup")
+
+            def unpersist(self):
+                pass
+
+        class _Stopped:
+            class sparkSession:                      # noqa: N801
+                class sparkContext:                  # noqa: N801
+                    _jsc = None
+
+            def unpersist(self):
+                pass
+
+        Q._STAGE_CACHE[("appA", "sfX", "hiccup")] = _Raises()
+        Q._STAGE_CACHE[("appB", "sfX", "dead")] = _Stopped()
+        again = Q._cached_stage(spark, "sfX", "k1", lambda: spark.range(3))
+        assert again is live                      # live entry: cache hit
+        assert len(builds) == 1                   # not rebuilt
+        assert ("appA", "sfX", "hiccup") in Q._STAGE_CACHE   # kept
+        assert ("appB", "sfX", "dead") not in Q._STAGE_CACHE  # evicted
+    finally:
+        Q._STAGE_CACHE.pop(("appA", "sfX", "hiccup"), None)
+        Q.clear_stage_cache()

@@ -131,6 +131,30 @@ def test_udf_factory_captures_driver_flags():
     assert u is not None
 
 
+def test_pin_worker_repins_on_readability_only_change():
+    """_pin_worker guards the nlp and readability pins INDEPENDENTLY: a
+    warm worker that last ran a UDF with identical NLP flags but a
+    different readability flag must still re-pin readability (a shared
+    guard skipped it, leaving the worker on the stale backend — the
+    silent real/stand-in mixing the seam exists to prevent)."""
+    import risjbot_spark.extract.nlp as nlp
+    import risjbot_spark.extract.readability as rd
+    from risjbot_spark import udfs
+
+    nlp_flags = {"textblob": False, "nltk_tokenize": False,
+                 "nltk_ner": False, "cmu": False}
+    try:
+        udfs._pin_worker({**nlp_flags, "readability": False})
+        assert rd._PINNED is False
+        # same NLP subset, readability flips → must re-pin
+        udfs._pin_worker({**nlp_flags, "readability": True})
+        assert rd._PINNED is True
+        assert nlp._PINNED == nlp_flags      # nlp pin untouched/equal
+    finally:
+        nlp.pin_backend(None)
+        rd.pin_backend(None)
+
+
 # ---------------------------------------------------------------------------
 # Media decode probe seam (multimodal.py — r2 verdict item #8)
 # ---------------------------------------------------------------------------

@@ -290,6 +290,58 @@ def test_bloom_table_growth_rebuild(spark, tmp_path):
     assert fresh.count() == 0               # rebuilt filter keeps members
 
 
+def test_bloom_table_incremental_commit_touches_only_delta_groups(
+        spark, tmp_path):
+    """add_df must be O(touched file groups), not O(filter): a delta
+    whose keys all land in one bucket rewrites only that bucket's file
+    group — every other group is HARD-LINKED from the previous version
+    (same inode), so a small round against a huge filter never reads or
+    rewrites the untouched ~all of it. Probe parity must hold across the
+    incremental commit."""
+    import os
+
+    nb = 8                                   # nparts == nb == 8 groups
+    tbl = _table_bloom(spark, tmp_path, "bt4", nb=nb, m=1 << 12)
+    seed = [(xxhash64(f"s{i}"),) for i in range(400)]
+    tbl.add_df(spark.createDataFrame(seed, "url_hash long"))
+    assert tbl.version == 1
+    # delta constrained to bucket 3 (python % matches pmod for negatives)
+    delta = [h for h in (xxhash64(f"d{i}") for i in range(3000))
+             if h % nb == 3][:60]
+    assert len(delta) == 60
+
+    def group_files(v):
+        vdir = tmp_path / "bt4" / f"v{v}"
+        out = {}
+        for gname in os.listdir(vdir):
+            if not gname.startswith("g="):
+                continue
+            g = int(gname.split("=")[1])
+            out[g] = {
+                (fn, os.stat(os.path.join(vdir, gname, fn)).st_ino)
+                for fn in os.listdir(os.path.join(vdir, gname))
+                if not fn.startswith(("_", "."))}
+        return out
+
+    v1 = group_files(1)
+    tbl.add_df(spark.createDataFrame([(h,) for h in delta],
+                                     "url_hash long"))
+    assert tbl.version == 2
+    v2 = group_files(2)
+    touched_g = 3 % tbl._nparts()
+    for g, files in v1.items():
+        if g == touched_g:
+            assert v2[g] != files            # rewritten
+        else:
+            assert v2[g] == files            # hard-linked: same inodes
+    # membership: every seed AND delta key still probes maybe
+    allk = spark.createDataFrame(
+        seed + [(h,) for h in delta], "url_hash long")
+    maybe, fresh = tbl.split_aligned(allk)
+    assert fresh.count() == 0
+    assert tbl.n_keys == 460
+
+
 def test_engine_round_same_under_table_bloom_backend(spark, tmp_path):
     """A crawl run on the table-backed bloom must fetch exactly the same
     articles as the driver-backed run, survive engine re-construction
