@@ -19,10 +19,17 @@ round. Here the bitmaps are a first-class *table*:
     the task probing that bucket's rows (bloom.py:split_aligned's plan,
     with the table side read from parquet instead of re-shipped from
     driver memory);
-  * the driver holds ONLY (n_buckets, m, n_keys, version) — a few ints
-    in `meta.json`, swapped atomically after each version write;
+  * the driver holds ONLY (n_buckets, m, n_keys, version, pending
+    manifest) — a few ints in `meta.json`, swapped atomically after
+    each version write;
   * versions are immutable; the previous version is retained so a crash
-    mid-write can never corrupt the current filter (meta swaps last).
+    mid-write can never corrupt the current filter (meta swaps last);
+  * round updates are LSM-shaped: dense bitmaps cost O(m) per bucket no
+    matter how few bits a round sets, and uniform url_hash means any
+    round beyond ~n_buckets keys touches every bucket — so a small
+    round appends its raw keys as a `pending_*` parquet (O(round)
+    bytes) and the probe unions pending membership; one dense fold per
+    ~capacity/64 inserted keys amortizes the rewrite.
 
 False positives still fall through to the authoritative seen join —
 same correctness contract as PartitionedBloom (probe parity is locked
@@ -75,7 +82,8 @@ class DistributedBloomTable:
     with every bitmap byte staying executor-side."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 n_buckets: int = 64, bits_per_bucket: int = 1 << 18):
+                 n_buckets: int = 64, bits_per_bucket: int = 1 << 18,
+                 pending_threshold: int | None = None):
         assert bits_per_bucket & (bits_per_bucket - 1) == 0, "power of two"
         self.spark = spark
         self.path = path
@@ -83,6 +91,13 @@ class DistributedBloomTable:
         self.m = bits_per_bucket
         self.n_keys = 0          # inserted-key upper bound (drives growth)
         self.version = 0         # 0 → empty filter (no data dir yet)
+        # LSM pending layer: small rounds append their raw keys
+        # (O(delta) bytes) instead of rewriting dense bitmaps; a fold
+        # into the dense table happens once pending crosses the
+        # threshold (None → derived: ~capacity/64, capped at 2^24 keys
+        # so the probe's pending join side stays bounded)
+        self.pending_threshold = pending_threshold
+        self._pending: list = []   # [[seq, n_keys], ...] in append order
         os.makedirs(path, exist_ok=True)
 
     # -- catalog ----------------------------------------------------------
@@ -92,11 +107,15 @@ class DistributedBloomTable:
     def _vdir(self, v: int) -> str:
         return os.path.join(self.path, f"v{v}")
 
+    def _pdir(self, seq: int) -> str:
+        return os.path.join(self.path, f"pending_{seq}")
+
     def _write_meta(self) -> None:
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"n_buckets": self.n_buckets, "m": self.m,
-                       "n_keys": self.n_keys, "version": self.version}, f)
+                       "n_keys": self.n_keys, "version": self.version,
+                       "pending": self._pending}, f)
         os.replace(tmp, self._meta_path())
 
     @classmethod
@@ -109,12 +128,28 @@ class DistributedBloomTable:
         self = cls(spark, path, meta["n_buckets"], meta["m"])
         self.n_keys = meta["n_keys"]
         self.version = meta["version"]
+        self._pending = [list(p) for p in meta.get("pending", [])]
         return self
 
     def bitmaps_df(self) -> DataFrame | None:
         if self.version == 0:
             return None
         return self.spark.read.parquet(self._vdir(self.version))
+
+    def _pending_df(self) -> DataFrame | None:
+        if not self._pending:
+            return None
+        return self.spark.read.parquet(
+            *[self._pdir(j) for j, _ in self._pending])
+
+    def _pending_n(self) -> int:
+        return sum(n for _, n in self._pending)
+
+    def _fold_threshold(self) -> int:
+        if self.pending_threshold is not None:
+            return self.pending_threshold
+        capacity = self.n_buckets * self.m // 10   # the ~1% FP point
+        return max(1, min(capacity // 64, 1 << 24))
 
     # -- build / update ---------------------------------------------------
     def _nparts(self) -> int:
@@ -163,28 +198,57 @@ class DistributedBloomTable:
         self._finalize(new_v)
 
     def add_df(self, keys: DataFrame, driver_threshold: int = 0) -> None:
-        """OR a key batch into the filter — one distributed job, one new
-        table version. `driver_threshold` is accepted for interface
-        parity and ignored: this backend never stages bitmaps on the
-        driver.
+        """OR a key batch into the filter. `driver_threshold` is accepted
+        for interface parity and ignored: this backend never stages
+        bitmaps on the driver.
 
-        The commit is O(touched file groups), not O(filter): only the
-        groups the delta's buckets hash into are read+rewritten (the
-        `g=` partition filter prunes the rest of the scan); untouched
-        groups are hard-linked from the previous version. A small round
-        against a 10^10-key filter therefore rewrites a handful of
-        groups, never the full ~12 GiB bitmap table."""
+        The round-update cost is O(delta), never O(filter) — dense
+        bitmaps are O(m) per bucket no matter how few bits a round sets,
+        and uniform url_hash means any round beyond ~n_buckets keys
+        touches EVERY bucket, so rewriting touched bitmaps is a full
+        rewrite in disguise. LSM shape instead: a small round appends
+        its raw keys as a pending parquet (O(round) bytes + a meta
+        swap); the probe unions pending membership (split_aligned) so
+        pending keys can never read as definite-new. Once pending
+        crosses the fold threshold, ONE dense merge folds current ∪
+        pending ∪ delta into the next version — amortized O(filter)
+        per ~capacity/64 inserted keys. The fold itself rewrites only
+        the file groups its keys touch and hard-links the rest from the
+        previous version."""
+        n_new = keys.count()
+        if n_new == 0:
+            return
         cur = self.bitmaps_df()
+        if (cur is not None and "g" in cur.columns
+                and self._pending_n() + n_new < self._fold_threshold()):
+            # LSM append: write the keys, swap meta — no bitmap touched
+            seq = (self._pending[-1][0] + 1) if self._pending else 1
+            pdir = self._pdir(seq)
+            shutil.rmtree(pdir, ignore_errors=True)   # crash debris
+            keys.select("url_hash").write.mode("overwrite").parquet(pdir)
+            self._pending.append([seq, int(n_new)])
+            self.n_keys += int(n_new)
+            self._write_meta()
+            return
+        # fold: dense-merge current ∪ pending ∪ this delta
+        all_keys = keys.select("url_hash")
+        if self._pending:
+            all_keys = all_keys.unionByName(self._pending_df())
+        old_pending = [self._pdir(j) for j, _ in self._pending]
+        self._pending = []        # meta written by _finalize below
         if cur is None or "g" not in cur.columns:
             # empty filter, or a pre-group-layout version on disk: full
             # write (one-time migration to the partitioned layout)
-            delta = self._delta_df(keys)
+            delta = self._delta_df(all_keys)
             merged = (delta if cur is None else
                       cur.select("bucket", "bitmap", "n").unionByName(delta)
                       .groupBy("bucket")
                       .applyInPandas(_or_merge, schema=_BITMAP_SCHEMA))
             self._commit(merged)
+            for d in old_pending:
+                shutil.rmtree(d, ignore_errors=True)
             return
+        keys = all_keys
         nb, nparts = self.n_buckets, self._nparts()
         # touched groups straight from the keys (column-pruned scan of
         # url_hash only — cheaper than materializing the delta twice)
@@ -192,8 +256,6 @@ class DistributedBloomTable:
             r["g"] for r in keys.select(
                 F.pmod(F.pmod(F.col("url_hash"), F.lit(nb)), F.lit(nparts))
                 .cast("int").alias("g")).distinct().collect())
-        if not touched:
-            return                          # empty round: nothing to commit
         new_v = self.version + 1
         new_dir = self._vdir(new_v)
         old_dir = self._vdir(self.version)
@@ -226,18 +288,27 @@ class DistributedBloomTable:
          .repartition(len(touched), "bucket")
          .write.mode("append").partitionBy("g").parquet(new_dir))
         self._finalize(new_v)
+        for d in old_pending:        # folded in — GC after the meta swap
+            shutil.rmtree(d, ignore_errors=True)
 
     def rebuild_from(self, keys: DataFrame, bits_per_bucket: int | None = None,
                      n_buckets: int | None = None) -> None:
         """Adaptive-growth rebuild (PartitionedBloom.from_seen analogue):
         fresh bitmaps at a new size from the seen snapshot, committed as
-        the next version — one distributed scan, nothing driver-side."""
+        the next version — one distributed scan, nothing driver-side.
+        Replaces ALL filter state: `keys` must be the full membership
+        (the engine passes the seen snapshot, which subsumes any pending
+        appends) — pending is cleared by the rebuild."""
         if bits_per_bucket is not None:
             assert bits_per_bucket & (bits_per_bucket - 1) == 0
             self.m = bits_per_bucket
         if n_buckets is not None:
             self.n_buckets = n_buckets
+        old_pending = [self._pdir(j) for j, _ in self._pending]
+        self._pending = []           # meta written by _commit's finalize
         self._commit(self._delta_df(keys))
+        for d in old_pending:
+            shutil.rmtree(d, ignore_errors=True)
 
     def overfull(self) -> bool:
         """True past ~capacity (10 bits/key, the ~1% FP point for k=7)."""
@@ -248,10 +319,17 @@ class DistributedBloomTable:
                       ) -> tuple[DataFrame, DataFrame]:
         """(maybe_seen, definite_new) via the cogroup probe: frontier
         shuffled by bucket meets the bitmap table read from parquet —
-        each bitmap deserializes once, in the task that needs it."""
+        each bitmap deserializes once, in the task that needs it.
+        Pending (unfolded) keys are unioned in by an exact key join —
+        without it a pending key would read definite-new, a false
+        negative; the join side is bounded by the fold threshold."""
         bm = self.bitmaps_df()
-        if bm is None:
+        pend = self._pending_df()
+        if bm is None and pend is None:
             return frontier.limit(0), frontier
+        if bm is None:
+            return (frontier.join(pend, "url_hash", "left_semi"),
+                    frontier.join(pend, "url_hash", "left_anti"))
         nb, m = self.n_buckets, self.m
         fr = frontier.withColumn(
             "_b", F.pmod(F.col("url_hash"), F.lit(nb)).cast("int"))
@@ -283,8 +361,13 @@ class DistributedBloomTable:
                      .groupBy("_b"))
             .applyInPandas(probe, schema=out_schema)
         )
-        return (flagged.filter(F.col("_maybe")).drop("_maybe", "_b"),
-                flagged.filter(~F.col("_maybe")).drop("_maybe", "_b"))
+        maybe = flagged.filter(F.col("_maybe")).drop("_maybe", "_b")
+        fresh = flagged.filter(~F.col("_maybe")).drop("_maybe", "_b")
+        if pend is not None:
+            maybe = maybe.unionByName(
+                fresh.join(pend, "url_hash", "left_semi"))
+            fresh = fresh.join(pend, "url_hash", "left_anti")
+        return maybe, fresh
 
     # table backend has exactly one probe plan; split() aliases it so the
     # engine can treat both backends uniformly

@@ -342,6 +342,50 @@ def test_bloom_table_incremental_commit_touches_only_delta_groups(
     assert tbl.n_keys == 460
 
 
+def test_bloom_table_pending_appends_and_fold(spark, tmp_path):
+    """The LSM pending layer: a small round appends O(delta) raw keys —
+    NO new dense version, no bitmap rewrite — and those keys must still
+    probe as maybe (a definite-new verdict for a pending key is a false
+    negative). State survives reload; crossing the fold threshold
+    produces ONE new dense version and clears the pending dirs."""
+    import os
+
+    from risjbot_spark.frontier.bloom_table import DistributedBloomTable
+
+    def df(rows):
+        return spark.createDataFrame(rows, "url_hash long")
+
+    tbl = DistributedBloomTable(spark, str(tmp_path / "bt5"), n_buckets=8,
+                                bits_per_bucket=1 << 12,
+                                pending_threshold=150)
+    base = [(xxhash64(f"s{i}"),) for i in range(200)]
+    tbl.add_df(df(base))                     # 200 ≥ 150 → dense v1
+    assert tbl.version == 1 and not tbl._pending
+
+    p1 = [(xxhash64(f"p{i}"),) for i in range(40)]
+    tbl.add_df(df(p1))                       # 40 < 150 → pending append
+    assert tbl.version == 1                  # dense untouched
+    assert tbl._pending == [[1, 40]] and tbl.n_keys == 240
+    assert os.path.isdir(str(tmp_path / "bt5" / "pending_1"))
+
+    fr = df(p1 + [(xxhash64(f"new{i}"),) for i in range(50)])
+    maybe, fresh = tbl.split_aligned(fr)
+    assert {h for (h,) in p1} <= {r.url_hash for r in maybe.collect()}
+
+    re = DistributedBloomTable.load(spark, str(tmp_path / "bt5"))
+    assert re._pending == [[1, 40]] and re.n_keys == 240
+    m2, _ = re.split_aligned(fr)
+    assert {h for (h,) in p1} <= {r.url_hash for r in m2.collect()}
+
+    p2 = [(xxhash64(f"q{i}"),) for i in range(120)]
+    tbl.add_df(df(p2))                       # 40+120 ≥ 150 → fold
+    assert tbl.version == 2 and not tbl._pending
+    assert not os.path.isdir(str(tmp_path / "bt5" / "pending_1"))
+    _, fresh = tbl.split_aligned(df(base + p1 + p2))
+    assert fresh.count() == 0                # every key folded in
+    assert tbl.n_keys == 360
+
+
 def test_engine_round_same_under_table_bloom_backend(spark, tmp_path):
     """A crawl run on the table-backed bloom must fetch exactly the same
     articles as the driver-backed run, survive engine re-construction
