@@ -149,6 +149,7 @@ class CrawlEngine:
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.fetcher = fetcher
+        self._round_caches: list = []   # per-round persists, see run_round
         # S8: comment-API chase — injectable `api(method, url) -> dict`
         # (comments.urllib_api for live deployments). Bootstrap runs
         # ONCE per engine, driver-side, like the reference's
@@ -418,7 +419,32 @@ class CrawlEngine:
         perf: dict | None = None,  # optional phase-timing sink (debug)
     ) -> dict:
         """Execute one crawl round; commits seen+articles snapshots and
-        returns the round's lineage dict."""
+        returns the round's lineage dict.
+
+        Unpersist is exception-safe: every DataFrame the round persists
+        registers in `_round_caches`, released in the finally — a round
+        that throws mid-commit (transient executor loss) must not pin its
+        html-bearing cached blocks for the engine's remaining lifetime."""
+        self._round_caches: list = []
+        try:
+            return self._run_round(seeds, round_no, round_ts,
+                                   with_order_audit, perf)
+        finally:
+            for df in self._round_caches:
+                try:
+                    df.unpersist()       # no-op if already released
+                except Exception:
+                    pass
+            self._round_caches = []
+
+    def _run_round(
+        self,
+        seeds: DataFrame,
+        round_no: int,
+        round_ts: datetime,
+        with_order_audit: bool = False,
+        perf: dict | None = None,
+    ) -> dict:
         import time as _time
 
         def _mark(label, _last=[_time.monotonic()]):
@@ -512,6 +538,7 @@ class CrawlEngine:
         fr_cached = None
         if cfg.collect_lineage or (cfg.use_bloom and self.bloom is not None):
             fr_cached = fr.cache()
+            self._round_caches.append(fr_cached)
             fr = fr_cached
         if cfg.collect_lineage:
             lineage["frontier_in"] = fr.count()
@@ -657,13 +684,17 @@ class CrawlEngine:
                         and bool(cfg.comments_host)
                         and self._comments_site_uuid is not None)
         fetched_cached = None
-        if chase_active and self.fetcher is not None:
-            # live-fetcher mode with the chase on has TWO consumers of
-            # the fetch stage (extraction + chase) and fetch_stage is a
-            # side-effecting HTTP scan: cache it so each URL is fetched
-            # exactly once per round, whichever branch materializes
-            # first (MEMORY_AND_DISK — spills, never refetches)
+        if chase_active:
+            # the chase adds a second consumer of the fetch stage
+            # (extraction + chase), and the eager chase materialization
+            # below is an extra action on top of the commit. Cache the
+            # stage so each URL is fetched (live mode: an HTTP side
+            # effect) or joined (corpus mode: the pages join + dedup
+            # shuffle) exactly once per round, whichever branch
+            # materializes first (MEMORY_AND_DISK — spills, never
+            # recomputes)
             fetched_cached = fetched.persist()
+            self._round_caches.append(fetched_cached)
             fetched = fetched_cached
 
         # ---- extraction (one vectorized UDF: fake404/prune/batteries/NLP)
@@ -686,6 +717,7 @@ class CrawlEngine:
         items = articles.filter(F.col("status") != "fake404")
         if cfg.collect_lineage:
             articles = articles.cache()
+            self._round_caches.append(articles)
             items = articles.filter(F.col("status") != "fake404")
             lineage["fetched"] = articles.count()
             lineage["extracted"] = articles.filter(F.col("status") == "ok").count()
@@ -724,6 +756,7 @@ class CrawlEngine:
             # read the cached rows instead of re-issuing every
             # container/comments GET
             chased_cached = chased.persist()
+            self._round_caches.append(chased_cached)
             chased_cached.count()
             items = join_comments(items, chased_cached)
 
@@ -850,12 +883,6 @@ class CrawlEngine:
             self.bloom.save(self._bloom_dir)  # checkpointed with the round
             self._write_bloom_marker()        # ties bloom ↔ seen snapshot
             _mark("bloom_save")
-        if fr_cached is not None:
-            fr_cached.unpersist()
-        if chased_cached is not None:
-            chased_cached.unpersist()
-        if fetched_cached is not None:
-            fetched_cached.unpersist()
         return lineage
 
     # ------------------------------------------------------------------

@@ -115,7 +115,8 @@ class DistributedBloomTable:
         with open(tmp, "w") as f:
             json.dump({"n_buckets": self.n_buckets, "m": self.m,
                        "n_keys": self.n_keys, "version": self.version,
-                       "pending": self._pending}, f)
+                       "pending": self._pending,
+                       "pending_threshold": self.pending_threshold}, f)
         os.replace(tmp, self._meta_path())
 
     @classmethod
@@ -125,7 +126,8 @@ class DistributedBloomTable:
             return None
         with open(mp) as f:
             meta = json.load(f)
-        self = cls(spark, path, meta["n_buckets"], meta["m"])
+        self = cls(spark, path, meta["n_buckets"], meta["m"],
+                   pending_threshold=meta.get("pending_threshold"))
         self.n_keys = meta["n_keys"]
         self.version = meta["version"]
         self._pending = [list(p) for p in meta.get("pending", [])]
@@ -235,7 +237,22 @@ class DistributedBloomTable:
         if self._pending:
             all_keys = all_keys.unionByName(self._pending_df())
         old_pending = [self._pdir(j) for j, _ in self._pending]
-        self._pending = []        # meta written by _finalize below
+        # cleared now so _finalize's meta swap records an empty pending
+        # list — but restored if the fold job throws, else the live
+        # object would probe without pending (false negatives: seen URLs
+        # reading definite-new and bypassing the authoritative join).
+        # version/n_keys roll back too: _finalize mutates them before its
+        # meta write, and a failure there would leave the live object
+        # claiming a version the on-disk meta does not
+        saved = (self._pending, self.version, self.n_keys)
+        self._pending = []
+        try:
+            self._fold(cur, all_keys, old_pending)
+        except BaseException:
+            self._pending, self.version, self.n_keys = saved
+            raise
+
+    def _fold(self, cur, all_keys, old_pending) -> None:
         if cur is None or "g" not in cur.columns:
             # empty filter, or a pre-group-layout version on disk: full
             # write (one-time migration to the partitioned layout)
@@ -248,12 +265,11 @@ class DistributedBloomTable:
             for d in old_pending:
                 shutil.rmtree(d, ignore_errors=True)
             return
-        keys = all_keys
         nb, nparts = self.n_buckets, self._nparts()
         # touched groups straight from the keys (column-pruned scan of
         # url_hash only — cheaper than materializing the delta twice)
         touched = sorted(
-            r["g"] for r in keys.select(
+            r["g"] for r in all_keys.select(
                 F.pmod(F.pmod(F.col("url_hash"), F.lit(nb)), F.lit(nparts))
                 .cast("int").alias("g")).distinct().collect())
         new_v = self.version + 1
@@ -281,7 +297,7 @@ class DistributedBloomTable:
         merged = (
             cur.filter(F.col("g").isin(touched))      # partition-pruned
             .select("bucket", "bitmap", "n")
-            .unionByName(self._delta_df(keys))
+            .unionByName(self._delta_df(all_keys))
             .groupBy("bucket")
             .applyInPandas(_or_merge, schema=_BITMAP_SCHEMA))
         (self._with_group(merged)
@@ -299,6 +315,8 @@ class DistributedBloomTable:
         Replaces ALL filter state: `keys` must be the full membership
         (the engine passes the seen snapshot, which subsumes any pending
         appends) — pending is cleared by the rebuild."""
+        saved = (self.m, self.n_buckets, self._pending,
+                 self.version, self.n_keys)
         if bits_per_bucket is not None:
             assert bits_per_bucket & (bits_per_bucket - 1) == 0
             self.m = bits_per_bucket
@@ -306,7 +324,16 @@ class DistributedBloomTable:
             self.n_buckets = n_buckets
         old_pending = [self._pdir(j) for j, _ in self._pending]
         self._pending = []           # meta written by _commit's finalize
-        self._commit(self._delta_df(keys))
+        try:
+            self._commit(self._delta_df(keys))
+        except BaseException:
+            # a failed rebuild must leave the live object consistent with
+            # the on-disk meta (old geometry + pending list + version),
+            # else the probe runs the new m/n_buckets — or a version the
+            # meta never committed — against the old bitmaps
+            (self.m, self.n_buckets, self._pending,
+             self.version, self.n_keys) = saved
+            raise
         for d in old_pending:
             shutil.rmtree(d, ignore_errors=True)
 

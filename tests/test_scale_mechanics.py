@@ -374,6 +374,10 @@ def test_bloom_table_pending_appends_and_fold(spark, tmp_path):
 
     re = DistributedBloomTable.load(spark, str(tmp_path / "bt5"))
     assert re._pending == [[1, 40]] and re.n_keys == 240
+    # an explicit fold threshold survives reload — reverting to the
+    # derived default would let pending (the probe's exact-join side)
+    # grow far past the caller's configured bound
+    assert re.pending_threshold == 150 and re._fold_threshold() == 150
     m2, _ = re.split_aligned(fr)
     assert {h for (h,) in p1} <= {r.url_hash for r in m2.collect()}
 
@@ -384,6 +388,59 @@ def test_bloom_table_pending_appends_and_fold(spark, tmp_path):
     _, fresh = tbl.split_aligned(df(base + p1 + p2))
     assert fresh.count() == 0                # every key folded in
     assert tbl.n_keys == 360
+
+
+def test_bloom_table_failed_fold_restores_pending(spark, tmp_path):
+    """A fold or growth rebuild that dies mid-job (executor loss, OOM)
+    must leave the LIVE object consistent with the on-disk version: the
+    pending list (and on rebuild, the old geometry) is restored, so the
+    probe still flags pending keys as maybe. Without the restore, a
+    caught-and-continued failure silently drops pending membership —
+    false negatives that bypass the authoritative seen join."""
+    from risjbot_spark.frontier.bloom_table import DistributedBloomTable
+
+    def df(rows):
+        return spark.createDataFrame(rows, "url_hash long")
+
+    tbl = DistributedBloomTable(spark, str(tmp_path / "bt6"), n_buckets=8,
+                                bits_per_bucket=1 << 12,
+                                pending_threshold=100)
+    tbl.add_df(df([(xxhash64(f"s{i}"),) for i in range(150)]))   # dense v1
+    p1 = [(xxhash64(f"p{i}"),) for i in range(30)]
+    tbl.add_df(df(p1))                                  # pending append
+    assert tbl._pending == [[1, 30]]
+
+    boom = RuntimeError("executor lost")
+
+    def _raise(*a, **k):
+        raise boom
+
+    # fold path: _delta_df runs inside the fold job
+    orig = tbl._delta_df
+    tbl._delta_df = _raise
+    try:
+        with pytest.raises(RuntimeError):
+            tbl.add_df(df([(xxhash64(f"q{i}"),) for i in range(90)]))
+    finally:
+        tbl._delta_df = orig
+    assert tbl._pending == [[1, 30]]        # restored, not dropped
+    assert tbl.version == 1
+    maybe, _ = tbl.split_aligned(df(p1))
+    assert maybe.count() == len(p1)         # pending keys still maybe
+
+    # growth-rebuild path: geometry must roll back too
+    tbl._delta_df = _raise
+    try:
+        with pytest.raises(RuntimeError):
+            tbl.rebuild_from(df([(1,)]), bits_per_bucket=1 << 13,
+                             n_buckets=16)
+    finally:
+        tbl._delta_df = orig
+    assert (tbl.m, tbl.n_buckets) == (1 << 12, 8)
+    assert tbl._pending == [[1, 30]]
+    # and the filter still works end to end after both failures
+    maybe, fresh = tbl.split_aligned(df(p1 + [(xxhash64("zz"),)]))
+    assert maybe.count() >= len(p1)
 
 
 def test_engine_round_same_under_table_bloom_backend(spark, tmp_path):

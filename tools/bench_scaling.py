@@ -185,9 +185,22 @@ Raw lines:
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    # everything below the marker is hand-maintained (run history across
+    # rounds, MoR series notes) — regeneration must not wipe it
+    appendix = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        if _HISTORY_MARK in old:
+            appendix = old[old.index(_HISTORY_MARK):]
     with open(path, "w") as f:
         f.write(doc)
+        if appendix:
+            f.write("\n" + appendix)
     print(doc)
+
+
+_HISTORY_MARK = "<!-- history: hand-maintained below this line -->"
 
 
 if __name__ == "__main__":
