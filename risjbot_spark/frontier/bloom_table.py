@@ -53,6 +53,18 @@ from .bloom import _K, _positions
 _BITMAP_SCHEMA = "bucket int, bitmap binary, n long"
 
 
+def _parquet_rows(d: str) -> int:
+    """Row count of a parquet dir from file footers — driver-side
+    metadata only, no Spark job (and so no re-execution of whatever
+    plan produced the files)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows
+               for f in glob.glob(os.path.join(d, "*.parquet")))
+
+
 def _make_delta(m: int):
     """Per-bucket delta bitmap builder (applyInPandas over a bucket's keys)."""
     def make(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -208,48 +220,57 @@ class DistributedBloomTable:
         bitmaps are O(m) per bucket no matter how few bits a round sets,
         and uniform url_hash means any round beyond ~n_buckets keys
         touches EVERY bucket, so rewriting touched bitmaps is a full
-        rewrite in disguise. LSM shape instead: a small round appends
-        its raw keys as a pending parquet (O(round) bytes + a meta
-        swap); the probe unions pending membership (split_aligned) so
+        rewrite in disguise. LSM shape instead: EVERY round first lands
+        its raw keys as a pending parquet (O(round) bytes) — the ONLY
+        execution of the caller's plan; the row count comes from the
+        written footers (a driver-side metadata read), so `keys` is
+        never evaluated twice (a count-then-write would re-run the
+        upstream, which in the engine is a join off the round's fetched
+        table). The probe unions pending membership (split_aligned) so
         pending keys can never read as definite-new. Once pending
-        crosses the fold threshold, ONE dense merge folds current ∪
-        pending ∪ delta into the next version — amortized O(filter)
-        per ~capacity/64 inserted keys. The fold itself rewrites only
-        the file groups its keys touch and hard-links the rest from the
-        previous version."""
-        n_new = keys.count()
+        crosses the fold threshold (or the dense table doesn't exist
+        yet), ONE dense merge folds current ∪ pending — read back from
+        the just-written parquet, not the caller's plan — into the next
+        version, amortized O(filter) per ~capacity/64 inserted keys;
+        the fold rewrites only the file groups its keys touch and
+        hard-links the rest from the previous version."""
+        seq = (self._pending[-1][0] + 1) if self._pending else 1
+        pdir = self._pdir(seq)
+        shutil.rmtree(pdir, ignore_errors=True)       # crash debris
+        keys.select("url_hash").write.mode("overwrite").parquet(pdir)
+        n_new = _parquet_rows(pdir)
         if n_new == 0:
+            shutil.rmtree(pdir, ignore_errors=True)
             return
+        saved = (self._pending, self.version, self.n_keys)
+        self._pending = self._pending + [[seq, n_new]]
+        self.n_keys += n_new
+        self._write_meta()
         cur = self.bitmaps_df()
         if (cur is not None and "g" in cur.columns
-                and self._pending_n() + n_new < self._fold_threshold()):
-            # LSM append: write the keys, swap meta — no bitmap touched
-            seq = (self._pending[-1][0] + 1) if self._pending else 1
-            pdir = self._pdir(seq)
-            shutil.rmtree(pdir, ignore_errors=True)   # crash debris
-            keys.select("url_hash").write.mode("overwrite").parquet(pdir)
-            self._pending.append([seq, int(n_new)])
-            self.n_keys += int(n_new)
-            self._write_meta()
-            return
-        # fold: dense-merge current ∪ pending ∪ this delta
-        all_keys = keys.select("url_hash")
-        if self._pending:
-            all_keys = all_keys.unionByName(self._pending_df())
+                and self._pending_n() < self._fold_threshold()):
+            return                                    # LSM append done
+        # fold: dense-merge current ∪ pending (this layer included).
+        # On failure the WHOLE add rolls back — live state, meta, and
+        # the layer file — so the filter is exactly as before the call
+        # (the committed contract: a failed add_df is a no-op; without
+        # the restore the probe would run without pending membership —
+        # false negatives bypassing the authoritative seen join — or
+        # claim a version the on-disk meta never committed)
+        all_keys = self._pending_df()
         old_pending = [self._pdir(j) for j, _ in self._pending]
-        # cleared now so _finalize's meta swap records an empty pending
-        # list — but restored if the fold job throws, else the live
-        # object would probe without pending (false negatives: seen URLs
-        # reading definite-new and bypassing the authoritative join).
-        # version/n_keys roll back too: _finalize mutates them before its
-        # meta write, and a failure there would leave the live object
-        # claiming a version the on-disk meta does not
-        saved = (self._pending, self.version, self.n_keys)
-        self._pending = []
+        self._pending = []        # _finalize's meta swap records empty
         try:
             self._fold(cur, all_keys, old_pending)
         except BaseException:
+            # meta swaps FIRST, then the layer dir goes (the module's
+            # crash discipline): dying between the two leaves a dangling
+            # unreferenced dir (crash debris, harmless) — the reverse
+            # order would leave meta referencing a deleted pending dir,
+            # bricking every later probe/load on a missing-path read
             self._pending, self.version, self.n_keys = saved
+            self._write_meta()
+            shutil.rmtree(pdir, ignore_errors=True)
             raise
 
     def _fold(self, cur, all_keys, old_pending) -> None:

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -90,8 +91,15 @@ def stateful_refetch_gate(
             whole = (pd.concat(chunks, ignore_index=True)
                      if len(chunks) > 1 else chunks[0])
             whole = whole.sort_values(["discovered_ts", "url"])
-            for _, row in whole.iterrows():
-                ts = int(row["discovered_ts"].timestamp())
+            # each decision depends on last_fetch as updated by the
+            # PREVIOUS allowed row — a true sequential recurrence (the
+            # refetchsecs spacing between successive fetches), so the
+            # loop is irreducible; plain-int zip iteration instead of
+            # iterrows keeps the per-event cost at ~100 ns, not ~10 µs
+            # of Series construction (groups here are one url_hash —
+            # a handful of re-discoveries per batch, never a hot host)
+            tss = (whole["discovered_ts"].astype("int64") // 10**9).tolist()
+            for ts, url in zip(tss, whole["url"].tolist()):
                 if fetches == 0:
                     decision = "first"
                 else:
@@ -104,7 +112,7 @@ def stateful_refetch_gate(
                 if decision != "skip":
                     fetches += 1
                     last_fetch = ts
-                rows.append((url_hash, row["url"], prev, decision))
+                rows.append((url_hash, url, prev, decision))
         state.update((fetches, last_fetch if last_fetch is not None else 0))
         yield pd.DataFrame(rows, columns=[f.name for f in _GATE_OUTPUT.fields])
 
@@ -167,26 +175,58 @@ def stateful_host_budget_gate(
         else:
             win_start, allowed = None, 0
         chunks = [pdf for pdf in pdfs]
-        rows = []
+        whole = None
         if chunks:
             whole = (pd.concat(chunks, ignore_index=True)
                      if len(chunks) > 1 else chunks[0])
-            whole = whole.sort_values(["discovered_ts", "url"])
-            for _, row in whole.iterrows():
-                ts = int(row["discovered_ts"].timestamp())
-                win = ts - ts % window_seconds
-                if win_start is None or win > win_start:
-                    win_start, allowed = win, 0
-                if allowed < budget:
-                    allowed += 1
-                    decision = "allow"
-                else:
-                    decision = "defer"
-                rows.append((host, row["url"], row["discovered_ts"],
-                             decision))
+            whole = whole.sort_values(["discovered_ts", "url"],
+                                      ignore_index=True)
+        if whole is not None and len(whole):
+            # VECTORIZED twin of the sequential loop (a host is exactly
+            # the hot key this gate exists for — budget-sized batches
+            # per group make per-row python the bottleneck). The loop's
+            # semantics: a row with win > tracked window resets the
+            # counter; win <= tracked counts against it; allow while
+            # counter < budget. Equivalently: the effective window is
+            # the RUNNING MAX of (state window, row windows) — rows
+            # group by that — and within each group the first
+            # (budget - carry) rows allow, where carry is the state
+            # counter for the group matching the carried-in window and
+            # 0 for every later (reset) group.
+            ts = whole["discovered_ts"].astype("int64") // 10**9
+            win = (ts - ts % window_seconds).to_numpy()
+            carry_win = win_start if win_start is not None else np.int64(
+                win[0] - window_seconds)          # sentinel: before all
+            eff = np.maximum.accumulate(np.maximum(win, carry_win))
+            # position within each eff-window run (runs are consecutive:
+            # eff is non-decreasing)
+            new_run = np.empty(len(eff), dtype=bool)
+            new_run[0] = True
+            new_run[1:] = eff[1:] != eff[:-1]
+            pos = np.arange(len(eff)) - np.maximum.accumulate(
+                np.where(new_run, np.arange(len(eff)), 0))
+            carry = np.where(eff == carry_win, allowed, 0)
+            allow = (pos + carry) < budget
+            decisions = np.where(allow, "allow", "defer")
+            rows = pd.DataFrame({
+                "host": host, "url": whole["url"],
+                "discovered_ts": whole["discovered_ts"],
+                "decision": decisions,
+            })
+            # state: counter for the LAST effective window (bounded by
+            # budget — the loop stops incrementing once it's reached);
+            # eff is a running max, so the final run is eff == eff[-1]
+            last_mask = eff == eff[-1]
+            win_start = int(eff[-1])
+            allowed = int(min(budget,
+                              (allowed if eff[-1] == carry_win else 0)
+                              + int(last_mask.sum())))
+        else:
+            rows = pd.DataFrame(
+                {f.name: pd.Series(dtype=object)
+                 for f in _BUDGET_OUTPUT.fields})
         state.update((win_start if win_start is not None else 0, allowed))
-        yield pd.DataFrame(
-            rows, columns=[f.name for f in _BUDGET_OUTPUT.fields])
+        yield rows
 
     return (
         frontier.groupBy("host")

@@ -280,6 +280,50 @@ def test_stateful_host_budget_gate(spark, tmp_path):
     assert got["https://slow.h/next"] == "allow"   # fresh window
 
 
+def test_stateful_host_budget_gate_cross_batch_carry(spark, tmp_path):
+    """The window counter must CARRY across micro-batches: a second batch
+    in the same event-time window starts from the state counter, not 0
+    (the vectorized path's carry term), and a straggler whose window
+    precedes the tracked one counts against the current counter without
+    resetting it (documented defer-is-safe semantics)."""
+    from datetime import timedelta
+
+    from risjbot_spark.streaming import stateful_host_budget_gate
+
+    src = str(tmp_path / "carry")
+    out = str(tmp_path / "carry_out")
+    ckpt = str(tmp_path / "carry_ckpt")
+    schema = "host string, url string, discovered_ts timestamp"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (stateful_host_budget_gate(stream, budgets={"h.x": 2},
+                                       window_seconds=3600)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    feed([("h.x", "https://h.x/a", T0)])                  # 1 of 2 spent
+    feed([
+        ("h.x", "https://h.x/b", T0 + timedelta(minutes=1)),   # 2 of 2
+        ("h.x", "https://h.x/c", T0 + timedelta(minutes=2)),   # over
+        # straggler BEFORE the tracked window: counts, never resets
+        ("h.x", "https://h.x/late", T0 - timedelta(hours=2)),
+    ])
+    got = {r["url"]: r["decision"]
+           for r in spark.read.parquet(out).collect()}
+    # batch 2 replays in event-time order: late, b, c — the carried
+    # counter is 1 of 2, so late takes the last slot (defer-is-safe: it
+    # counts against the CURRENT window without resetting it) and both
+    # same-window followers defer
+    assert got["https://h.x/late"] == "allow"
+    assert got["https://h.x/b"] == "defer"
+    assert got["https://h.x/c"] == "defer"
+
+
 def test_stream_checkpoint_resume_exactly_once(spark, tmp_path):
     """§2.9 resumability: a checkpointed extraction stream restarted
     over a grown source processes ONLY the new files — the first batch's
