@@ -179,6 +179,8 @@ def chase_comments(pages: DataFrame, api, site_uuid,
         .agg(F.max_by("html", "_ord").alias("html"))
     )
 
+    from .extract.semantics import is_fake404
+
     def run(batches):
         first = True
         for pdf in batches:
@@ -188,11 +190,19 @@ def chase_comments(pages: DataFrame, api, site_uuid,
                     rows.append((url, None, None,
                                  "No comments section", "none"))
                     continue
+                text = (html if isinstance(html, str)
+                        else bytes(html).decode("utf-8", "replace"))
+                # the reference's Fake404 middleware raises BEFORE the
+                # spider callback, so a soft-404 page is never chased
+                # (no API request, no comments row) — without this gate
+                # the page re-enters the frontier every round (fake404
+                # pages never upsert seen) and re-spends rate-limited
+                # comment-API budget each time
+                if is_fake404(text, url):
+                    continue
                 if not first and delay_secs > 0:
                     do_sleep(delay_secs)
                 first = False
-                text = (html if isinstance(html, str)
-                        else bytes(html).decode("utf-8", "replace"))
                 raws, texts, note, status = chase_one(
                     text, api, site_uuid, limit=limit)
                 rows.append((url, raws, texts, note, status))

@@ -245,6 +245,12 @@ class CrawlEngine:
                     # grown size kept, old versions GC'd by the commit
                     loaded.rebuild_from(self.seen().select("url_hash"))
                     self.bloom = loaded
+                    # the rebuild is DURABLE (unlike the driver backend's
+                    # in-memory one): stamp the marker now, or every
+                    # later engine construction that doesn't reach a
+                    # round commit repeats the full seen scan + version
+                    # rewrite
+                    self._write_bloom_marker()
                 else:
                     self.bloom = DistributedBloomTable(
                         spark, self._bloom_dir, self.cfg.bloom_buckets,
@@ -252,6 +258,7 @@ class CrawlEngine:
                     if cur is not None:
                         self.bloom.rebuild_from(
                             self.seen().select("url_hash"))
+                        self._write_bloom_marker()
             else:
                 loaded = PartitionedBloom.load(self._bloom_dir)
                 self.bloom = loaded
@@ -400,7 +407,13 @@ class CrawlEngine:
         into the base with no exchange on the base side — instead of
         re-shuffling the whole table through `seen_state`'s groupBy
         every round. Both forms are row-identical (parity-locked)."""
-        parts = self._seen_parts()
+        return self._seen_from_parts(self._seen_parts())
+
+    def _seen_from_parts(
+        self, parts: tuple[DataFrame, DataFrame | None] | None
+    ) -> DataFrame:
+        """seen() given an already-resolved _seen_parts() — the round
+        loop resolves parts ONCE and feeds both this and the gate."""
         if parts is None:
             return seen_state(self.seen_table.read(schema=SEEN_SCHEMA))
         base, deltas = parts
@@ -460,7 +473,12 @@ class CrawlEngine:
         if round_ts.tzinfo is None:
             round_ts = round_ts.replace(tzinfo=timezone.utc)
         cfg = self.cfg
-        seen = self.seen()
+        # parts resolved ONCE per round: seen(), the J1 gate, and the
+        # compaction merge all read the same split (or generic) view —
+        # no duplicate manifest reads / per-delta plan rebuilding
+        parts = self._seen_parts() if cfg.bucket_seen_base else None
+        seen = (self._seen_from_parts(parts) if cfg.bucket_seen_base
+                else self.seen())
         lineage: dict[str, int] = {}
 
         # ---- frontier assembly: seeds ∪ trawl (J3a), canonical, deduped
@@ -554,8 +572,8 @@ class CrawlEngine:
         # maintained incrementally across rounds (no per-round rebuild).
         # With a bucketed compacted base the gate runs SPLIT (frontier ×
         # base with no exchange on the base side + small resolved-delta
-        # join) instead of joining the union-resolved table.
-        parts = self._seen_parts() if cfg.bucket_seen_base else None
+        # join) instead of joining the union-resolved table; `parts` was
+        # resolved once at round start.
         if parts is not None:
             from .frontier.state import seen_filter_split
 

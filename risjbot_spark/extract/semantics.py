@@ -52,6 +52,19 @@ class ExtractResult:
     links: list[str] | None = None  # S6 outlinks (pre-prune, offsite-filtered)
 
 
+def is_fake404(html: bytes | str, url: str) -> bool:
+    """F3 as a standalone predicate: the Fake404 signature check alone
+    (spmiddlewares/fake404.py raises BEFORE the spider callback, so
+    side-effecting per-page stages like the comment chase must never
+    run on such pages). Parses the page, so reserve it for small host
+    subsets; the full extraction applies the same check fused."""
+    sigs = [s for rx, s in FAKE404_SIGS if rx.match(url)]
+    if not sigs:
+        return False
+    root = parse_html(html)
+    return any(xpath(root, s) for s in sigs)
+
+
 def _extract_links(root: Node, base_url: str, profile: SiteProfile) -> list[str]:
     """S6 link extraction: all hrefs, absolutized, per-page deduped (the
     reference's `seen = set()`, newssplashcrawlspider.py:57-64), offsite

@@ -53,16 +53,19 @@ from .bloom import _K, _positions
 _BITMAP_SCHEMA = "bucket int, bitmap binary, n long"
 
 
-def _parquet_rows(d: str) -> int:
+def _parquet_rows(d: str, recursive: bool = False) -> int:
     """Row count of a parquet dir from file footers — driver-side
     metadata only, no Spark job (and so no re-execution of whatever
-    plan produced the files)."""
+    plan produced the files). recursive=True descends into partition
+    dirs (g=N/...)."""
     import glob
 
     import pyarrow.parquet as pq
 
+    pat = os.path.join(d, "**", "*.parquet") if recursive \
+        else os.path.join(d, "*.parquet")
     return sum(pq.read_metadata(f).num_rows
-               for f in glob.glob(os.path.join(d, "*.parquet")))
+               for f in glob.glob(pat, recursive=recursive))
 
 
 def _make_delta(m: int):
@@ -209,6 +212,23 @@ class DistributedBloomTable:
          .repartition(self._nparts(), "bucket")
          .write.mode("overwrite").partitionBy("g")
          .parquet(self._vdir(new_v)))
+        if _parquet_rows(self._vdir(new_v), recursive=True) == 0:
+            # EMPTY membership (rebuild_from an empty seen table — e.g.
+            # a warehouse whose only round fetched nothing): a
+            # partitioned write of zero rows leaves no parquet footers
+            # at all, which _finalize's read-back cannot infer a schema
+            # from. Empty filter state is version 0 (bitmaps_df None →
+            # the probe reports every key definite-new, which is exactly
+            # right); swap meta first, then GC every stale version dir
+            shutil.rmtree(self._vdir(new_v), ignore_errors=True)
+            self.version = 0
+            self.n_keys = 0
+            self._write_meta()
+            for name in os.listdir(self.path):
+                if name.startswith("v") and name[1:].isdigit():
+                    shutil.rmtree(os.path.join(self.path, name),
+                                  ignore_errors=True)
+            return
         self._finalize(new_v)
 
     def add_df(self, keys: DataFrame, driver_threshold: int = 0) -> None:

@@ -66,12 +66,19 @@ def pin_backend(flags: dict[str, bool] | None) -> None:
     _PINNED = dict(flags) if flags is not None else None
 
 
+class BackendMismatchError(RuntimeError):
+    """Driver pinned a backend available that this worker lacks — a
+    heterogeneous deployment. Deliberately NOT caught by the per-row
+    poison-pill guards: misconfiguration must fail the stage, not
+    silently null one worker's rows."""
+
+
 def _use(name: str, local_has: bool) -> bool:
     if _PINNED is None:
         return local_has
     want = _PINNED.get(name, False)
     if want and not local_has:
-        raise RuntimeError(
+        raise BackendMismatchError(
             f"media backend {name!r} was pinned available by the driver "
             f"but is missing in this worker — install it on every "
             f"executor (or pin it off)")
@@ -221,19 +228,37 @@ def resize_images(media: DataFrame, width: int = 4, height: int = 4,
             for mid, content, meta in zip(pdf["media_id"], pdf["content"],
                                           pdf["meta"]):
                 content = bytes(content) if content is not None else b""
-                arr = resize_image(decode_image(content, fake=fake),
-                                   width, height)
                 meta = dict(meta or {})
                 meta.update({"w": str(width), "h": str(height),
                              "layout": "hwc-uint8"})
+                pixels, err = resize_row(content, fake, width, height)
+                if err is not None:
+                    meta["decode_error"] = err
                 rows.append({
                     "media_id": int(mid), "width": width, "height": height,
-                    "pixels": arr.tobytes(), "meta": meta,
+                    "pixels": pixels, "meta": meta,
                 })
             yield pd.DataFrame(
                 rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def resize_row(content: bytes, fake: bool, width: int,
+               height: int) -> tuple[bytes | None, str | None]:
+    """One row of resize_images: (pixel bytes, error class name).
+    Poison-pill guard on the REAL decode path: one corrupt/truncated
+    blob must not fail the whole stage (Spark retries the task 4x then
+    aborts the job) — the row survives with null pixels + the error
+    class for meta; the fake path never raises. NotImplementedError
+    (missing backend = misconfiguration) stays loud."""
+    try:
+        arr = resize_image(decode_image(content, fake=fake), width, height)
+        return arr.tobytes(), None
+    except (NotImplementedError, BackendMismatchError):
+        raise
+    except Exception as e:
+        return None, type(e).__name__
 
 
 def _feature_of(kind: str, content: bytes,
@@ -277,16 +302,34 @@ def extract_features(media: DataFrame, batch_partitions: int | None = None) -> D
             for mid, kind, content in zip(pdf["media_id"], pdf["kind"],
                                           pdf["content"]):
                 content = bytes(content) if content is not None else b""
+                feature = feature_row(kind, content, fake_map)
                 rows.append({
                     "media_id": int(mid),
                     "kind": kind,
                     "n_bytes": len(content),
                     "content_sha1": hashlib.sha1(content).hexdigest(),
-                    "feature": _feature_of(kind, content, fake_map).tolist(),
+                    "feature": feature,
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def feature_row(kind: str, content: bytes,
+                fake_map: dict[str, bool]) -> list | None:
+    """One row of extract_features: feature list, or None for a corrupt
+    blob on the real decode path (hash/bytes are still emitted — exact
+    dedup sees the row; see resize_row's poison-pill rationale).
+    Unknown kind (schema bug) and NotImplementedError (missing backend)
+    stay loud."""
+    if kind not in ("image", "audio", "video"):
+        raise ValueError(f"unknown media kind: {kind!r}")
+    try:
+        return _feature_of(kind, content, fake_map).tolist()
+    except (NotImplementedError, BackendMismatchError):
+        raise
+    except Exception:
+        return None
 
 
 def exact_media_dedup(features: DataFrame) -> DataFrame:

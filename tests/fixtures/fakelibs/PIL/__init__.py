@@ -16,7 +16,14 @@ class _Img:
         return a.astype(dtype) if dtype is not None else a.copy()
 
 
+class UnidentifiedImageError(OSError):
+    """Mirrors PIL.UnidentifiedImageError (raised on corrupt input)."""
+
+
 class Image:
     @staticmethod
     def open(fp):
+        if fp.read(7) == b"corrupt":
+            raise UnidentifiedImageError("cannot identify image file")
+        fp.seek(0)
         return _Img()

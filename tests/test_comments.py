@@ -162,6 +162,40 @@ def test_chase_comments_spark_and_join(spark):
     assert out["https://other.example.com/x"].comments is None
 
 
+def test_chase_skips_fake404_pages(spark):
+    """The reference's Fake404 middleware raises BEFORE the spider
+    callback, so a soft-404 page is never chased: no API request is
+    issued and no comments row is emitted (the page isn't an item —
+    it re-enters the frontier next round)."""
+    cont7, page7 = _urls("cont-7")
+    responses = {
+        cont7: {"content_container_uuid": CCID},
+        page7: {"contents": _comments(1), "more_available": False},
+    }
+    calls = []
+
+    def api(method, url, _r=responses, _c=calls):
+        _c.append(url)
+        return _r[url]
+
+    fake404 = ('<html><body><h1>Something has gone wrong</h1>'
+               + _page("cont-7") + "</body></html>")
+    pages = spark.createDataFrame(
+        [("https://www.foxnews.com/politics/ok", "www.foxnews.com",
+          _page("cont-7").encode()),
+         ("https://www.foxnews.com/politics/gone", "www.foxnews.com",
+          fake404.encode())],
+        "url_canon string, host string, html binary")
+    rows = {r.url_canon: r for r in
+            chase_comments(pages, api, SITE_UUID,
+                           host_filter="foxnews.com").collect()}
+    assert set(rows) == {"https://www.foxnews.com/politics/ok"}
+    assert rows["https://www.foxnews.com/politics/ok"].comment_status == "ok"
+    # driver-side check that the fake page triggered ZERO API traffic is
+    # not possible (calls mutate in the executor) — the absent row plus
+    # the ok row's success prove the gate fired per page, not per task
+
+
 def test_chase_bounds_lying_api():
     """more_available=true forever must terminate at max_pages."""
     cont, page = _urls()

@@ -220,6 +220,41 @@ def test_media_video_seam_via_ffmpeg_runner(monkeypatch):
     assert (frames[0].ravel() == np.arange(192)).all()
 
 
+def test_media_corrupt_blob_degrades_not_aborts(fake_media_libs):
+    """Poison-pill guard: one corrupt blob on the REAL decode path
+    yields (null pixels + error class) / null feature instead of an
+    exception that would fail the whole mapInPandas stage after Spark's
+    4 task retries. Missing-backend NotImplementedError stays loud."""
+    import pytest
+
+    mm = fake_media_libs
+    assert mm.HAS_PIL
+    # the double mirrors Pillow: corrupt bytes raise UnidentifiedImageError
+    with pytest.raises(Exception, match="cannot identify"):
+        mm.decode_image(b"corrupt...")
+    px, err = mm.resize_row(b"corrupt...", fake=False, width=2, height=2)
+    assert px is None and err == "UnidentifiedImageError"
+    px, err = mm.resize_row(b"png-bytes", fake=False, width=2, height=2)
+    assert err is None and len(px) == 2 * 2 * 3
+    fake_map = mm.use_fake_decode()
+    assert mm.feature_row("image", b"corrupt...", fake_map) is None
+    f = mm.feature_row("image", b"png-bytes", fake_map)
+    assert f is not None and len(f) == 64
+    with pytest.raises(ValueError, match="unknown media kind"):
+        mm.feature_row("pdf", b"x", fake_map)
+    # a pinned-but-missing backend is a misconfiguration, never
+    # swallowed into a null row (BackendMismatchError bypasses the guard)
+    mm.pin_backend({"image": True})
+    real_has = mm.HAS_PIL
+    try:
+        mm.HAS_PIL = False
+        with pytest.raises(mm.BackendMismatchError, match="pinned available"):
+            mm.resize_row(b"png-bytes", fake=False, width=2, height=2)
+    finally:
+        mm.HAS_PIL = real_has
+        mm.pin_backend(None)
+
+
 def test_media_pin_raises_when_backend_missing():
     import risjbot_spark.multimodal as mm
     assert not mm.HAS_PIL                  # container has no Pillow

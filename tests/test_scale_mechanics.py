@@ -443,6 +443,64 @@ def test_bloom_table_failed_fold_restores_pending(spark, tmp_path):
     assert maybe.count() >= len(p1)
 
 
+def test_bloom_table_empty_rebuild_and_reload(spark, tmp_path):
+    """rebuild_from an EMPTY key set (a warehouse whose only round
+    fetched nothing, engine re-init with a stale marker) must produce a
+    working empty filter — not crash on the schema-less partitioned dir
+    (a zero-row partitioned write leaves no parquet footers to read
+    back). Empty state = version 0: probe says definite-new for every
+    key, stale version dirs are GC'd, and the filter keeps working."""
+    from risjbot_spark.frontier.bloom_table import DistributedBloomTable
+
+    def df(rows):
+        return spark.createDataFrame(rows, "url_hash long")
+
+    tbl = DistributedBloomTable(spark, str(tmp_path / "bt7"), n_buckets=8,
+                                bits_per_bucket=1 << 12)
+    tbl.add_df(df([(xxhash64(f"k{i}"),) for i in range(50)]))
+    assert tbl.version >= 1 and tbl.n_keys == 50
+
+    tbl.rebuild_from(df([]))                 # empty membership
+    assert tbl.version == 0 and tbl.n_keys == 0
+    maybe, fresh = tbl.split_aligned(df([(xxhash64("k1"),)]))
+    assert maybe.count() == 0 and fresh.count() == 1
+
+    re = DistributedBloomTable.load(spark, str(tmp_path / "bt7"))
+    assert re.version == 0 and re.n_keys == 0
+    # and the empty filter accepts new keys normally
+    re.add_df(df([(xxhash64("new"),)]))
+    m2, f2 = re.split_aligned(df([(xxhash64("new"),), (xxhash64("zz"),)]))
+    assert m2.count() == 1 and f2.count() == 1
+
+
+def test_table_bloom_init_rebuild_writes_marker(spark, tmp_path):
+    """A stale-marker rebuild at engine construction is DURABLE (new
+    on-disk version), so the marker must be stamped then — otherwise
+    every later engine construction that doesn't complete a round
+    repeats the full seen scan + version rewrite."""
+    import os
+
+    from risjbot_spark.corpus import pages_df
+    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
+    from risjbot_spark.frontier.state import RefetchConfig
+
+    wh = str(tmp_path / "wh")
+    pages = pages_df(spark, 30, partitions=2)
+    seeds = pages.select("url").withColumn("priority", F.lit(0))
+    cfg = CrawlConfig(refetch=RefetchConfig(), num_partitions=4,
+                      collect_lineage=False, bloom_backend="table")
+    eng = CrawlEngine(spark, wh, pages, robots=None, cfg=cfg)
+    eng.run_round(seeds, 0, datetime(2017, 4, 1, tzinfo=timezone.utc))
+    marker = os.path.join(wh, "bloom", "seen_snapshot")
+    os.remove(marker)                        # simulate a stale marker
+    eng2 = CrawlEngine(spark, wh, pages, robots=None, cfg=cfg)
+    v_after_rebuild = eng2.bloom.version
+    assert os.path.exists(marker)            # stamped by the init rebuild
+    # a THIRD construction must find the marker fresh: no new rebuild
+    eng3 = CrawlEngine(spark, wh, pages, robots=None, cfg=cfg)
+    assert eng3.bloom.version == v_after_rebuild
+
+
 def test_engine_round_same_under_table_bloom_backend(spark, tmp_path):
     """A crawl run on the table-backed bloom must fetch exactly the same
     articles as the driver-backed run, survive engine re-construction
