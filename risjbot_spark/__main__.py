@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--comments-delay", type=float, default=0.0,
                    help="seconds between consecutive comment-API chases "
                         "per task")
+    c.add_argument("--comments-parallelism", type=int, default=4,
+                   help="max concurrent comment-API tasks (the Scrapy "
+                        "download-slot analogue; 0 = unbounded)")
+    c.add_argument("--comments-limit", type=int, default=100,
+                   help="comments per API page (cursor pagination size)")
 
     e = sub.add_parser("extract", help="one-shot extraction, no frontier state")
     e.add_argument("--pages", required=True)
@@ -144,6 +149,8 @@ def main(argv=None, spark=None) -> int:
         comments_host=args.comments_host,
         comments_site=args.comments_site,
         comments_delay_secs=args.comments_delay,
+        comments_parallelism=args.comments_parallelism,
+        comments_limit=args.comments_limit,
     )
     comments_api = None
     if args.comments_host:

@@ -33,10 +33,19 @@ def write_bucketed_pages(pages: DataFrame, table: str,
     catalog; no Hive needed). `buckets` sizes the per-bucket file to the
     executor-memory budget — at 100 TB / 512 MiB targets that is ~200k
     buckets, here a test-friendly default."""
+    from pyspark.sql import functions as F
+
     (
         with_canonical(pages)
         .select(pages["*"], "url_canon")
         .withColumnRenamed("url_canon", "page_url")
+        # align write tasks to buckets BEFORE bucketBy (Murmur3
+        # repartition == the bucketBy hash): without this every input
+        # task writes up to `buckets` files — tasks × buckets small
+        # files; at the 100 TB / ~200k-bucket target that is millions
+        # of tiny parquet files (same fix as snapshots.commit's
+        # bucketed path)
+        .repartition(buckets, F.col("page_url"))
         .write.mode("overwrite")
         .bucketBy(buckets, "page_url")
         .sortBy("page_url")

@@ -150,6 +150,7 @@ class CrawlEngine:
         self.cfg = cfg or CrawlConfig()
         self.fetcher = fetcher
         self._round_caches: list = []   # per-round persists, see run_round
+        self._rules_bc = None           # robots dict Broadcast, built once
         # S8: comment-API chase — injectable `api(method, url) -> dict`
         # (comments.urllib_api for live deployments). Bootstrap runs
         # ONCE per engine, driver-side, like the reference's
@@ -563,7 +564,15 @@ class CrawlEngine:
 
         # ---- robots (F11/J5)
         if self.rules_map:
-            fr = robots_filter(fr, self.rules_map, self.spark)
+            if self._rules_bc is None:
+                # broadcast ONCE per engine, not per round: re-shipping
+                # the full host→rules dict every round is repeated
+                # driver/executor work plus a leaked Broadcast per round
+                from .frontier.politeness import broadcast_rules
+
+                self._rules_bc = broadcast_rules(self.spark, self.rules_map)
+            fr = robots_filter(fr, self.rules_map, self.spark,
+                               bc=self._rules_bc)
         elif self.rules_df is not None:
             fr = robots_filter_df(fr, self.rules_df)
 

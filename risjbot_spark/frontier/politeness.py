@@ -101,18 +101,28 @@ def build_rules_map(robots_df: DataFrame) -> dict[str, RobotsRules]:
     }
 
 
-def robots_filter(frontier: DataFrame, rules_map: dict[str, RobotsRules],
-                  spark) -> DataFrame:
-    """F11/J5 — drop frontier rows a host's robots.txt disallows.
-
-    The rules dict is broadcast once; membership is a vectorized pandas
-    UDF (no join, no shuffle). Unknown hosts are allowed (reference
-    behavior: no robots.txt → crawl)."""
-    from pyspark.sql.functions import pandas_udf
-
-    bc = spark.sparkContext.broadcast(
+def broadcast_rules(spark, rules_map: dict[str, RobotsRules]):
+    """Broadcast the normalized rules dict ONCE — long-lived callers
+    (CrawlEngine) hold the returned Broadcast across rounds instead of
+    re-shipping the full dict to every executor each round (and leaving
+    a dead Broadcast per round for the ContextCleaner)."""
+    return spark.sparkContext.broadcast(
         {_norm_host(h): r for h, r in rules_map.items()}
     )
+
+
+def robots_filter(frontier: DataFrame, rules_map: dict[str, RobotsRules],
+                  spark, bc=None) -> DataFrame:
+    """F11/J5 — drop frontier rows a host's robots.txt disallows.
+
+    The rules dict is broadcast once (pass a broadcast_rules() handle to
+    reuse it across calls); membership is a vectorized pandas UDF (no
+    join, no shuffle). Unknown hosts are allowed (reference behavior:
+    no robots.txt → crawl)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if bc is None:
+        bc = broadcast_rules(spark, rules_map)
 
     @pandas_udf(T.BooleanType())
     def robots_allowed(host: pd.Series, url: pd.Series) -> pd.Series:
@@ -221,8 +231,10 @@ def robots_filter_df(frontier: DataFrame, rules_df: DataFrame) -> DataFrame:
         F.col("host_norm").isNull()
         | (F.coalesce(amax, F.lit(-1)) >= F.coalesce(dmax, F.lit(-2)))
     )
-    return joined.filter(allowed).drop("host_norm", "disallow", "allow",
-                                       "crawl_delay", "sitemaps")
+    # drop ONLY the three columns this join added — naming never-joined
+    # rule columns here would silently delete a frontier-owned column of
+    # the same name if one ever appeared
+    return joined.filter(allowed).drop("host_norm", "disallow", "allow")
 
 
 def host_budgets_df(rules_df: DataFrame, round_seconds: int) -> DataFrame:

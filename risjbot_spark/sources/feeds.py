@@ -69,7 +69,12 @@ def parse_feed(body: bytes, kind_hint: str | None = None) -> list[dict]:
     root tag; sitemapindex children come back as kind='sitemapindex-child'
     for the driver loop to re-queue."""
     if body[:2] == b"\x1f\x8b":  # gzipped sitemap (S3 path)
-        body = gzip.decompress(body)
+        try:
+            body = gzip.decompress(body)
+        except (OSError, EOFError):
+            # truncated/corrupt gzip body: skip this feed like any
+            # malformed XML — one bad sitemap must not fail the stage
+            return []
     try:
         root = ET.fromstring(body)
     except ET.ParseError:
@@ -90,8 +95,13 @@ def parse_feed(body: bytes, kind_hint: str | None = None) -> list[dict]:
             if _localname(entry.tag) != "entry":
                 continue
             for child in entry:
-                if _localname(child.tag) == "link" and child.get("href"):
-                    url = child.get("href")
+                # strip BEFORE the emptiness check (matching the
+                # text.strip() guards on the rss/sitemap paths) — a
+                # whitespace-only href must not become an empty
+                # frontier URL
+                url = (child.get("href") or "").strip() \
+                    if _localname(child.tag) == "link" else ""
+                if url:
                     rows.append({"url": url, "kind": "atom", "meta": {}})
     elif rtag == "sitemapindex":
         for sm in root:
@@ -203,7 +213,16 @@ def sitemaps_from_robots(robots: DataFrame) -> DataFrame:
     """S3 robots-discovery path: hosts' robots.txt `Sitemap:` lines become
     sitemap seeds (the reference gets this from
     scrapy.utils.sitemap.sitemap_urls_from_robots via
-    /root/reference/RISJbot/spiders/newssitemapspider.py:36-39)."""
+    /root/reference/RISJbot/spiders/newssitemapspider.py:36-39).
+
+    DELIBERATELY scrapy-exact, NOT parse_robots-consistent: scrapy's
+    sitemap_urls_from_robots matches `line.lstrip().lower()
+    .startswith('sitemap:')` and takes everything after the first colon
+    — no '#' comment stripping, no tolerance for a space before the
+    colon — so a line `Sitemap: https://x/s.xml # idx` yields the
+    trailing comment as part of the URL in the reference too. The
+    RFC-9309 parser (politeness.parse_robots) is stricter by design;
+    this path reproduces the reference's seed list byte-for-byte."""
     sm = F.expr(
         r"""filter(transform(split(robots_txt, '\r?\n'),
                    l -> CASE WHEN lower(trim(l)) LIKE 'sitemap:%'

@@ -83,6 +83,26 @@ def test_invalid_xml_yields_nothing():
     assert parse_feed(b"this is not xml <<<") == []
 
 
+def test_corrupt_gzip_yields_nothing():
+    """A truncated .xml.gz body (gzip magic, broken stream) is skipped
+    like malformed XML — one bad sitemap must never fail the stage."""
+    truncated = gzip.compress(URLSET)[:20]
+    assert truncated[:2] == b"\x1f\x8b"
+    assert parse_feed(truncated) == []
+    assert parse_feed(b"\x1f\x8b not really gzip") == []
+
+
+def test_atom_whitespace_href_skipped():
+    """A whitespace-only Atom href must not become an empty frontier
+    URL (strip happens before the emptiness check, matching the
+    rss/sitemap text.strip() guards)."""
+    atom = (b'<feed xmlns="http://www.w3.org/2005/Atom">'
+            b'<entry><link href="  "/><link href=" https://h/ok "/></entry>'
+            b"</feed>")
+    rows = parse_feed(atom)
+    assert [r["url"] for r in rows] == ["https://h/ok"]
+
+
 def test_expand_feeds_spark(spark):
     feeds = spark.createDataFrame(
         [("https://h/rss", RSS), ("https://h/atom", ATOM)],
