@@ -29,25 +29,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: crawl the documents-derived
-    corpus for one round and return (url, headline, bodytext-derived cols)."""
+_TEMP_WAREHOUSES: list[str] = []
+
+
+def _crawl_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE crawl round over the documents-derived corpus of `sf_dir` →
+    the committed articles table. Shared by entry() and the
+    oracle-checked crawl_round query so the engine recipe (config,
+    round timestamp, partitioning) can never drift between them. The
+    throwaway warehouse is removed at process exit (not earlier: the
+    returned DataFrame lazily reads its parquet files)."""
+    import atexit
+    import shutil
+
     from risjbot_spark.corpus import docs_to_pages
     from risjbot_spark.crawl import CrawlConfig, CrawlEngine
     from risjbot_spark.frontier.state import RefetchConfig
 
-    sf_dir = "/root/testdata/sf0.001"
     pages = docs_to_pages(spark, sf_dir, partitions=8)
     seeds = pages.select("url").withColumn("priority", F.lit(0))
     wh = tempfile.mkdtemp(prefix="risjbot_entry_")
+    if not _TEMP_WAREHOUSES:
+        atexit.register(lambda: [shutil.rmtree(d, ignore_errors=True)
+                                 for d in _TEMP_WAREHOUSES])
+    _TEMP_WAREHOUSES.append(wh)
     eng = CrawlEngine(
         spark, wh, pages, robots=None,
         cfg=CrawlConfig(refetch=RefetchConfig(), num_partitions=8,
                         collect_lineage=False),
     )
     eng.run_round(seeds, 0, datetime(2017, 4, 1, tzinfo=timezone.utc))
+    return eng.articles_table.read()
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001: crawl the documents-derived
+    corpus for one round and return (url, headline, bodytext-derived cols)."""
     return (
-        eng.articles_table.read()
+        _crawl_articles(spark, "/root/testdata/sf0.001")
         .select("url_canon", "source", "headline", "section", "language",
                 "bodytext", "wordcount", "sentiment", "subjectivity",
                 "fleschreadingease", "status")
@@ -60,20 +79,8 @@ def _crawl_round_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked: every document fetches exactly once in round 0 (seeds =
     all urls, budget unbounded, no robots), extraction recovers the
     generator-known headline and the document text verbatim."""
-    from risjbot_spark.corpus import docs_to_pages
-    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
-    from risjbot_spark.frontier.state import RefetchConfig
-
-    pages = docs_to_pages(spark, sf_dir, partitions=8)
-    seeds = pages.select("url").withColumn("priority", F.lit(0))
-    wh = tempfile.mkdtemp(prefix="risjbot_q_")
-    eng = CrawlEngine(spark, wh, pages, robots=None,
-                      cfg=CrawlConfig(refetch=RefetchConfig(),
-                                      num_partitions=8,
-                                      collect_lineage=False))
-    eng.run_round(seeds, 0, datetime(2017, 4, 1, tzinfo=timezone.utc))
     return (
-        eng.articles_table.read()
+        _crawl_articles(spark, sf_dir)
         .select("url_canon", "headline",
                 F.col("wordcount").cast("long").alias("wordcount"),
                 "status")

@@ -701,12 +701,15 @@ def q_quality_score(spark, sf):
     """Quality scoring: length / mean word length / stopword ratio —
     the usual pre-training filters, all expressions."""
     d = _t(spark, sf, "documents")
-    n_chars = F.length(F.col("text"))
+    # text_len, NOT n_chars: the documents table has its own n_chars
+    # column (selected below as n_chars_meta) — one name for two
+    # different quantities is a trap for future edits
+    text_len = F.length(F.col("text"))
     n_words = F.size(F.split(F.trim("text"), r"\s+"))
     low = F.concat(F.lit(" "), F.lower(F.trim("text")), F.lit(" "))
     stop_hits = F.size(F.split(low, r" (?:the|a|of|and|to|in) ")) - 1
     score = (
-        F.when(n_chars < 100, 0.0)
+        F.when(text_len < 100, 0.0)
         .otherwise(
             F.least(F.lit(1.0), F.round(
                 0.5 * F.least(F.lit(1.0), n_words / F.lit(200.0))
@@ -1244,7 +1247,7 @@ v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM th GROUP BY doc_id),
 fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM v)
 SELECT doc_id, simhash FROM fp ORDER BY doc_id"""
 
-def _kmeans_cte() -> str:
+def _kmeans_cte() -> tuple[str, str]:
     """Unrolled Lloyd iterations as DuckDB CTEs — mechanically mirrors
     _kmeans_cents (seeded init, argmin assignment with centroid-id tie
     break, per-iteration round(avg, 6) quantization)."""
@@ -1517,12 +1520,20 @@ ORACLE_SQL = {
         SELECT doc_a, doc_b,
                round(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
         FROM j
-        WHERE n_common * 1.0 / (na + nb - n_common) >= 0.5
+        WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= 0.5
         ORDER BY doc_a, doc_b""",
+    # str.split() semantics like the Spark side (wordcount_expr): split
+    # on whitespace RUNS and DROP empty tokens, so leading/trailing \n
+    # or \t never count (trim() strips spaces only — the empty-token
+    # filter is the robust form; same construction as __spark_entry__'s
+    # _DOC_WORDCOUNT_SQL). Residual latent gap: DuckDB RE2 \s is ASCII
+    # while Python str.split() also splits U+00A0 etc. — no such
+    # characters exist in the generated corpus
     "wordcount": """
         SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS wc
+               len(list_filter(string_split_regex(coalesce(text, ''),
+                                                  '\\s+'),
+                               x -> x <> '')) AS wc
         FROM documents ORDER BY doc_id""",
     "lang_id": """
         WITH t AS (

@@ -45,6 +45,13 @@ def main(sf_dir: str, only: list[str]):
     QUERIES = entry.queries()
     ORACLE_SQL = entry.oracle_sql()
 
+    # validate the subset BEFORE paying SparkSession startup: a typo'd
+    # query name fails in milliseconds, with no session left behind
+    unknown = [n for n in (only or []) if n not in QUERIES]
+    if unknown:
+        print(f"FAIL  unknown query name(s): {unknown}")
+        return 1
+
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -57,11 +64,6 @@ def main(sf_dir: str, only: list[str]):
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-
-    unknown = [n for n in (only or []) if n not in QUERIES]
-    if unknown:
-        print(f"FAIL  unknown query name(s): {unknown}")
-        return 1
     failures = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
