@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from .frontier.bloom import PartitionedBloom
 from .frontier.politeness import (
-    _norm_host_expr,
     build_rules_map,
     fetch_order_key,
     host_budgets,
@@ -238,7 +237,8 @@ class CrawlEngine:
                 from .frontier.bloom_table import DistributedBloomTable
 
                 loaded = DistributedBloomTable.load(spark, self._bloom_dir)
-                if loaded is not None and self._bloom_marker() == cur:
+                if (loaded is not None
+                        and self._bloom_marker() == (cur, "table")):
                     self.bloom = loaded
                 elif loaded is not None:
                     # stale vs the seen snapshot (rollback/time travel):
@@ -263,7 +263,8 @@ class CrawlEngine:
             else:
                 loaded = PartitionedBloom.load(self._bloom_dir)
                 self.bloom = loaded
-                if self.bloom is not None and self._bloom_marker() != cur:
+                if (self.bloom is not None
+                        and self._bloom_marker() != (cur, "driver")):
                     self.bloom = None
                 if self.bloom is None:
                     # a stale checkpoint's SIZE is still the right size:
@@ -359,15 +360,25 @@ class CrawlEngine:
         """Seen-table snapshot id the bloom checkpoint was written against."""
         try:
             with open(os.path.join(self._bloom_dir, "seen_snapshot")) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
-            return None
+                parts = f.read().split()
+            sid = int(parts[0])
+            backend = parts[1] if len(parts) > 1 else None
+            return sid, backend
+        except (FileNotFoundError, ValueError, IndexError):
+            return None, None
 
     def _write_bloom_marker(self) -> None:
+        # the marker records WHICH backend's checkpoint it validates:
+        # the two backends keep separate on-disk state (meta.json vs
+        # bloom.npz) in the same dir, and a backend switch mid-warehouse
+        # would otherwise accept the OTHER backend's stale filter as
+        # fresh — keys fetched under the other backend would read
+        # definite-new and bypass the authoritative seen join
         path = os.path.join(self._bloom_dir, "seen_snapshot")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            f.write(str(self.seen_table.current_snapshot_id()))
+            f.write(f"{self.seen_table.current_snapshot_id()}\n"
+                    f"{self.cfg.bloom_backend}")
         os.replace(tmp, path)
 
     # ------------------------------------------------------------------
@@ -392,12 +403,11 @@ class CrawlEngine:
         base = self.seen_table.read_dir(first, man).select(*self._SEEN_COLS)
         if not rest:
             return base, None
-        from functools import reduce
-
-        deltas = reduce(
-            lambda a, b: a.unionByName(b),
-            [self.spark.read.parquet(d).select(*self._SEEN_COLS)
-             for d in rest])
+        # ONE multi-path relation, not a reduce of per-dir unions: the
+        # deltas are flat dirs with one schema (the shape checks above),
+        # and a union chain grows the plan by a node per round —
+        # re-analyzed by every consumer on the round critical path
+        deltas = self.spark.read.parquet(*rest).select(*self._SEEN_COLS)
         return base, deltas
 
     def seen(self) -> DataFrame:
@@ -551,14 +561,22 @@ class CrawlEngine:
         # cache the assembled frontier whenever something downstream will
         # evaluate it more than once: the bloom split's union-of-filters
         # executes its upstream once per branch (and compaction rounds
-        # re-execute `scheduled` a third time via trim_seen) — without
-        # the cache the whole canonicalize+trawl+dedup assembly re-runs
-        # per branch EVERY round, not just on the lineage path
+        # read it again via trim_seen's requested-keys protection) —
+        # without the cache the whole canonicalize+trawl+dedup assembly
+        # re-runs per branch EVERY round, not just on the lineage path
         fr_cached = None
         if cfg.collect_lineage or (cfg.use_bloom and self.bloom is not None):
             fr_cached = fr.cache()
             self._round_caches.append(fr_cached)
             fr = fr_cached
+        # keysrqd parity (refetchcontrol.py:231-232): the reference
+        # registers every key the spider REQUESTS — before its own gate,
+        # before robots, before download slots — and trim protects that
+        # set. Capture the requested keys here (pre-robots, pre-gate):
+        # protecting only post-gate `scheduled` keys would let trim
+        # delete a stale-but-still-seeded key's row, resetting its fetch
+        # history and re-fetching it from scratch every agelimit cycle
+        requested_keys = fr.select("url_hash")
         if cfg.collect_lineage:
             lineage["frontier_in"] = fr.count()
 
@@ -609,16 +627,17 @@ class CrawlEngine:
             eligible = gate(fr)
         eligible = _observe(eligible, "after_seen_gate")
 
-        # ---- politeness (W1/W3) + deterministic order
+        # ---- politeness (W1/W3) + deterministic order. Live-fetch mode
+        # rides crawl_delay on the budget join (one budgets_df join per
+        # round, not two keyed by the same normalized host)
         scheduled = politeness_schedule(
             eligible, self.budgets, cfg.default_budget, self.spark,
             budgets_df=self.budgets_df, max_budget=self._max_budget,
+            keep_crawl_delay=(self.fetcher is not None
+                              and self.budgets_df is not None),
         )
         if with_order_audit:
             scheduled = fetch_order_key(scheduled)
-        # the trim path re-executes `scheduled` on compaction rounds; an
-        # Observation is single-action, so only the fetch path is observed
-        scheduled_plain = scheduled
         scheduled = _observe(scheduled, "scheduled")
 
         # ---- fetch stage. Corpus-join mode (this harness): the per-round
@@ -633,20 +652,13 @@ class CrawlEngine:
             # paced-fetch mode: salted layout + in-task Crawl-delay pacing;
             # non-2xx responses drop here (Scrapy's HttpError default —
             # they never reach the spider, so no item and no seen upsert).
-            # Scale path: the per-row crawl_delay joins on from the
-            # budgets table (Crawl-delay hosts only — small) instead of
-            # shipping a host→delay dict to every task.
-            sched_in = scheduled
-            if self.budgets_df is not None:
-                sched_in = sched_in.join(
-                    self.budgets_df.select(
-                        F.col("host_norm").alias("_cd_host"), "crawl_delay"),
-                    _norm_host_expr(F.col("host")) == F.col("_cd_host"),
-                    "left",
-                ).drop("_cd_host")
+            # Scale path: the per-row crawl_delay rides the politeness
+            # budget join (keep_crawl_delay above — Crawl-delay hosts
+            # only, small) instead of a second join or a host→delay
+            # dict shipped to every task.
             fetched = (
                 fetch_stage(
-                    sched_in, self.fetcher, rules_map=self.rules_map,
+                    scheduled, self.fetcher, rules_map=self.rules_map,
                     num_partitions=cfg.num_partitions, salt=cfg.salt or 8,
                 )
                 .filter((F.col("status") >= 200) & (F.col("status") < 300))
@@ -746,15 +758,25 @@ class CrawlEngine:
             articles = articles.cache()
             self._round_caches.append(articles)
             items = articles.filter(F.col("status") != "fake404")
-            lineage["fetched"] = articles.count()
-            lineage["extracted"] = articles.filter(F.col("status") == "ok").count()
-            lineage["fake404_dropped"] = lineage["fetched"] - items.count()
-            # F9 CheckContent (pipelines/checkcontent.py:6-12): flag items
+            # ONE aggregation job over the cached articles, not four
+            # count() actions (each a full scan of the html-bearing
+            # cache + a driver round-trip). no_bodytext is F9
+            # CheckContent (pipelines/checkcontent.py:6-12): items
             # without bodytext unless the URL is picture/video/gallery
-            lineage["no_bodytext"] = items.filter(
-                F.col("bodytext").isNull()
-                & ~F.col("url_canon").rlike("picture|video|gallery")
-            ).count()
+            not404 = F.col("status") != "fake404"
+            counts = articles.agg(
+                F.count(F.lit(1)).alias("fetched"),
+                F.sum((F.col("status") == "ok").cast("long"))
+                .alias("extracted"),
+                F.sum((~not404).cast("long")).alias("fake404_dropped"),
+                F.sum((not404 & F.col("bodytext").isNull()
+                       & ~F.col("url_canon").rlike("picture|video|gallery"))
+                      .cast("long")).alias("no_bodytext"),
+            ).first()
+            lineage["fetched"] = counts["fetched"]
+            lineage["extracted"] = int(counts["extracted"] or 0)
+            lineage["fake404_dropped"] = int(counts["fake404_dropped"] or 0)
+            lineage["no_bodytext"] = int(counts["no_bodytext"] or 0)
 
         # ---- S8 comment chase (host-gated): runs BEFORE the commit, as
         # the reference chases inline before yielding the item — so a
@@ -849,15 +871,18 @@ class CrawlEngine:
                 new_seen = merge_seen(seen, fetched_keys, round_ts)
             if cfg.refetch.trimdb:
                 # protect REQUESTED keys, as the reference's keysrqd does
-                # (refetchcontrol.py:150-193) — a scheduled key whose
-                # fetch failed (missing page, fake404) must survive the
-                # trim to be retried. Fetched keys can never be stale
-                # (their last_fetch is this round), so passing them here
-                # was a no-op; `scheduled` recomputes the gate pipeline,
-                # acceptable on the rare compaction round.
+                # (refetchcontrol.py:150-193, updated at :231-232 BEFORE
+                # the gate decision) — the protection set is the
+                # PRE-GATE frontier, not post-gate `scheduled`: a
+                # stale-but-still-seeded key is gate-dropped every round
+                # (age > agelimit), and protecting only scheduled keys
+                # would trim its row, reset its fetch history, and
+                # re-fetch it from scratch each agelimit cycle — the
+                # reference keeps such keys alive and never re-fetches.
+                # `requested_keys` reads the cached frontier (no
+                # pipeline recompute on the compaction round).
                 new_seen = trim_seen(
-                    new_seen, scheduled_plain.select("url_hash"),
-                    cfg.refetch, round_ts)
+                    new_seen, requested_keys, cfg.refetch, round_ts)
             # base partitions by last-fetch day (the pruned trawl skips
             # day directories outside its window — SURVEY §4) and, on
             # the bucketed path, clusters by url_hash so next rounds'

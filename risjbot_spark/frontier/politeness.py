@@ -285,6 +285,7 @@ def politeness_schedule(
     presplit_salt: int = 32,
     budgets_df: DataFrame | None = None,
     max_budget: int | None = None,
+    keep_crawl_delay: bool = False,
 ) -> DataFrame:
     """W1/W3 — per-host window rank by (priority DESC, discovered_ts,
     url_hash); keep rows within the host's budget. The rank IS the
@@ -321,8 +322,14 @@ def politeness_schedule(
     stays driver-side."""
     drop_cols = []
     if budgets_df is not None:
+        # keep_crawl_delay: the live fetch stage needs the per-host
+        # Crawl-delay for in-task pacing — riding it on THIS join spares
+        # the engine a second budgets_df join keyed by the same
+        # normalized host (the rows carry `crawl_delay` out)
+        bd_cols = ["host_norm", "budget"] + (
+            ["crawl_delay"] if keep_crawl_delay else [])
         frontier = frontier.join(
-            budgets_df.select("host_norm", "budget"),
+            budgets_df.select(*bd_cols),
             _norm_host_expr(F.col("host")) == F.col("host_norm"), "left")
         budget_col = F.coalesce(F.col("budget"), F.lit(default_budget))
         drop_cols = ["host_norm", "budget"]

@@ -729,6 +729,34 @@ def test_resumed_run_keeps_clock_and_outlinks(spark, corpus, tmp_path):
     assert r2 > 0
 
 
+def test_trim_protects_requested_but_gate_dropped_keys(spark, tmp_path):
+    """keysrqd parity (refetchcontrol.py:231-232): the reference
+    registers every REQUESTED key before its gate decides, so a seeded
+    key whose seen row aged past agelimit — gate-dropped every round —
+    still survives the compaction trim. Protecting only post-gate
+    scheduled keys would delete the row, reset previousfetches, and
+    re-fetch the seed from scratch every agelimit cycle (the reference
+    never re-fetches such keys)."""
+    pages = pages_df(spark, 12, partitions=2).cache()
+    seeds = pages.select("url").withColumn("priority", F.lit(0))
+    cfg = CrawlConfig(
+        refetch=RefetchConfig(maxfetches=8, refetchsecs=100, agelimit=250),
+        trim_every=2, num_partitions=4, collect_lineage=False,
+        use_bloom=False,
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), pages, None, cfg)
+    eng.run_round(seeds, 0, START)                       # fetches=1
+    before = {r["url_hash"]: r["fetches"] for r in eng.seen().collect()}
+    assert before and set(before.values()) == {1}
+    # both later rounds run far past agelimit: the gate drops every key
+    # (age > 250), round 2 compacts+trims — the seeds were REQUESTED, so
+    # their rows must survive with history intact
+    eng.run_round(seeds, 1, START + timedelta(seconds=1000))
+    eng.run_round(seeds, 2, START + timedelta(seconds=1100))
+    after = {r["url_hash"]: r["fetches"] for r in eng.seen().collect()}
+    assert after == before                   # not trimmed, not re-fetched
+
+
 def test_pages_precanonicalized_contract(spark, tmp_path):
     """ADVICE #3: the page_url fast path is gated by an explicit
     contract — True requires the column, False ignores an unrelated

@@ -1,7 +1,7 @@
 """Scale mechanics (north_rule): hot-host skew handling and ordering
 determinism across parallelism levels."""
 
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 import pytest
 from pyspark.sql import functions as F
@@ -499,6 +499,49 @@ def test_table_bloom_init_rebuild_writes_marker(spark, tmp_path):
     # a THIRD construction must find the marker fresh: no new rebuild
     eng3 = CrawlEngine(spark, wh, pages, robots=None, cfg=cfg)
     assert eng3.bloom.version == v_after_rebuild
+
+
+def test_bloom_marker_is_backend_scoped(spark, tmp_path):
+    """The seen_snapshot marker names the backend it validates: after
+    rounds under one backend, constructing the engine with the OTHER
+    backend must rebuild its filter from the seen table instead of
+    trusting the other backend's marker — a stale filter missing those
+    rounds' keys would read them definite-new and bypass the
+    authoritative seen join."""
+    import os
+
+    pages = pages_df(spark, 20, partitions=2)
+    seeds = pages.select("url").withColumn("priority", F.lit(0))
+    t0 = datetime(2017, 4, 1, tzinfo=timezone.utc)
+
+    def cfg(backend):
+        return CrawlConfig(refetch=RefetchConfig(), num_partitions=4,
+                           collect_lineage=False, bloom_backend=backend)
+
+    wh = str(tmp_path / "wh")
+    eng = CrawlEngine(spark, wh, pages, robots=None, cfg=cfg("table"))
+    seeds1 = seeds.limit(0).unionByName(
+        spark.createDataFrame([(url_for(i),) for i in range(10)],
+                              "url string")
+        .withColumn("priority", F.lit(0)))
+    eng.run_round(seeds1, 0, t0)
+    marker = open(os.path.join(wh, "bloom", "seen_snapshot")).read().split()
+    assert marker[1] == "table"
+    # rounds under the DRIVER backend add 10 NEW keys to seen and keep
+    # the marker current — but only for the driver's checkpoint; the
+    # table backend's meta.json still reflects round 0
+    eng2 = CrawlEngine(spark, wh, pages, robots=None, cfg=cfg("driver"))
+    eng2.run_round(seeds, 1, t0 + timedelta(seconds=1))
+    # back to the table backend: pre-fix, the driver-maintained marker
+    # (current snapshot id) validated the STALE table filter — the 10
+    # driver-round keys read definite-new and bypass the seen join.
+    # The backend-scoped marker forces a rebuild from seen instead.
+    eng3 = CrawlEngine(spark, wh, pages, robots=None, cfg=cfg("table"))
+    hs = [(r["url_hash"],) for r in eng3.seen().collect()]
+    assert len(hs) == 20
+    maybe, fresh = eng3.bloom.split(
+        spark.createDataFrame(hs, "url_hash long"), spark)
+    assert maybe.count() == 20 and fresh.count() == 0
 
 
 def test_engine_round_same_under_table_bloom_backend(spark, tmp_path):
