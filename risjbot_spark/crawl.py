@@ -356,12 +356,16 @@ class CrawlEngine:
             stats={"last_fetch_range": [a_ts, a_ts]},
         )
 
-    def _bloom_marker(self) -> int | None:
-        """Seen-table snapshot id the bloom checkpoint was written against."""
+    def _bloom_marker(self) -> "tuple[int | None, str | None]":
+        """(seen-snapshot id, backend) the bloom checkpoint was written
+        against. The id is None when the marker was stamped over an
+        empty/rolled-back table (current_snapshot_id() was None) — it
+        must round-trip as None, not fail int(), or an engine over an
+        empty table repeats the full rebuild on every construction."""
         try:
             with open(os.path.join(self._bloom_dir, "seen_snapshot")) as f:
                 parts = f.read().split()
-            sid = int(parts[0])
+            sid = None if parts[0] == "None" else int(parts[0])
             backend = parts[1] if len(parts) > 1 else None
             return sid, backend
         except (FileNotFoundError, ValueError, IndexError):
@@ -403,10 +407,21 @@ class CrawlEngine:
         base = self.seen_table.read_dir(first, man).select(*self._SEEN_COLS)
         if not rest:
             return base, None
-        # ONE multi-path relation, not a reduce of per-dir unions: the
-        # deltas are flat dirs with one schema (the shape checks above),
-        # and a union chain grows the plan by a node per round —
-        # re-analyzed by every consumer on the round critical path
+        # ONE multi-path relation, not a reduce of per-dir unions: a
+        # union chain grows the plan by a node per round, re-analyzed by
+        # every consumer on the round critical path. The multi-path read
+        # samples ONE footer for the schema, so a deficient dir (older /
+        # divergent writer missing a _SEEN_COL) would silently null-fill
+        # instead of failing analysis — check each dir's columns once
+        # here (driver-side footer read, ≤ trim_every dirs) to keep the
+        # per-dir read's loud failure mode
+        expected = set(self._SEEN_COLS)
+        for d in rest:
+            missing = expected - set(self.spark.read.parquet(d).columns)
+            if missing:
+                raise RuntimeError(
+                    f"seen delta dir {d} lacks column(s) {sorted(missing)}"
+                    " — written by an incompatible engine version?")
         deltas = self.spark.read.parquet(*rest).select(*self._SEEN_COLS)
         return base, deltas
 
@@ -560,12 +575,17 @@ class CrawlEngine:
 
         # cache the assembled frontier whenever something downstream will
         # evaluate it more than once: the bloom split's union-of-filters
-        # executes its upstream once per branch (and compaction rounds
-        # read it again via trim_seen's requested-keys protection) —
-        # without the cache the whole canonicalize+trawl+dedup assembly
-        # re-runs per branch EVERY round, not just on the lineage path
+        # executes its upstream once per branch, and trim rounds read it
+        # again via trim_seen's requested-keys protection — without the
+        # cache the whole canonicalize+trawl+dedup assembly re-runs per
+        # consumer (worse: requested_keys would re-evaluate AFTER this
+        # round's articles commit, so a frontier that reads crawl state
+        # could protect a different key set than was actually requested)
         fr_cached = None
-        if cfg.collect_lineage or (cfg.use_bloom and self.bloom is not None):
+        trim_round = (cfg.refetch.trimdb and cfg.trim_every > 0
+                      and round_no > 0 and round_no % cfg.trim_every == 0)
+        if (cfg.collect_lineage or trim_round
+                or (cfg.use_bloom and self.bloom is not None)):
             fr_cached = fr.cache()
             self._round_caches.append(fr_cached)
             fr = fr_cached
@@ -835,9 +855,9 @@ class CrawlEngine:
             articles.unpersist()
             for name, obs in observations.items():
                 lineage[name] = obs.get["n"]
-        # fr_cached stays persisted until after the seen commit: the trim
-        # path re-executes `scheduled` (derived from fr) on compaction
-        # rounds; it is unpersisted at the end of the round
+        # fr_cached stays persisted until after the seen commit: trim
+        # rounds read it again via `requested_keys`; it is unpersisted
+        # at the end of the round
         delta_dir = self.articles_table.manifest()["files"][-1]
         self.last_delta_dir = delta_dir
         fetched_keys = self.spark.read.parquet(delta_dir).select(
@@ -879,8 +899,11 @@ class CrawlEngine:
                 # would trim its row, reset its fetch history, and
                 # re-fetch it from scratch each agelimit cycle — the
                 # reference keeps such keys alive and never re-fetches.
-                # `requested_keys` reads the cached frontier (no
-                # pipeline recompute on the compaction round).
+                # `requested_keys` reads the cached frontier (trim
+                # rounds always cache it — see trim_round above): no
+                # pipeline recompute, and the protected set is exactly
+                # what this round requested even if the frontier
+                # assembly reads state the round has since committed.
                 new_seen = trim_seen(
                     new_seen, requested_keys, cfg.refetch, round_ts)
             # base partitions by last-fetch day (the pruned trawl skips

@@ -201,3 +201,61 @@ def test_rules_df_holds_many_hosts(spark):
     # budgets table materializes distributed too: n/5 Crawl-delay hosts
     budgets = host_budgets_df(rules, 10)
     assert budgets.count() == n // 5
+
+
+def test_live_fetch_scale_path_carries_crawl_delay(spark, tmp_path,
+                                                   monkeypatch):
+    """keep_crawl_delay: live-fetch mode on the robots scale path rides
+    the per-host Crawl-delay on the politeness budget join — fetch_stage
+    receives it as a per-row column (no host→delay dict shipped), with
+    the robots value for Crawl-delay hosts and null elsewhere — and the
+    column is dropped before extraction/commit."""
+    import risjbot_spark.crawl as C
+    from risjbot_spark.urlnorm import canonicalize_py
+
+    corpus = pages_df(spark, 60, partitions=4)
+    robots = spark.createDataFrame(robots_rows(), ROBOTS_SCHEMA)
+    web = {canonicalize_py(r["url"]): (bytes(r["html"]), r["warc_ts"])
+           for r in corpus.select("url", "html", "warc_ts").collect()}
+
+    def fake_fetch(url):
+        hit = web.get(url)
+        if hit is None:
+            return (404, None, "")
+        body, ts = hit
+        return (200, body, ts.strftime("%a, %d %b %Y %H:%M:%S GMT"))
+
+    captured = {}
+    real_fetch_stage = C.fetch_stage
+
+    def spy(scheduled, fetcher, **kw):
+        captured["cols"] = scheduled.columns
+        if "crawl_delay" in scheduled.columns:
+            captured["delays"] = {
+                r["host"]: r["crawl_delay"]
+                for r in scheduled.select("host", "crawl_delay")
+                .distinct().collect()}
+        kw["sleep_fn"] = lambda s: None      # no wall-clock pacing in test
+        return real_fetch_stage(scheduled, fetcher, **kw)
+
+    monkeypatch.setattr(C, "fetch_stage", spy)
+    cfg = CrawlConfig(refetch=RefetchConfig(maxfetches=3, refetchsecs=3600),
+                      robots_scale_path=True, default_budget=1000,
+                      round_seconds=10, num_partitions=4,
+                      collect_lineage=False, use_bloom=False)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), corpus, robots, cfg,
+                      fetcher=fake_fetch)
+    seeds = corpus.select("url").withColumn("priority", F.lit(0))
+    eng.run_round(seeds, 0, START)
+
+    assert "crawl_delay" in captured["cols"]
+    delays = captured["delays"]
+    # robots fixture: theguardian sets Crawl-delay 1; every other host
+    # has no delay directive → null rides through the left join
+    assert delays["www.theguardian.com"] == 1.0
+    assert all(v is None for h, v in delays.items()
+               if h != "www.theguardian.com")
+    arts = eng.articles_table.read()
+    assert "crawl_delay" not in arts.columns
+    assert arts.count() > 0
+    assert arts.filter(F.col("host") == "www.theguardian.com").count() > 0

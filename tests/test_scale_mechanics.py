@@ -567,3 +567,50 @@ def test_engine_round_same_under_table_bloom_backend(spark, tmp_path):
                       for r in eng.articles_table.read().collect())
 
     assert run("driver", "wd") == run("table", "wt")
+
+
+def test_bloom_marker_roundtrips_empty_seen_snapshot(spark, tmp_path):
+    """A marker stamped over an EMPTY seen table (rollback/time travel:
+    current_snapshot_id() is None) must round-trip — the file holds the
+    literal text 'None', and parsing it as int would read as no-marker,
+    so every engine construction would repeat the full durable rebuild
+    the stamp exists to prevent."""
+    import os
+    import shutil
+
+    from risjbot_spark.corpus import pages_df
+    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
+    from risjbot_spark.frontier.state import RefetchConfig
+
+    pages = pages_df(spark, 20, partitions=2)
+    seeds = pages.select("url").withColumn("priority", F.lit(0))
+    cfg = CrawlConfig(refetch=RefetchConfig(), num_partitions=4,
+                      collect_lineage=False, bloom_backend="table")
+    wh_a = str(tmp_path / "wh_a")
+    eng = CrawlEngine(spark, wh_a, pages, robots=None, cfg=cfg)
+    eng.run_round(seeds, 0, datetime(2017, 4, 1, tzinfo=timezone.utc))
+    # time-travel: a warehouse whose seen table rolled back to empty but
+    # whose bloom checkpoint survived
+    wh_b = str(tmp_path / "wh_b")
+    os.makedirs(wh_b)
+    shutil.copytree(os.path.join(wh_a, "bloom"), os.path.join(wh_b, "bloom"))
+
+    from risjbot_spark.frontier.bloom_table import DistributedBloomTable
+    calls = []
+    real = DistributedBloomTable.rebuild_from
+
+    def counting(self, keys, *a, **kw):
+        calls.append(1)
+        return real(self, keys, *a, **kw)
+
+    DistributedBloomTable.rebuild_from = counting
+    try:
+        eng2 = CrawlEngine(spark, wh_b, pages, robots=None, cfg=cfg)
+        assert len(calls) == 1            # stale vs empty seen: rebuild once
+        assert eng2.bloom.version == 0    # empty membership
+        # marker now records sid=None; later constructions must accept it
+        eng3 = CrawlEngine(spark, wh_b, pages, robots=None, cfg=cfg)
+        assert len(calls) == 1            # NO repeated rebuild
+        assert eng3.bloom is not None and eng3.bloom.version == 0
+    finally:
+        DistributedBloomTable.rebuild_from = real
