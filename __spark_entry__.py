@@ -136,11 +136,16 @@ _DOC_URL_SQL = (
 # len(bodytext.split()) semantics: split on whitespace runs, DROP empty
 # tokens (so leading/trailing whitespace doesn't count), NULL when the
 # source text is whitespace-only (no bodytext is extracted → wordcount
-# never set; DuckDB trim() strips spaces only, so the guard is a regex)
-_DOC_WORDCOUNT_SQL = """
-    CASE WHEN regexp_matches(coalesce(text, ''), '^\\s*$') THEN NULL
+# never set; DuckDB trim() strips spaces only, so the guard is a regex).
+# The class is Python's full Unicode White_Space set (RE2 \s is
+# ASCII-only): ASCII \s + VT + FS/GS/RS/US + NEL + \p{Z} separators.
+_DOC_WS_CLS = r"[\t\n\x0B\f\r\x1C-\x1F\x85\p{Z}]"
+_DOC_WORDCOUNT_SQL = f"""
+    CASE WHEN regexp_matches(coalesce(text, ''), '^{_DOC_WS_CLS}*$')
+         THEN NULL
          ELSE CAST(length(list_filter(
-                regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                regexp_split_to_array(coalesce(text, ''),
+                                      '{_DOC_WS_CLS}+'),
                 x -> x <> '')) AS BIGINT) END"""
 
 _ENTRY_ORACLES = {

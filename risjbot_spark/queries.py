@@ -1526,13 +1526,15 @@ ORACLE_SQL = {
     # on whitespace RUNS and DROP empty tokens, so leading/trailing \n
     # or \t never count (trim() strips spaces only — the empty-token
     # filter is the robust form; same construction as __spark_entry__'s
-    # _DOC_WORDCOUNT_SQL). Residual latent gap: DuckDB RE2 \s is ASCII
-    # while Python str.split() also splits U+00A0 etc. — no such
-    # characters exist in the generated corpus
+    # _DOC_WORDCOUNT_SQL). RE2's \s is ASCII-only while Python's
+    # str.split() uses the Unicode White_Space property, so the class
+    # spells the full set out: ASCII \s + VT + FS/GS/RS/US + NEL +
+    # \p{Z} (all separators incl. NBSP/U+2028/U+2029/U+3000) — parity
+    # with Python verified char-by-char in test_dedup_queries.
     "wordcount": """
         SELECT doc_id,
                len(list_filter(string_split_regex(coalesce(text, ''),
-                                                  '\\s+'),
+                     '[\\t\\n\\x0B\\f\\r\\x1C-\\x1F\\x85\\p{Z}]+'),
                                x -> x <> '')) AS wc
         FROM documents ORDER BY doc_id""",
     "lang_id": """

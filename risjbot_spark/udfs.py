@@ -173,10 +173,17 @@ named_people_udf = make_named_people_udf()
 def wordcount_expr(col):
     """A2 word count, JVM-side: len(str.split()) semantics
     (/root/reference/RISJbot/pipelines/wordcount.py:15). Python's split()
-    splits on UNICODE whitespace and drops empty tokens at both ends —
-    Java's plain \\s is ASCII-only (missed the \\xa0 that &nbsp;
-    decodes to) and F.trim strips only spaces, so split+size over a
-    trimmed column both under- and over-counted. (?U) makes \\s match
-    Unicode whitespace; the filter drops the boundary empties."""
-    toks = F.filter(F.split(col, r"(?U)\s+"), lambda x: x != "")
+    splits on PYTHON's whitespace set and drops empty tokens at both
+    ends — Java's plain \\s is ASCII-only (missed the \\xa0 that &nbsp;
+    decodes to) and even (?U)\\s (= Unicode White_Space) misses
+    U+001C-001F, which Python treats as whitespace via their bidi
+    class. The class spells Python's exact set: ASCII \\s + VT/FF +
+    FS/GS/RS/US + NEL + \\p{Z} (all separators incl. NBSP, U+2028/29,
+    U+3000); F.trim strips only spaces, so the empty-token filter —
+    not trim — drops the boundary empties. Parity with str.split() and
+    the DuckDB oracle class is locked char-by-char in
+    tests/test_dedup_queries.py."""
+    toks = F.filter(
+        F.split(col, r"[\t\n\x0B\f\r\x1C-\x1F\x85\p{Z}]+"),
+        lambda x: x != "")
     return F.size(toks).cast("int")

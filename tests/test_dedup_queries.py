@@ -118,3 +118,39 @@ def test_stage_cache_sweep_keeps_unverifiable_entries(spark):
     finally:
         Q._STAGE_CACHE.pop(("appA", "sfX", "hiccup"), None)
         Q.clear_stage_cache()
+
+
+def test_wordcount_unicode_whitespace_three_way_parity(spark):
+    """A2 wordcount splits on Python's full Unicode White_Space set.
+    Three-way parity on a char-battery covering every class member the
+    generated corpus never exercises (NBSP, U+2028/29, FS-US, NEL, Zs):
+    Python str.split() == Spark wordcount_expr ((?U)\\s) == the DuckDB
+    oracle's spelled-out RE2 class — the gate corpus is clean, so this
+    battery is what keeps the three implementations from drifting."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from risjbot_spark.udfs import wordcount_expr
+
+    battery = ['a\xa0b', 'a\u2028b', 'a\u2029b', '\x1cx\x1dy\x1ez\x1fw', 'a\u3000b', '\xa0a  b\t', 'x\x85y', 'plain words here', '', 'a\x0bb', 'a\x0cb', '   ', '\u2009\u200a', '\u202fmixed\u205fnarrow math\u1680ogham', 'nbsp\xa0inside\xa0twice', '\u2028\u2029\x85']
+    expected = [len(t.split()) for t in battery]
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(battery)), "text": battery}))
+    got_spark = [
+        r["wc"] for r in sdf.select(
+            "i", wordcount_expr(F.col("text")).alias("wc"))
+        .orderBy("i").collect()]
+    assert got_spark == expected
+
+    cls = "[\\t\\n\\x0B\\f\\r\\x1C-\\x1F\\x85\\p{Z}]"
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(battery)),
+                                    "text": battery}))
+    got_duck = [r[0] for r in con.execute(
+        f"""SELECT len(list_filter(string_split_regex(coalesce(text, ''),
+                                                      '{cls}+'),
+                        x -> x <> '')) AS wc
+            FROM t ORDER BY i""").fetchall()]
+    assert got_duck == expected
