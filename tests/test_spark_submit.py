@@ -1,0 +1,94 @@
+"""End-to-end `spark-submit --py-files` deployment proof.
+
+The north rule's deployment clause is "run via spark-submit --py-files on
+a multi-executor cluster". The sandbox has no cluster, but the packaging
+contract IS testable: build the deterministic zip, then drive a real
+`spark-submit --master local[2] --py-files risjbot_spark.zip` crawl from a
+scratch cwd with a scrubbed PYTHONPATH, so the package can ONLY resolve
+from the zip. A fresh JVM + python worker pool boots, so this is the one
+deliberately slow test in the suite.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from package_pyfiles import build_zip  # noqa: E402
+
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def test_zip_is_deterministic_and_complete(tmp_path):
+    a, b = str(tmp_path / "a.zip"), str(tmp_path / "b.zip")
+    ha, hb = build_zip(a), build_zip(b)
+    assert ha == hb, "same tree must produce a byte-identical artifact"
+    names = set(zipfile.ZipFile(a).namelist())
+    # package layout preserved: top-level modules and every subpackage
+    for required in [
+        "risjbot_spark/__init__.py",
+        "risjbot_spark/__main__.py",
+        "risjbot_spark/crawl.py",
+        "risjbot_spark/frontier/state.py",
+        "risjbot_spark/extract/semantics.py",
+        "risjbot_spark/sources/feeds.py",
+        "risjbot_spark/store/snapshots.py",
+        "risjbot_spark/streaming/ops.py",
+    ]:
+        assert required in names
+    assert not any("__pycache__" in n for n in names)
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not on this host")
+def test_spark_submit_pyfiles_crawl(spark, tmp_path):
+    # --- inputs written by the (separate) test session ------------------
+    from risjbot_spark.corpus import pages_df
+
+    pages_path = str(tmp_path / "pages")
+    pages_df(spark, 48, partitions=2).write.parquet(pages_path)
+    urls = [r["url"] for r in
+            spark.read.parquet(pages_path).select("url").collect()]
+    seeds_path = tmp_path / "seeds.txt"
+    seeds_path.write_text("\n".join(urls[:30]) + "\n")
+
+    zip_path = str(tmp_path / "risjbot_spark.zip")
+    build_zip(zip_path)
+    driver = tmp_path / "driver.py"
+    shutil.copyfile(os.path.join(REPO, "tools", "submit_driver.py"),
+                    driver)
+
+    # --- scrubbed environment: the package must come from the zip -------
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "SPARK_HOME")}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+    wh = str(tmp_path / "wh")
+    proc = subprocess.run(
+        [SPARK_SUBMIT,
+         "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         str(driver),
+         "crawl", "--pages", pages_path, "--seeds", str(seeds_path),
+         "--warehouse", wh, "--rounds", "1", "--partitions", "4"],
+        cwd=str(tmp_path), env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"spark-submit failed:\n{proc.stderr[-4000:]}")
+
+    manifest = json.load(open(os.path.join(wh, "articles",
+                                           "snap-1.manifest.json")))
+    arts = spark.read.parquet(*manifest["files"])
+    assert 0 < arts.count() <= 30
+    assert {"url_canon", "headline", "bodytext"} <= set(arts.columns)
