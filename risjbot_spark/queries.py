@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .udfs import PY_WS_RE
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -381,7 +383,7 @@ def _docs_with_mutants(spark, sf):
 def q_exact_dedup(spark, sf):
     """Exact dedup: hash-groupBy on normalized text, keep min doc_id."""
     d = _docs_with_mutants(spark, sf)
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace("text", PY_WS_RE, " ")))
     return (
         d.withColumn("fp", F.md5(norm))
         .groupBy("fp")
@@ -392,7 +394,12 @@ def q_exact_dedup(spark, sf):
 
 
 def _toks():
-    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # PY_WS_RE + empty-token filter on BOTH engines: Java split drops
+    # trailing empties but DuckDB keeps them, so unfiltered splits
+    # diverge on text with trailing non-space whitespace
+    return F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), PY_WS_RE),
+        lambda x: x != "")
 
 
 def _shingle_rows(d):
@@ -705,7 +712,8 @@ def q_quality_score(spark, sf):
     # column (selected below as n_chars_meta) — one name for two
     # different quantities is a trap for future edits
     text_len = F.length(F.col("text"))
-    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    n_words = F.size(F.filter(F.split(F.trim("text"), PY_WS_RE),
+                              lambda x: x != ""))
     low = F.concat(F.lit(" "), F.lower(F.trim("text")), F.lit(" "))
     stop_hits = F.size(F.split(low, r" (?:the|a|of|and|to|in) ")) - 1
     score = (
@@ -729,7 +737,7 @@ def q_token_count(spark, sf):
     """Token counting: whitespace tokens + BPE-ish subword estimate
     (ceil(chars/4) per word, the standard heuristic)."""
     d = _t(spark, sf, "documents")
-    words = F.split(F.trim("text"), r"\s+")
+    words = F.filter(F.split(F.trim("text"), PY_WS_RE), lambda x: x != "")
     n_words = F.size(words)
     n_sub = F.aggregate(
         words, F.lit(0).cast("long"),
@@ -766,7 +774,7 @@ def q_doc_fingerprint(spark, sf):
     """Document fingerprinting: md5 over normalized text + first-64-bit
     prefix as a numeric fingerprint."""
     d = _t(spark, sf, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace("text", PY_WS_RE, " ")))
     fp = F.md5(norm)
     return d.select(
         "doc_id", fp.alias("fp"),
@@ -1183,9 +1191,11 @@ docs AS (
   SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0
 )"""
 
-_SHINGLE_CTE = """
+_SHINGLE_CTE = f"""
 tok AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '{PY_WS_RE}'),
+                     x -> x <> '') AS toks
   FROM docs
 ),
 sh AS (
@@ -1450,7 +1460,7 @@ ORACLE_SQL = {
         FROM r WHERE host_rank <= budget ORDER BY doc_id""",
     "exact_dedup": f"""
         WITH {_MUTANTS_CTE}
-        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+        SELECT md5(lower(trim(regexp_replace(text, '{PY_WS_RE}', ' ', 'g')))) AS fp,
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""",
     "minhash_signature": _SIG_SQL,
@@ -1531,10 +1541,10 @@ ORACLE_SQL = {
     # spells the full set out: ASCII \s + VT + FS/GS/RS/US + NEL +
     # \p{Z} (all separators incl. NBSP/U+2028/U+2029/U+3000) — parity
     # with Python verified char-by-char in test_dedup_queries.
-    "wordcount": """
+    "wordcount": f"""
         SELECT doc_id,
                len(list_filter(string_split_regex(coalesce(text, ''),
-                     '[\\t\\n\\x0B\\f\\r\\x1C-\\x1F\\x85\\p{Z}]+'),
+                     '{PY_WS_RE}'),
                                x -> x <> '')) AS wc
         FROM documents ORDER BY doc_id""",
     "lang_id": """
@@ -1551,11 +1561,12 @@ ORACLE_SQL = {
                     WHEN de >= fr AND de > 0 THEN 'de'
                     WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_guess
         FROM h ORDER BY doc_id""",
-    "quality_score": """
+    "quality_score": f"""
         WITH m AS (
           SELECT doc_id, n_chars,
                  length(text) AS nc,
-                 len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                 len(list_filter(string_split_regex(trim(text), '{PY_WS_RE}'),
+                                 x -> x <> '')) AS n_words,
                  len(string_split_regex(concat(' ', lower(trim(text)), ' '),
                      ' (?:the|a|of|and|to|in) ')) - 1 AS stop_hits
           FROM documents)
@@ -1566,18 +1577,21 @@ ORACLE_SQL = {
                       + 0.5 * least(1.0, stop_hits * 10.0 / greatest(n_words, 1)),
                       6)) END AS quality
         FROM m ORDER BY doc_id""",
-    "token_count": """
+    "token_count": f"""
         WITH w AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '{PY_WS_RE}'),
+                             x -> x <> '') AS words
           FROM documents)
         SELECT doc_id, len(words) AS n_ws_tokens,
-               CAST(list_sum(list_transform(words,
-                        x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est
+               CAST(coalesce(list_sum(list_transform(words,
+                        x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0)
+                    AS BIGINT) AS n_bpe_est
         FROM w ORDER BY doc_id""",
-    "doc_fingerprint": """
+    "doc_fingerprint": f"""
         SELECT doc_id,
-               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-               substring(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16) AS fp64
+               md5(lower(trim(regexp_replace(text, '{PY_WS_RE}', ' ', 'g')))) AS fp,
+               substring(md5(lower(trim(regexp_replace(text, '{PY_WS_RE}', ' ', 'g')))), 1, 16) AS fp64
         FROM documents ORDER BY doc_id""",
     "stratified_sample": """
         SELECT doc_id, coalesce(lang, 'en') AS lang,

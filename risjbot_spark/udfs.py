@@ -170,6 +170,15 @@ reading_scores_udf = make_reading_scores_udf()
 named_people_udf = make_named_people_udf()
 
 
+# Python str.split()'s exact whitespace set, spelled as a literal class
+# valid in BOTH Java regex (Spark) and RE2 (DuckDB oracles): ASCII \s +
+# VT/FF + FS/GS/RS/US + NEL + \p{Z} (all separators incl. NBSP,
+# U+2028/29, U+3000). Neither engine's bare \s is usable cross-engine:
+# Java \s includes \x0B, RE2 \s does not — every tokenize/normalize
+# surface shared with an oracle must use this class on both sides.
+PY_WS_RE = r"[\t\n\x0B\f\r\x1C-\x1F\x85\p{Z}]+"
+
+
 def wordcount_expr(col):
     """A2 word count, JVM-side: len(str.split()) semantics
     (/root/reference/RISJbot/pipelines/wordcount.py:15). Python's split()
@@ -183,7 +192,5 @@ def wordcount_expr(col):
     not trim — drops the boundary empties. Parity with str.split() and
     the DuckDB oracle class is locked char-by-char in
     tests/test_dedup_queries.py."""
-    toks = F.filter(
-        F.split(col, r"[\t\n\x0B\f\r\x1C-\x1F\x85\p{Z}]+"),
-        lambda x: x != "")
+    toks = F.filter(F.split(col, PY_WS_RE), lambda x: x != "")
     return F.size(toks).cast("int")
