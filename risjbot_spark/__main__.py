@@ -45,7 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default per-host per-round fetch budget")
     c.add_argument("--refetchsecs", type=int, default=10_800)
     c.add_argument("--maxfetches", type=int, default=8)
-    c.add_argument("--partitions", type=int, default=32)
+    c.add_argument("--partitions", type=int, default=None,
+                   help="shuffle/round partition count; default: the "
+                        "session's spark.sql.shuffle.partitions (so "
+                        "spark-submit --conf wins), else 32")
     c.add_argument("--robots-scale-path", action="store_true",
                    help="keep robots rules/budgets in DataFrames joined "
                         "on host (for host counts beyond driver memory) "
@@ -82,17 +85,29 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _session(partitions: int):
+def _session(partitions: int | None = None):
+    """Build the session WITHOUT clobbering operator config: builder
+    .config() silently overrides `spark-submit --conf`, so the defaults
+    are applied AFTER getOrCreate() — all three keys are runtime-settable
+    SQL confs — and only when the key isn't in the SparkContext conf
+    (where spark-submit --conf / spark-defaults.conf land; a plain
+    Python-side SparkConf() does NOT see --conf values pre-context).
+    An explicit --partitions flag still wins for shuffle partitions;
+    session timeZone must end up UTC either way — CrawlEngine raises
+    otherwise."""
     from pyspark.sql import SparkSession
 
-    return (
-        SparkSession.builder
-        .appName("risjbot_spark")
-        .config("spark.sql.shuffle.partitions", str(partitions))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
-    )
+    spark = SparkSession.builder.appName("risjbot_spark").getOrCreate()
+    ext = spark.sparkContext.getConf()
+    if partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    elif not ext.contains("spark.sql.shuffle.partitions"):
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    if not ext.contains("spark.sql.session.timeZone"):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if not ext.contains("spark.sql.adaptive.enabled"):
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
 
 
 def main(argv=None, spark=None) -> int:
@@ -100,7 +115,7 @@ def main(argv=None, spark=None) -> int:
     own_session = spark is None
 
     if args.cmd == "extract":
-        spark = spark or _session(32)
+        spark = spark or _session()
         from pyspark.sql import functions as F
 
         from .udfs import extract_article_udf
@@ -122,6 +137,10 @@ def main(argv=None, spark=None) -> int:
 
     # crawl
     spark = spark or _session(args.partitions)
+    # resolve the effective partition count for the engine's own
+    # repartition/round layout: explicit flag > session conf
+    eff_partitions = (args.partitions if args.partitions is not None
+                      else int(spark.conf.get("spark.sql.shuffle.partitions")))
     from datetime import datetime, timezone
 
     from .crawl import CrawlConfig, CrawlEngine
@@ -140,7 +159,7 @@ def main(argv=None, spark=None) -> int:
         refetch=RefetchConfig(maxfetches=args.maxfetches,
                               refetchsecs=args.refetchsecs),
         default_budget=args.budget,
-        num_partitions=args.partitions,
+        num_partitions=eff_partitions,
         follow_links=args.follow_links,
         robots_scale_path=args.robots_scale_path,
         broadcast_frontier=not args.no_broadcast_frontier,

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .udfs import PY_WS_RE
+from .schema import PY_WS_RE
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -394,9 +394,11 @@ def q_exact_dedup(spark, sf):
 
 
 def _toks():
-    # PY_WS_RE + empty-token filter on BOTH engines: Java split drops
-    # trailing empties but DuckDB keeps them, so unfiltered splits
-    # diverge on text with trailing non-space whitespace
+    # PY_WS_RE + empty-token filter on BOTH engines. F.split uses
+    # limit=-1, so boundary whitespace yields empty tokens (and trim()
+    # strips spaces only, on both engines) — the shared filter is what
+    # keeps token/shingle positions identical across engines and equal
+    # to str.split() semantics.
     return F.filter(
         F.split(F.lower(F.trim(F.col("text"))), PY_WS_RE),
         lambda x: x != "")
@@ -716,8 +718,12 @@ def q_quality_score(spark, sf):
                               lambda x: x != ""))
     low = F.concat(F.lit(" "), F.lower(F.trim("text")), F.lit(" "))
     stop_hits = F.size(F.split(low, r" (?:the|a|of|and|to|in) ")) - 1
+    # NULL text -> NULL quality, explicitly: left to propagation the
+    # engines diverge (Spark concat propagates NULL, DuckDB concat skips
+    # it, and both engines' least() IGNORES null args)
     score = (
-        F.when(text_len < 100, 0.0)
+        F.when(F.col("text").isNull(), F.lit(None).cast("double"))
+        .when(text_len < 100, 0.0)
         .otherwise(
             F.least(F.lit(1.0), F.round(
                 0.5 * F.least(F.lit(1.0), n_words / F.lit(200.0))
@@ -1533,18 +1539,14 @@ ORACLE_SQL = {
         WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= 0.5
         ORDER BY doc_a, doc_b""",
     # str.split() semantics like the Spark side (wordcount_expr): split
-    # on whitespace RUNS and DROP empty tokens, so leading/trailing \n
-    # or \t never count (trim() strips spaces only — the empty-token
-    # filter is the robust form; same construction as __spark_entry__'s
-    # _DOC_WORDCOUNT_SQL). RE2's \s is ASCII-only while Python's
-    # str.split() uses the Unicode White_Space property, so the class
-    # spells the full set out: ASCII \s + VT + FS/GS/RS/US + NEL +
-    # \p{Z} (all separators incl. NBSP/U+2028/U+2029/U+3000) — parity
-    # with Python verified char-by-char in test_dedup_queries.
+    # on PY_WS_RE runs and DROP empty tokens, so leading/trailing \n or
+    # \t never count (trim() strips spaces only — the empty-token filter
+    # is the robust form). NULL text propagates to NULL on both engines
+    # (no coalesce — Spark's size(NULL) is NULL too); parity incl. the
+    # exotic-whitespace battery is locked in tests/test_ws_parity.py.
     "wordcount": f"""
         SELECT doc_id,
-               len(list_filter(string_split_regex(coalesce(text, ''),
-                     '{PY_WS_RE}'),
+               len(list_filter(string_split_regex(text, '{PY_WS_RE}'),
                                x -> x <> '')) AS wc
         FROM documents ORDER BY doc_id""",
     "lang_id": """
@@ -1571,7 +1573,8 @@ ORACLE_SQL = {
                      ' (?:the|a|of|and|to|in) ')) - 1 AS stop_hits
           FROM documents)
         SELECT doc_id, n_chars AS n_chars_meta, n_words,
-               CASE WHEN nc < 100 THEN 0.0
+               CASE WHEN nc IS NULL THEN NULL
+                    WHEN nc < 100 THEN 0.0
                     ELSE least(1.0, round(
                       0.5 * least(1.0, n_words / 200.0)
                       + 0.5 * least(1.0, stop_hits * 10.0 / greatest(n_words, 1)),
@@ -1584,9 +1587,10 @@ ORACLE_SQL = {
                              x -> x <> '') AS words
           FROM documents)
         SELECT doc_id, len(words) AS n_ws_tokens,
-               CAST(coalesce(list_sum(list_transform(words,
-                        x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0)
-                    AS BIGINT) AS n_bpe_est
+               CASE WHEN words IS NULL THEN NULL
+                    ELSE CAST(coalesce(list_sum(list_transform(words,
+                             x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0)
+                         AS BIGINT) END AS n_bpe_est
         FROM w ORDER BY doc_id""",
     "doc_fingerprint": f"""
         SELECT doc_id,

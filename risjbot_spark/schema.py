@@ -8,6 +8,16 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
+# Python str.split()'s exact whitespace set, spelled as a literal class
+# valid in BOTH Java regex (Spark) and RE2 (DuckDB oracles): ASCII \s +
+# VT/FF + FS/GS/RS/US + NEL + \p{Z} (all separators incl. NBSP,
+# U+2028/29, U+3000). Neither engine's bare \s is usable cross-engine:
+# Java \s includes \x0B, RE2 \s does not — every tokenize/normalize
+# surface shared with an oracle must use this class on both sides.
+# Lives here (a leaf module) so ORACLE_SQL consumers don't drag in the
+# pandas/extraction stack.
+PY_WS_RE = r"[\t\n\x0B\f\r\x1C-\x1F\x85\p{Z}]+"
+
 # The authoritative input shape (BASELINE.json input_hint): Common-Crawl
 # style pages.
 PAGES_SCHEMA = T.StructType([

@@ -22,7 +22,7 @@ from pyspark.sql.functions import pandas_udf
 
 from .extract import extract_article
 from .extract import nlp as _nlp
-from .schema import ARTICLE_STRUCT
+from .schema import ARTICLE_STRUCT, PY_WS_RE  # noqa: F401 — re-exported
 
 _ARTICLE_FIELDS = [f.name for f in ARTICLE_STRUCT.fields]
 # string-typed fields get a str() coercion at the row boundary: the
@@ -168,15 +168,6 @@ def make_named_people_udf(flags: dict | None = None):
 sentiment_udf = make_sentiment_udf()
 reading_scores_udf = make_reading_scores_udf()
 named_people_udf = make_named_people_udf()
-
-
-# Python str.split()'s exact whitespace set, spelled as a literal class
-# valid in BOTH Java regex (Spark) and RE2 (DuckDB oracles): ASCII \s +
-# VT/FF + FS/GS/RS/US + NEL + \p{Z} (all separators incl. NBSP,
-# U+2028/29, U+3000). Neither engine's bare \s is usable cross-engine:
-# Java \s includes \x0B, RE2 \s does not — every tokenize/normalize
-# surface shared with an oracle must use this class on both sides.
-PY_WS_RE = r"[\t\n\x0B\f\r\x1C-\x1F\x85\p{Z}]+"
 
 
 def wordcount_expr(col):

@@ -48,6 +48,37 @@ def test_zip_is_deterministic_and_complete(tmp_path):
 
 @pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
                     reason="spark-submit not on this host")
+def test_spark_submit_conf_wins_over_session_defaults(tmp_path):
+    """Builder .config() silently overrides spark-submit --conf, so
+    _session() must apply its defaults only for keys not set externally:
+    an operator's --conf spark.sql.shuffle.partitions must survive, while
+    unset keys (session timezone) still get the app defaults."""
+    zip_path = str(tmp_path / "risjbot_spark.zip")
+    build_zip(zip_path)
+    probe = tmp_path / "probe.py"
+    probe.write_text(
+        "from risjbot_spark.__main__ import _session\n"
+        "s = _session()\n"
+        "print('EFF=' + s.conf.get('spark.sql.shuffle.partitions')\n"
+        "      + ' TZ=' + s.conf.get('spark.sql.session.timeZone'))\n")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "SPARK_HOME")}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=111",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path, str(probe)],
+        cwd=str(tmp_path), env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "EFF=111 TZ=UTC" in proc.stdout, proc.stdout[-500:]
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not on this host")
 def test_spark_submit_pyfiles_crawl(spark, tmp_path):
     # --- inputs written by the (separate) test session ------------------
     from risjbot_spark.corpus import pages_df

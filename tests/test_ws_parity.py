@@ -1,11 +1,11 @@
 """Cross-engine whitespace parity for every tokenize/normalize surface.
 
 Java regex \\s is [ \\t\\n\\x0B\\f\\r] while DuckDB's RE2 \\s is
-[ \\t\\n\\f\\r] (no VT), and Java's split() drops trailing empty tokens
-while DuckDB's string_split_regex keeps them — so any surface written as
-a bare \\s+ split agrees across engines only while the corpus is
-ASCII-clean with no boundary whitespace. All doc-op surfaces now share
-udfs.PY_WS_RE (Python's full White_Space set) plus an explicit
+[ \\t\\n\\f\\r] (no VT), so any surface written as a bare \\s+ split
+agrees across engines only while the corpus never contains a VT — and
+both engines KEEP boundary empty tokens (F.split uses limit=-1), which
+str.split() semantics must drop. All doc-op surfaces now share
+schema.PY_WS_RE (Python's full White_Space set) plus an explicit
 empty-token filter on both engines; this battery feeds texts with every
 divergent character through the REAL queries()/ORACLE_SQL pairs and
 asserts identical results, so the gate no longer depends on corpus
@@ -19,13 +19,15 @@ import pytest
 from risjbot_spark import queries as Q
 
 # every class member the generated corpus never exercises, in positions
-# that trigger the known engine divergences: VT (Java-\s-only), trailing
-# newline (Java drops the empty, DuckDB keeps it), leading NBSP, Zs/Zl/Zp
-# separators, FS-US, NEL, whitespace-only and empty strings
+# that trigger the known engine hazards: VT (Java-\s-only), boundary
+# whitespace (empty split tokens on both engines), leading NBSP, Zs/Zl/Zp
+# separators, FS-US, NEL, whitespace-only / empty / NULL text, and one
+# >=100-char exotic text so quality_score's real scoring branch (not
+# just the nc<100 short-circuit) is compared across engines
 BATTERY = [
     "plain words here",
     "a\x0bb c",            # VT mid-token: Java \s splits, RE2 \s doesn't
-    "trailing newline\n",  # boundary empty: split() vs string_split_regex
+    "trailing newline\n",  # boundary empty token on both engines
     "\xa0leading nbsp",
     "multi line seps",
     "\x1cx\x1dy\x1ez\x1fw",
@@ -34,7 +36,14 @@ BATTERY = [
     "ideographic　space",
     "   ",                 # whitespace-only
     "",                    # empty
+    None,                  # NULL text: metrics must be NULL on BOTH engines
     "tab\tand  runs \r\n of\fspace",
+    # >=100 chars, exotic separators throughout, with stopwords so the
+    # stop_hits term is nonzero and the real quality branch runs
+    ("the\xa0quick brown fox jumps over the lazy dog and runs to "
+     "the river\u2028of words in a\u3000long paragraph that keeps "
+     "going\x85and going until it is well past the hundred character "
+     "mark for the quality scorer\x0bto use its real branch"),
 ]
 
 
@@ -42,15 +51,15 @@ BATTERY = [
 def ws_sf(spark, tmp_path_factory):
     """A scratch sf dir whose documents table is the exotic battery."""
     sf = tmp_path_factory.mktemp("ws_sf")
-    pdf = pd.DataFrame({
-        "doc_id": range(len(BATTERY)),
-        "text": BATTERY,
-        "lang": ["en"] * len(BATTERY),
-        "source": ["battery"] * len(BATTERY),
-        "n_chars": [len(t) for t in BATTERY],
-    })
-    spark.createDataFrame(pdf).coalesce(1).write.parquet(
-        str(sf / "documents.parquet"))
+    # plain rows + explicit schema, NOT a pandas frame: pandas renders a
+    # None in an int column as float64 NaN, which Spark ingests as a
+    # DOUBLE NaN (not NULL) and ANSI cast("long") then overflows
+    rows = [(i, t, "en", "battery", len(t) if t is not None else None)
+            for i, t in enumerate(BATTERY)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
     return str(sf)
 
 
@@ -80,7 +89,8 @@ def test_token_count_matches_python_split(spark, ws_sf):
     got = {r["doc_id"]: r["n_ws_tokens"]
            for r in Q.QUERIES["token_count"](spark, ws_sf).collect()}
     for i, t in enumerate(BATTERY):
-        assert got[i] == len(t.split()), repr(t)
+        want = len(t.split()) if t is not None else None
+        assert got[i] == want, repr(t)
 
 
 def test_shingle_tokens_drop_boundary_empties(spark, ws_sf):

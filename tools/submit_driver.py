@@ -8,8 +8,12 @@ executor's sys.path, so the bare `import risjbot_spark` below resolves
 from the zip — this file must NOT live inside the package (the package
 arrives only via --py-files). All CLI arguments after the script path are
 forwarded verbatim to the same `main()` that `python -m risjbot_spark`
-uses; the session comes from `getOrCreate()`, so --master/--conf given to
-spark-submit win.
+uses. The session builder applies its defaults (shuffle partitions,
+UTC session timezone, AQE) only for keys not already set externally, so
+--master and --conf given to spark-submit win; the one exception is an
+explicit `--partitions` app flag, which overrides the session conf for
+shuffle partitions. A non-UTC session timezone is rejected by
+CrawlEngine at startup (UTC is load-bearing for state semantics).
 """
 
 from risjbot_spark.__main__ import main
