@@ -1,0 +1,139 @@
+"""End-to-end bench of the AT-SCALE engine configuration.
+
+The driver bench (bench.py) measures the default small/medium-crawl
+path: broadcast frontier join + driver-resident bloom. The 10^10-URL
+north-star deployment instead runs the scale path — bucketed pages
+table (SMJ fetch join, one Exchange on the frontier side only),
+url_hash-bucketed seen base, and the table-backed distributed bloom —
+which no timed surface exercised end-to-end beyond unit parity tests.
+
+This tool runs N crawl rounds at 10^6 pages (5× the scaling-leg corpus)
+through exactly that configuration and reports cold + warm throughput,
+per-round seconds, and driver-Python RSS (which must stay flat: the
+table bloom keeps no bitmaps on the driver). Results → one JSON line on
+stdout and BENCH/scale_path_1m.json.
+
+    SPARK_GRAFT_SP_PAGES=1000000 SPARK_GRAFT_SP_ROUNDS=4 \
+        python tools/bench_scale_path.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import tempfile
+import time
+from datetime import datetime, timedelta, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+N_PAGES = int(os.environ.get("SPARK_GRAFT_SP_PAGES", "1000000"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_ROUNDS = int(os.environ.get("SPARK_GRAFT_SP_ROUNDS", "4"))
+BUCKETS = int(os.environ.get("SPARK_GRAFT_SP_BUCKETS", "64"))
+
+
+def _rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("risjbot-scale-path")
+        # align shuffle partitions to the bucket count so the SMJ's
+        # frontier-side Exchange lands directly on the bucket layout
+        .config("spark.sql.shuffle.partitions", str(BUCKETS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"))
+        .config("spark.sql.warehouse.dir",
+                os.path.join(tempfile.gettempdir(), "risjbot_sp_warehouse"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from risjbot_spark.bucketing import (read_bucketed_pages,
+                                         write_bucketed_pages)
+    from risjbot_spark.corpus import pages_df
+    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
+    from risjbot_spark.frontier.state import RefetchConfig
+
+    # ---- corpus + bucketed ingest (NOT timed: input data, not engine
+    # work). Both cached: the flat corpus at the bench.py path
+    # convention, the bucketed table in the tool's own warehouse.
+    corpus_parts = max(16, min(256, N_PAGES // 250))
+    pages_path = os.path.join(
+        tempfile.gettempdir(), f"risjbot_bench_pages_{N_PAGES}")
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        pages_df(spark, N_PAGES, partitions=corpus_parts) \
+            .write.mode("overwrite").parquet(pages_path)
+    flat = spark.read.parquet(pages_path)
+
+    table = f"sp_pages_{N_PAGES}_{BUCKETS}"
+    if not spark.catalog.tableExists(table) \
+            or spark.table(table).count() != N_PAGES:
+        write_bucketed_pages(flat, table, buckets=BUCKETS)
+    pages = read_bucketed_pages(spark, table)
+    seeds = flat.select("url").withColumn("priority", F.lit(0))
+
+    wh = tempfile.mkdtemp(prefix="risjbot_sp_wh_")
+    eng = CrawlEngine(
+        spark, wh, pages, robots=None,
+        cfg=CrawlConfig(
+            refetch=RefetchConfig(maxfetches=max(8, N_ROUNDS + 1)),
+            num_partitions=BUCKETS,
+            collect_lineage=False,
+            use_bloom=True,
+            bloom_backend="table",       # distributed bitmaps
+            broadcast_frontier=False,    # SMJ against the bucketed table
+            bucket_seen_base=True,       # url_hash-bucketed seen compaction
+        ),
+    )
+
+    start = datetime(2017, 4, 1, tzinfo=timezone.utc)
+    timings, rss = {}, {}
+    warm_best = None
+    for r in range(N_ROUNDS):
+        t0 = time.monotonic()
+        eng.run_round(seeds, r, start + timedelta(
+            seconds=r * eng.cfg.refetch.refetchsecs))
+        dt = time.monotonic() - t0
+        timings[f"round_{r}"] = round(dt, 3)
+        rss[f"round_{r}"] = round(_rss_mb(), 1)
+        if r > 0:
+            warm_best = dt if warm_best is None else min(warm_best, dt)
+
+    n_articles = eng.articles_table.read().count()
+    out = {
+        "metric": "scale_path_urls_per_sec_warm",
+        "value": round(N_PAGES / warm_best, 1) if warm_best else None,
+        "unit": "urls/sec",
+        "pages": N_PAGES,
+        "cpus": CPUS,
+        "buckets": BUCKETS,
+        "rounds": timings,
+        "driver_rss_mb": rss,
+        "articles_round0": n_articles // N_ROUNDS if N_ROUNDS else 0,
+        "articles_total": n_articles,
+        "cold_urls_per_sec": round(N_PAGES / timings["round_0"], 1),
+        "config": "broadcast_frontier=False bloom_backend=table "
+                  "bucket_seen_base=True",
+        "ts": datetime.now(timezone.utc).isoformat(),
+    }
+    line = json.dumps(out)
+    print(line)
+    with open(os.path.join(REPO, "BENCH", "scale_path_1m.json"), "w") as f:
+        f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
