@@ -26,6 +26,8 @@ Operator mapping (reference → query):
   exact dedup                    → q_exact_dedup
   minhash/LSH near-dup           → q_minhash_signature, q_lsh_dup_pairs
   n-gram Jaccard                 → q_ngram_jaccard_pairs
+  cluster assignment/survivors   → q_dedup_clusters (connected
+                                   components over verified pairs)
   simhash near-dup               → q_simhash_fingerprint, q_simhash_dup_pairs
   embedding-cosine near-dup      → q_embedding_near_dup
   text analysis                  → q_lang_id, q_quality_score,
@@ -488,6 +490,31 @@ def q_lsh_dup_pairs(spark, sf):
     return _lsh_candidate_pairs(spark, sf).orderBy("doc_a", "doc_b")
 
 
+def _verified_pairs(spark, sf):
+    """Verified near-dup pairs (jaccard ≥ 0.5) — the dedup pipeline's
+    edge list, cached: both the pairs query and the cluster assignment
+    (q_dedup_clusters) derive from this one verify stage."""
+    def build():
+        sh_arr = _cached_stage(
+            spark, sf, "shingle_arrays",
+            lambda: _distinct_shingles(spark, sf)
+            .groupBy("doc_id").agg(F.collect_list("s").alias("sh")))
+        cands = _lsh_candidate_pairs(spark, sf)
+        a = sh_arr.select(F.col("doc_id").alias("doc_a"),
+                          F.col("sh").alias("sha"))
+        b = sh_arr.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sh").alias("shb"))
+        inter = F.size(F.array_intersect("sha", "shb"))
+        union = F.size("sha") + F.size("shb") - inter
+        return (
+            cands.join(a, "doc_a").join(b, "doc_b")
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= 0.5)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+    return _cached_stage(spark, sf, "verified_pairs", build)
+
+
 def q_ngram_jaccard_pairs(spark, sf):
     """Exact n-gram Jaccard verification over the LSH candidate pairs —
     the dedup pipeline's verify stage. Never all-pairs: the unrestricted
@@ -495,22 +522,71 @@ def q_ngram_jaccard_pairs(spark, sf):
     sf0.1; at 10^10 docs it is simply impossible), while candidates ≪
     pairs. Each candidate joins two per-doc distinct-shingle arrays;
     |∩| via array_intersect, keep |∩|/|∪| ≥ 0.5."""
-    sh_arr = _cached_stage(
-        spark, sf, "shingle_arrays",
-        lambda: _distinct_shingles(spark, sf)
-        .groupBy("doc_id").agg(F.collect_list("s").alias("sh")))
-    cands = _lsh_candidate_pairs(spark, sf)
-    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
-    inter = F.size(F.array_intersect("sha", "shb"))
-    union = F.size("sha") + F.size("shb") - inter
-    return (
-        cands.join(a, "doc_a").join(b, "doc_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    )
+    return _verified_pairs(spark, sf).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_clusters(spark, sf):
+    """Near-dup CLUSTER ASSIGNMENT: connected components over the
+    verified-pair graph, the step a real dedup pipeline needs between
+    pair verification and survivor selection (pairs alone can't pick
+    survivors when A~B and B~C but A!~C).
+
+    Distributed min-label propagation with pointer jumping: each
+    iteration (a) lowers every node's label to the min over its
+    neighbors' labels, then (b) shortcuts label chains by one hop
+    (lbl ← lbl(lbl)), so convergence is O(log(diameter)) rounds — at
+    near-dup component sizes (a handful of mutants per original)
+    that is 1-2 iterations, and each iteration is two shuffles on the
+    EDGE list only, never the corpus. cluster_id = min doc_id of the
+    component; is_survivor marks the kept copy."""
+    def build():
+        edges = _verified_pairs(spark, sf)
+        adj = (
+            edges.select(F.col("doc_a").alias("u"),
+                         F.col("doc_b").alias("v"))
+            .unionAll(edges.select(F.col("doc_b").alias("u"),
+                                   F.col("doc_a").alias("v")))
+        )
+        lbl = (adj.select(F.col("u").alias("node")).distinct()
+               .withColumn("lbl", F.col("node")))
+        spent = []  # intermediate caches, released once converged
+        for _ in range(20):  # >= log2 of any plausible diameter
+            nb = (adj.join(lbl.withColumnRenamed("node", "v"), "v")
+                  .groupBy("u").agg(F.min("lbl").alias("nlbl"))
+                  .withColumnRenamed("u", "node"))
+            step = (lbl.join(nb, "node", "left")
+                    .select("node", F.least(
+                        "lbl", F.coalesce("nlbl", "lbl")).alias("lbl")))
+            parent = step.select(F.col("node").alias("pnode"),
+                                 F.col("lbl").alias("plbl"))
+            new = (step.join(parent, step["lbl"] == parent["pnode"],
+                             "left")
+                   .select("node", F.least(
+                       "lbl", F.coalesce("plbl", "lbl")).alias("lbl"))
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+            # the changed-count both checks convergence and MATERIALIZES
+            # `new`, so unpersisting the previous iteration is safe
+            changed = (new.alias("n").join(lbl.alias("o"), "node")
+                       .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+            spent.append(lbl)
+            lbl = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                "dedup_clusters did not converge in 20 rounds")
+        for df in spent:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # first lbl was never persisted
+        return lbl  # persisted + materialized; _cached_stage keeps it
+
+    labels = _cached_stage(spark, sf, "cc_labels", build)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_survivor"),
+    ).orderBy("doc_id")
 
 
 # SimHash geometry. 60 bits (15 md5 hex chars — parses into a SIGNED
@@ -1165,6 +1241,7 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "lsh_dup_pairs": q_lsh_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1538,6 +1615,44 @@ ORACLE_SQL = {
         FROM j
         WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= 0.5
         ORDER BY doc_a, doc_b""",
+    # connected components over the verified-pair graph: the recursive
+    # closure (src reaches dst) is tractable here because near-dup
+    # components are tiny; cluster_id = min reachable id incl. self —
+    # exactly the fixpoint the Spark min-label-propagation loop computes
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_MUTANTS_CTE},
+        {_SHINGLE_CTE},
+        {_M_CTE},
+        sig AS ({_SIG_SELECT}),
+        bands AS (
+          SELECT doc_id, band1 AS band FROM sig
+          UNION ALL SELECT doc_id, band2 FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.doc_id < b.doc_id),
+        dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+        j AS (
+          SELECT doc_a, doc_b,
+                 len(list_intersect(a.sh, b.sh)) AS n_common,
+                 len(a.sh) AS na, len(b.sh) AS nb
+          FROM cand
+          JOIN dsh a ON a.doc_id = doc_a
+          JOIN dsh b ON b.doc_id = doc_b),
+        v AS (
+          SELECT doc_a, doc_b FROM j
+          WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= 0.5),
+        e AS (
+          SELECT doc_a AS a, doc_b AS b FROM v
+          UNION SELECT doc_b, doc_a FROM v),
+        reach AS (
+          SELECT a AS src, b AS dst FROM e
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a)
+        SELECT src AS doc_id,
+               least(src, min(dst)) AS cluster_id,
+               least(src, min(dst)) = src AS is_survivor
+        FROM reach GROUP BY src ORDER BY doc_id""",
     # str.split() semantics like the Spark side (wordcount_expr): split
     # on PY_WS_RE runs and DROP empty tokens, so leading/trailing \n or
     # \t never count (trim() strips spaces only — the empty-token filter

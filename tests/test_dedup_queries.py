@@ -154,3 +154,40 @@ def test_wordcount_unicode_whitespace_three_way_parity(spark):
                         x -> x <> '')) AS wc
             FROM t ORDER BY i""").fetchall()]
     assert got_duck == expected
+
+
+def test_dedup_clusters_are_true_connected_components(spark, sf_dir):
+    """Cluster assignment = connected components of the verified-pair
+    graph: endpoints of every verified pair share a cluster (incl.
+    transitively — A~B and B~C put A,C together even when the A-C pair
+    itself was never verified), cluster_id is the component min, and
+    is_survivor marks exactly the min member."""
+    from risjbot_spark.queries import q_dedup_clusters, q_ngram_jaccard_pairs
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).collect()
+    rows = q_dedup_clusters(spark, sf_dir).collect()
+    cluster = {r["doc_id"]: r["cluster_id"] for r in rows}
+    survivor = {r["doc_id"]: r["is_survivor"] for r in rows}
+
+    # every pair endpoint is assigned, and both ends agree
+    for p in pairs:
+        assert cluster[p["doc_a"]] == cluster[p["doc_b"]]
+
+    # cluster_id is the min member id; is_survivor <=> doc_id == cluster_id
+    members: dict[int, list[int]] = {}
+    for d, c in cluster.items():
+        members.setdefault(c, []).append(d)
+    for c, ms in members.items():
+        assert c == min(ms)
+    for d in cluster:
+        assert survivor[d] == (d == cluster[d])
+
+    # transitivity actually exercised: the corpus plants BOTH a near-dup
+    # (+100000) and an exact copy (+200000) of doc_ids divisible by 70,
+    # so at least one component must have >= 3 members
+    assert any(len(ms) >= 3 for ms in members.values()), \
+        "no transitive component — the clustering test lost its teeth"
+
+    # survivors: exactly one per component
+    for c, ms in members.items():
+        assert sum(1 for d in ms if survivor[d]) == 1
