@@ -118,6 +118,19 @@ def main() -> None:
     check("ngram_jaccard_pairs", "TableCacheQueryStage" in p,
           "executed plan reads TableCacheQueryStage, not a re-derivation")
 
+    # --- dedup_clusters: the CC loop's output must come from the cached
+    # converged label table (built once from the cached verified pairs),
+    # and the final projection must not re-derive the corpus — no
+    # parquet scan of documents may survive in the EXECUTED plan shape
+    # outside InMemoryRelation build-plan rendering
+    p = plan_of(QUERIES["dedup_clusters"](spark, SF))
+    sections.append(("dedup_clusters (connected components)", p))
+    check("dedup_clusters", "InMemoryTableScan" in p,
+          "cluster labels read from the cached converged table")
+    check("dedup_clusters", "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p,
+          "no all-pairs join anywhere in the CC output plan")
+
     # --- robots scale path: rules join on host, prefix match as JVM
     # higher-order functions — no Python stage in the frontier filter
     from risjbot_spark.frontier.politeness import (
