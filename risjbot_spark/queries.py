@@ -549,38 +549,38 @@ def q_dedup_clusters(spark, sf):
         )
         lbl = (adj.select(F.col("u").alias("node")).distinct()
                .withColumn("lbl", F.col("node")))
-        spent = []  # intermediate caches, released once converged
-        for _ in range(20):  # >= log2 of any plausible diameter
-            nb = (adj.join(lbl.withColumnRenamed("node", "v"), "v")
-                  .groupBy("u").agg(F.min("lbl").alias("nlbl"))
-                  .withColumnRenamed("u", "node"))
-            step = (lbl.join(nb, "node", "left")
-                    .select("node", F.least(
-                        "lbl", F.coalesce("nlbl", "lbl")).alias("lbl")))
-            parent = step.select(F.col("node").alias("pnode"),
-                                 F.col("lbl").alias("plbl"))
-            new = (step.join(parent, step["lbl"] == parent["pnode"],
-                             "left")
-                   .select("node", F.least(
-                       "lbl", F.coalesce("plbl", "lbl")).alias("lbl"))
-                   .persist(StorageLevel.MEMORY_AND_DISK))
-            # the changed-count both checks convergence and MATERIALIZES
-            # `new`, so unpersisting the previous iteration is safe
-            changed = (new.alias("n").join(lbl.alias("o"), "node")
-                       .filter(F.col("n.lbl") != F.col("o.lbl")).count())
-            spent.append(lbl)
-            lbl = new
-            if changed == 0:
-                break
-        else:
+        try:
+            for it in range(20):  # >= log2 of any plausible diameter
+                nb = (adj.join(lbl.withColumnRenamed("node", "v"), "v")
+                      .groupBy("u").agg(F.min("lbl").alias("nlbl"))
+                      .withColumnRenamed("u", "node"))
+                step = (lbl.join(nb, "node", "left")
+                        .select("node", F.least(
+                            "lbl", F.coalesce("nlbl", "lbl")).alias("lbl")))
+                parent = step.select(F.col("node").alias("pnode"),
+                                     F.col("lbl").alias("plbl"))
+                new = (step.join(parent, step["lbl"] == parent["pnode"],
+                                 "left")
+                       .select("node", F.least(
+                           "lbl", F.coalesce("plbl", "lbl")).alias("lbl"))
+                       .persist(StorageLevel.MEMORY_AND_DISK))
+                # the changed-count both checks convergence and
+                # MATERIALIZES `new`, so the previous iteration's cache
+                # (never the unpersisted round-0 seed) is released NOW —
+                # at most two label tables are ever pinned at once
+                changed = (new.alias("n").join(lbl.alias("o"), "node")
+                           .filter(F.col("n.lbl") != F.col("o.lbl"))
+                           .count())
+                if it > 0:
+                    lbl.unpersist()
+                lbl = new
+                if changed == 0:
+                    return lbl  # persisted+materialized; cache keeps it
             raise RuntimeError(
                 "dedup_clusters did not converge in 20 rounds")
-        for df in spent:
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # first lbl was never persisted
-        return lbl  # persisted + materialized; _cached_stage keeps it
+        except BaseException:
+            lbl.unpersist()  # don't pin the last iteration on failure
+            raise
 
     labels = _cached_stage(spark, sf, "cc_labels", build)
     return labels.select(
@@ -1313,6 +1313,31 @@ WITH {_MUTANTS_CTE},
 {_M_CTE}
 {_SIG_SELECT} ORDER BY doc_id"""
 
+# LSH candidates + jaccard verify (edge list `v`) — ONE fragment shared
+# by the pairs oracle and the clusters oracle so a threshold or banding
+# change can never desynchronize them
+_VERIFIED_CTE = """
+bands AS (
+  SELECT doc_id, band1 AS band FROM sig
+  UNION ALL SELECT doc_id, band2 FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.doc_id < b.doc_id),
+dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+j AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(a.sh, b.sh)) AS n_common,
+         len(a.sh) AS na, len(b.sh) AS nb
+  FROM cand
+  JOIN dsh a ON a.doc_id = doc_a
+  JOIN dsh b ON b.doc_id = doc_b),
+v AS (
+  SELECT doc_a, doc_b,
+         round(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+  FROM j
+  WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= 0.5)"""
+
 
 _HEX_DIGITS = _SIMHASH_BITS // 4           # 15 — same md5 prefix as Spark
 _HEX60 = " + ".join(
@@ -1595,25 +1620,8 @@ ORACLE_SQL = {
         {_SHINGLE_CTE},
         {_M_CTE},
         sig AS ({_SIG_SELECT}),
-        bands AS (
-          SELECT doc_id, band1 AS band FROM sig
-          UNION ALL SELECT doc_id, band2 FROM sig),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.doc_id < b.doc_id),
-        dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
-        j AS (
-          SELECT doc_a, doc_b,
-                 len(list_intersect(a.sh, b.sh)) AS n_common,
-                 len(a.sh) AS na, len(b.sh) AS nb
-          FROM cand
-          JOIN dsh a ON a.doc_id = doc_a
-          JOIN dsh b ON b.doc_id = doc_b)
-        SELECT doc_a, doc_b,
-               round(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
-        FROM j
-        WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= 0.5
+        {_VERIFIED_CTE}
+        SELECT doc_a, doc_b, jaccard FROM v
         ORDER BY doc_a, doc_b""",
     # connected components over the verified-pair graph: the recursive
     # closure (src reaches dst) is tractable here because near-dup
@@ -1624,24 +1632,7 @@ ORACLE_SQL = {
         {_SHINGLE_CTE},
         {_M_CTE},
         sig AS ({_SIG_SELECT}),
-        bands AS (
-          SELECT doc_id, band1 AS band FROM sig
-          UNION ALL SELECT doc_id, band2 FROM sig),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.doc_id < b.doc_id),
-        dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
-        j AS (
-          SELECT doc_a, doc_b,
-                 len(list_intersect(a.sh, b.sh)) AS n_common,
-                 len(a.sh) AS na, len(b.sh) AS nb
-          FROM cand
-          JOIN dsh a ON a.doc_id = doc_a
-          JOIN dsh b ON b.doc_id = doc_b),
-        v AS (
-          SELECT doc_a, doc_b FROM j
-          WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= 0.5),
+        {_VERIFIED_CTE},
         e AS (
           SELECT doc_a AS a, doc_b AS b FROM v
           UNION SELECT doc_b, doc_a FROM v),

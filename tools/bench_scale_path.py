@@ -67,8 +67,10 @@ def main() -> None:
     from risjbot_spark.frontier.state import RefetchConfig
 
     # ---- corpus + bucketed ingest (NOT timed: input data, not engine
-    # work). Both cached: the flat corpus at the bench.py path
-    # convention, the bucketed table in the tool's own warehouse.
+    # work). The flat corpus is cached at the bench.py path convention;
+    # the bucketed table is REBUILT each process (the catalog is
+    # in-memory, so a previous run's registration doesn't survive —
+    # its leftover warehouse location is cleared first).
     corpus_parts = max(16, min(256, N_PAGES // 250))
     pages_path = os.path.join(
         tempfile.gettempdir(), f"risjbot_bench_pages_{N_PAGES}")
@@ -80,6 +82,15 @@ def main() -> None:
     table = f"sp_pages_{N_PAGES}_{BUCKETS}"
     if not spark.catalog.tableExists(table) \
             or spark.table(table).count() != N_PAGES:
+        # the catalog is in-memory (fresh per process) but the warehouse
+        # dir persists — clear a leftover location from a previous run
+        # or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        leftover = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            table.lower())
+        if not spark.catalog.tableExists(table) and os.path.exists(leftover):
+            import shutil
+            shutil.rmtree(leftover)
         write_bucketed_pages(flat, table, buckets=BUCKETS)
     pages = read_bucketed_pages(spark, table)
     seeds = flat.select("url").withColumn("priority", F.lit(0))
@@ -101,6 +112,7 @@ def main() -> None:
     start = datetime(2017, 4, 1, tzinfo=timezone.utc)
     timings, rss = {}, {}
     warm_best = None
+    n_round0 = 0
     for r in range(N_ROUNDS):
         t0 = time.monotonic()
         eng.run_round(seeds, r, start + timedelta(
@@ -108,7 +120,10 @@ def main() -> None:
         dt = time.monotonic() - t0
         timings[f"round_{r}"] = round(dt, 3)
         rss[f"round_{r}"] = round(_rss_mb(), 1)
-        if r > 0:
+        if r == 0:
+            # measured, not averaged; counted OUTSIDE the timing window
+            n_round0 = eng.articles_table.read().count()
+        else:
             warm_best = dt if warm_best is None else min(warm_best, dt)
 
     n_articles = eng.articles_table.read().count()
@@ -121,7 +136,7 @@ def main() -> None:
         "buckets": BUCKETS,
         "rounds": timings,
         "driver_rss_mb": rss,
-        "articles_round0": n_articles // N_ROUNDS if N_ROUNDS else 0,
+        "articles_round0": n_round0,
         "articles_total": n_articles,
         "cold_urls_per_sec": round(N_PAGES / timings["round_0"], 1),
         "config": "broadcast_frontier=False bloom_backend=table "
@@ -130,7 +145,13 @@ def main() -> None:
     }
     line = json.dumps(out)
     print(line)
-    with open(os.path.join(REPO, "BENCH", "scale_path_1m.json"), "w") as f:
+    # filename derives from the corpus size so a smoke run can never
+    # clobber the committed 1M baseline artifact
+    tag = (f"{N_PAGES // 1_000_000}m" if N_PAGES % 1_000_000 == 0
+           else f"{N_PAGES // 1000}k" if N_PAGES % 1000 == 0
+           else str(N_PAGES))
+    with open(os.path.join(REPO, "BENCH", f"scale_path_{tag}.json"),
+              "w") as f:
         f.write(line + "\n")
     spark.stop()
 

@@ -255,8 +255,19 @@ def main() -> None:
     for name, cond, msg in checks:
         lines.append(f"| {name} | {msg} | {'✅' if cond else '❌'} |")
     lines.append("")
+    # cap each stored section: explain() renders nested InMemoryRelation
+    # BUILD plans recursively, and an iterative query (dedup_clusters)
+    # can emit hundreds of thousands of lines — the committed audit only
+    # needs the head, the checks assert on the full text above
+    max_lines = 400
     for title, plan in sections:
-        lines.append(f"\n## {title}\n\n```\n{plan.strip()}\n```")
+        plan_lines = plan.strip().splitlines()
+        if len(plan_lines) > max_lines:
+            plan_lines = plan_lines[:max_lines] + [
+                f"... truncated ({max_lines} of {len(plan_lines)} lines; "
+                "checks ran against the full plan text)"]
+        lines.append(f"\n## {title}\n\n```\n" + "\n".join(plan_lines)
+                     + "\n```")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(lines))
