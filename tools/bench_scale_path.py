@@ -33,6 +33,12 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_SP_PAGES", "1000000"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_ROUNDS = int(os.environ.get("SPARK_GRAFT_SP_ROUNDS", "4"))
 BUCKETS = int(os.environ.get("SPARK_GRAFT_SP_BUCKETS", "64"))
+# the synthetic corpus spreads pages over 12 hosts, so beyond ~10M pages
+# the hottest host crosses the engine's default 1M per-host budget —
+# raise it so the bench measures throughput, not the politeness cap
+# (which is its own operator, gate-checked separately)
+BUDGET = int(os.environ.get("SPARK_GRAFT_SP_BUDGET", str(max(
+    1_000_000, N_PAGES))))
 
 
 def _rss_mb() -> float:
@@ -100,6 +106,7 @@ def main() -> None:
         spark, wh, pages, robots=None,
         cfg=CrawlConfig(
             refetch=RefetchConfig(maxfetches=max(8, N_ROUNDS + 1)),
+            default_budget=BUDGET,
             num_partitions=BUCKETS,
             collect_lineage=False,
             use_bloom=True,
