@@ -549,44 +549,60 @@ def q_dedup_clusters(spark, sf):
         )
         lbl = (adj.select(F.col("u").alias("node")).distinct()
                .withColumn("lbl", F.col("node")))
-        try:
-            for it in range(20):  # >= log2 of any plausible diameter
-                nb = (adj.join(lbl.withColumnRenamed("node", "v"), "v")
-                      .groupBy("u").agg(F.min("lbl").alias("nlbl"))
-                      .withColumnRenamed("u", "node"))
-                step = (lbl.join(nb, "node", "left")
-                        .select("node", F.least(
-                            "lbl", F.coalesce("nlbl", "lbl")).alias("lbl")))
-                parent = step.select(F.col("node").alias("pnode"),
-                                     F.col("lbl").alias("plbl"))
-                new = (step.join(parent, step["lbl"] == parent["pnode"],
-                                 "left")
-                       .select("node", F.least(
-                           "lbl", F.coalesce("plbl", "lbl")).alias("lbl"))
-                       .persist(StorageLevel.MEMORY_AND_DISK))
-                # the changed-count both checks convergence and
-                # MATERIALIZES `new`, so the previous iteration's cache
-                # (never the unpersisted round-0 seed) is released NOW —
-                # at most two label tables are ever pinned at once
-                changed = (new.alias("n").join(lbl.alias("o"), "node")
-                           .filter(F.col("n.lbl") != F.col("o.lbl"))
-                           .count())
-                if it > 0:
-                    lbl.unpersist()
-                lbl = new
-                if changed == 0:
-                    return lbl  # persisted+materialized; cache keeps it
-            raise RuntimeError(
-                "dedup_clusters did not converge in 20 rounds")
-        except BaseException:
-            lbl.unpersist()  # don't pin the last iteration on failure
-            raise
+        for _ in range(20):  # >= log2 of any plausible diameter
+            nb = (adj.join(lbl.withColumnRenamed("node", "v"), "v")
+                  .groupBy("u").agg(F.min("lbl").alias("nlbl"))
+                  .withColumnRenamed("u", "node"))
+            step = (lbl.join(nb, "node", "left")
+                    .select("node", F.least(
+                        "lbl", F.coalesce("nlbl", "lbl")).alias("lbl")))
+            parent = step.select(F.col("node").alias("pnode"),
+                                 F.col("lbl").alias("plbl"))
+            # eager localCheckpoint, NOT persist: each iteration
+            # references `step` twice, so the logical plan DOUBLES per
+            # round — left to accumulate it OOMs the planner (tree
+            # rendering alone blows the heap) the moment a downstream
+            # query composes on top. Truncating lineage each round keeps
+            # the plan O(1); it also materializes `new`, so the
+            # superseded label blocks are GC-reclaimed as the loop
+            # drops its references. (On a real cluster, an iterative
+            # job checkpoints labels to reliable storage each K rounds
+            # for the same reason — GraphX-style.)
+            new = (step.join(parent, step["lbl"] == parent["pnode"],
+                             "left")
+                   .select("node", F.least(
+                       "lbl", F.coalesce("plbl", "lbl")).alias("lbl"))
+                   .localCheckpoint(eager=True))
+            changed = (new.alias("n").join(lbl.alias("o"), "node")
+                       .filter(F.col("n.lbl") != F.col("o.lbl"))
+                       .count())
+            lbl = new
+            if changed == 0:
+                return lbl  # truncated-lineage; _cached_stage persists
+        raise RuntimeError(
+            "dedup_clusters did not converge in 20 rounds")
 
     labels = _cached_stage(spark, sf, "cc_labels", build)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"),
         (F.col("node") == F.col("lbl")).alias("is_survivor"),
     ).orderBy("doc_id")
+
+
+def q_dedup_survivor_docs(spark, sf):
+    """The dedup family APPLIED: the corpus (incl. planted mutants) with
+    near-dup cluster non-survivors removed — i.e. the table a training
+    run would actually read. Anti-join on the clusters' non-survivor set:
+    the corpus side never shuffles wider than the join, and the right
+    side (non-survivors) is tiny — Catalyst broadcasts it."""
+    d = _docs_with_mutants(spark, sf)
+    losers = (q_dedup_clusters(spark, sf)
+              .filter(~F.col("is_survivor")).select("doc_id"))
+    return (
+        d.join(losers, "doc_id", "left_anti")
+        .select("doc_id", F.length("text").alias("text_len"))
+        .orderBy("doc_id")
+    )
 
 
 # SimHash geometry. 60 bits (15 md5 hex chars — parses into a SIGNED
@@ -1242,6 +1258,7 @@ QUERIES = {
     "lsh_dup_pairs": q_lsh_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_survivor_docs": q_dedup_survivor_docs,
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1644,6 +1661,25 @@ ORACLE_SQL = {
                least(src, min(dst)) AS cluster_id,
                least(src, min(dst)) = src AS is_survivor
         FROM reach GROUP BY src ORDER BY doc_id""",
+    "dedup_survivor_docs": f"""
+        WITH RECURSIVE {_MUTANTS_CTE},
+        {_SHINGLE_CTE},
+        {_M_CTE},
+        sig AS ({_SIG_SELECT}),
+        {_VERIFIED_CTE},
+        e AS (
+          SELECT doc_a AS a, doc_b AS b FROM v
+          UNION SELECT doc_b, doc_a FROM v),
+        reach AS (
+          SELECT a AS src, b AS dst FROM e
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a),
+        losers AS (
+          SELECT src AS doc_id FROM reach
+          GROUP BY src HAVING least(src, min(dst)) <> src)
+        SELECT d.doc_id, length(d.text) AS text_len
+        FROM docs d LEFT JOIN losers l ON d.doc_id = l.doc_id
+        WHERE l.doc_id IS NULL ORDER BY d.doc_id""",
     # str.split() semantics like the Spark side (wordcount_expr): split
     # on PY_WS_RE runs and DROP empty tokens, so leading/trailing \n or
     # \t never count (trim() strips spaces only — the empty-token filter

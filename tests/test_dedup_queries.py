@@ -191,3 +191,15 @@ def test_dedup_clusters_are_true_connected_components(spark, sf_dir):
     # survivors: exactly one per component
     for c, ms in members.items():
         assert sum(1 for d in ms if survivor[d]) == 1
+
+    # the APPLIED table: corpus minus exactly the non-survivors, and
+    # composing on top of the clustering must not blow up the planner
+    # (the CC loop truncates lineage per round — regression guard for
+    # the exponential-plan OOM)
+    from risjbot_spark.queries import _docs_with_mutants, q_dedup_survivor_docs
+    kept_ids = {r["doc_id"]
+                for r in q_dedup_survivor_docs(spark, sf_dir).collect()}
+    all_ids = {r["doc_id"]
+               for r in _docs_with_mutants(spark, sf_dir).collect()}
+    losers = {d for d, s in survivor.items() if not s}
+    assert kept_ids == all_ids - losers
