@@ -549,7 +549,14 @@ def q_dedup_clusters(spark, sf):
         )
         lbl = (adj.select(F.col("u").alias("node")).distinct()
                .withColumn("lbl", F.col("node")))
-        for _ in range(20):  # >= log2 of any plausible diameter
+        # Block lifecycle: each `lbl = new` drops the ONLY Python ref to
+        # the superseded table; CPython refcounting detaches the py4j
+        # object immediately and Spark's ContextCleaner then unpersists
+        # the checkpointed blocks (same on the failure path when the
+        # frame unwinds). Worst-case pinned-until-cleaned is bounded by
+        # the iteration cap × one tiny (node,lbl) table; 12 rounds of
+        # pointer-jumping covers diameters past 4000.
+        for _ in range(12):
             nb = (adj.join(lbl.withColumnRenamed("node", "v"), "v")
                   .groupBy("u").agg(F.min("lbl").alias("nlbl"))
                   .withColumnRenamed("u", "node"))
@@ -580,7 +587,7 @@ def q_dedup_clusters(spark, sf):
             if changed == 0:
                 return lbl  # truncated-lineage; _cached_stage persists
         raise RuntimeError(
-            "dedup_clusters did not converge in 20 rounds")
+            "dedup_clusters did not converge in 12 rounds")
 
     labels = _cached_stage(spark, sf, "cc_labels", build)
     return labels.select(
@@ -1355,6 +1362,18 @@ v AS (
   FROM j
   WHERE round(n_common * 1.0 / (na + nb - n_common), 6) >= 0.5)"""
 
+# connected components over the verified edges: recursive reachability
+# closure — one fragment shared by the clusters and survivor oracles so
+# the closure definition can never desynchronize between them
+_CC_CTE = """
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM v
+  UNION SELECT doc_b, doc_a FROM v),
+reach AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION
+  SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a)"""
+
 
 _HEX_DIGITS = _SIMHASH_BITS // 4           # 15 — same md5 prefix as Spark
 _HEX60 = " + ".join(
@@ -1650,13 +1669,7 @@ ORACLE_SQL = {
         {_M_CTE},
         sig AS ({_SIG_SELECT}),
         {_VERIFIED_CTE},
-        e AS (
-          SELECT doc_a AS a, doc_b AS b FROM v
-          UNION SELECT doc_b, doc_a FROM v),
-        reach AS (
-          SELECT a AS src, b AS dst FROM e
-          UNION
-          SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a)
+        {_CC_CTE}
         SELECT src AS doc_id,
                least(src, min(dst)) AS cluster_id,
                least(src, min(dst)) = src AS is_survivor
@@ -1667,13 +1680,7 @@ ORACLE_SQL = {
         {_M_CTE},
         sig AS ({_SIG_SELECT}),
         {_VERIFIED_CTE},
-        e AS (
-          SELECT doc_a AS a, doc_b AS b FROM v
-          UNION SELECT doc_b, doc_a FROM v),
-        reach AS (
-          SELECT a AS src, b AS dst FROM e
-          UNION
-          SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a),
+        {_CC_CTE},
         losers AS (
           SELECT src AS doc_id FROM reach
           GROUP BY src HAVING least(src, min(dst)) <> src)

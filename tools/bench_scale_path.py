@@ -141,6 +141,7 @@ def main() -> None:
         "pages": N_PAGES,
         "cpus": CPUS,
         "buckets": BUCKETS,
+        "per_host_budget": BUDGET,
         "rounds": timings,
         "driver_rss_mb": rss,
         "articles_round0": n_round0,
