@@ -1,0 +1,492 @@
+"""Near-duplicate detection over arbitrary DataFrames — the reusable
+library API for the dedup family (exact, MinHash+LSH, n-gram Jaccard
+verify, SimHash, embedding-cosine, connected-components clustering,
+survivor selection).
+
+Every function takes a caller-supplied DataFrame plus column NAMES — no
+dependence on the synthetic bench tables; the bench queries in
+`queries.py` are thin wrappers over these building blocks (with their
+own per-(session, sf) stage caching on top). Geometry — shingle width,
+MinHash permutations, band layout, SimHash bits, LSH hyperplane count —
+is parameterized with the bench constants as defaults; size band
+cardinality ∝ log2(n) at corpus scale (see tools/bench_band_cardinality
+for the measured blow-up of under-sized bands).
+
+Scale notes (the 100 TB story):
+  * Nothing here is ever all-pairs: candidates come from band-keyed
+    equi self-joins (MinHash bands, SimHash bands, sign-LSH buckets),
+    so the shuffle is on (band, value) buckets — Σ n_b² work, bounded
+    by band cardinality — never O(n²).
+  * All signature math is JVM expressions (md5/conv/bit ops/HOFs); no
+    Python anywhere in the family.
+  * Connected components iterates on the EDGE list only (never the
+    corpus), min-label propagation + pointer jumping = O(log diameter)
+    rounds; lineage is truncated per round (localCheckpoint by default,
+    reliable `spark.checkpoint()` when `checkpoint_dir` is set — the
+    cluster-durable variant, since localCheckpoint blocks die with an
+    executor).
+  * Survivor selection anti-joins the corpus against the (tiny,
+    broadcast) non-survivor set — the corpus never shuffles.
+
+Reference parity: RISJbot's own dedup is per-page field dedup
+(`/root/reference/RISJbot/pipelines/striprawpage.py` drops, spider-level
+URL dedup); this corpus-level family is the LLM-training-data surface
+the brief adds on top.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .schema import PY_WS_RE
+
+__all__ = [
+    "normalized_text_expr",
+    "tokens_expr",
+    "exact_dup_groups",
+    "shingle_rows",
+    "distinct_shingles",
+    "minhash_signatures",
+    "banded_candidate_pairs",
+    "shingle_arrays",
+    "jaccard_verify",
+    "minhash_dedup",
+    "unit_bucketed_vectors",
+    "bucketed_near_dup_pairs",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "simhash_dedup",
+    "embedding_near_dup",
+    "connected_components",
+    "cluster_assignments",
+    "survivor_docs",
+    "cluster_and_survivors",
+]
+
+
+# ---------------------------------------------------------------------------
+# text normalization / tokenization (Python str.split() semantics, JVM-side)
+# ---------------------------------------------------------------------------
+
+def normalized_text_expr(text_col) -> Column:
+    """Whitespace-collapsed, trimmed, lowercased text — the exact-dedup
+    and fingerprint normal form."""
+    return F.lower(F.trim(F.regexp_replace(text_col, PY_WS_RE, " ")))
+
+
+def tokens_expr(text_col) -> Column:
+    """len(str.split()) token semantics: PY_WS_RE split + empty-token
+    filter (F.split uses limit=-1, so boundary whitespace yields empty
+    tokens; the filter keeps token positions identical to Python's
+    str.split() and to the DuckDB oracle)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text_col)), PY_WS_RE),
+        lambda x: x != "")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text — map-side
+    combinable, one shuffle on the (uniform) md5 key. Returns
+    (fp, keep_id, n_copies) for groups with >1 member."""
+    return (
+        df.withColumn("fp", F.md5(normalized_text_expr(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str,
+                 *, ngram: int = 3) -> DataFrame:
+    """(id, text) → exploded (id, s) n-token-shingle rows.
+
+    Construction is arrays_zip of `ngram` shifted slices — ngram array
+    ops per ROW — then explode + codegen'd concat_ws. The obvious
+    alternatives are 10-20× slower, measured: transform(sequence(...),
+    i -> concat_ws(' ', slice(toks,i,n))) does an interpreted
+    per-SHINGLE slice (O(words²) work), and a size(sh)>0 pre-filter gets
+    pushdown-inlined into the scan, re-evaluating the whole non-codegen
+    expression per row. The guarded CASE matters: Spark's
+    sequence(1, 0) counts DOWN."""
+    slices = ", ".join(
+        f"slice(toks, {i + 1}, size(toks)-{ngram - 1})"
+        for i in range(ngram))
+    z = F.expr(
+        f"CASE WHEN size(toks) >= {ngram} THEN arrays_zip({slices}) "
+        "ELSE array() END")
+    return (
+        df.select(F.col(id_col).alias("_id"),
+                  tokens_expr(text_col).alias("toks"))
+        .select("_id", F.explode(z).alias("t"))
+        .select(F.col("_id").alias(id_col),
+                F.concat_ws(" ", *[f"t.{i}" for i in range(ngram)])
+                .alias("s"))
+    )
+
+
+def distinct_shingles(df: DataFrame, id_col: str, text_col: str,
+                      *, ngram: int = 3) -> DataFrame:
+    """Distinct (id, shingle) rows — THE shared dedup stage: every
+    signature in the family is a function of the distinct shingle set
+    (min(md5) over duplicates equals min over distinct, and simhash
+    votes over distinct shingles), so minhash, Jaccard arrays, and
+    simhash all derive from this one table. Callers that run several
+    family members should persist it (queries.py caches it per
+    (session, sf); a cluster pipeline writes it as a table)."""
+    return shingle_rows(df, id_col, text_col, ngram=ngram).distinct()
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(shingles: DataFrame, id_col: str,
+                       *, num_bands: int = 2,
+                       rows_per_band: int = 3) -> DataFrame:
+    """MinHash signature table (id, band1..band{num_bands}) from a
+    distinct-shingle table: num_bands × rows_per_band permutations via
+    md5(seed||shingle) min-hashes, each band the md5 of its
+    rows_per_band concatenated mins. One map-side-combinable groupBy —
+    linear in total shingles. Band VALUES are md5 strings (2^128
+    cardinality), so per-band buckets stay tiny at any corpus size."""
+    k = num_bands * rows_per_band
+    sig = shingles.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"m{j}")
+        for j in range(k)
+    ])
+    return sig.select(
+        id_col,
+        *[F.md5(F.concat_ws("", *[
+            f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+        ])).alias(f"band{b + 1}") for b in range(num_bands)],
+    )
+
+
+def banded_candidate_pairs(sig: DataFrame, id_col: str,
+                           band_cols: Sequence[str]) -> DataFrame:
+    """Unordered candidate pairs sharing ANY band: unpivot the band
+    columns, band-keyed equi self-join (never all-pairs), distinct.
+    Returns (id_a, id_b) with id_a < id_b."""
+    per_band = [
+        sig.select(F.col(id_col).alias("_id"), F.col(c).alias("band"))
+        for c in band_cols
+    ]
+    both = per_band[0]
+    for p in per_band[1:]:
+        both = both.unionAll(p)
+    a, b = both.alias("a"), both.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def shingle_arrays(shingles: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc distinct-shingle arrays (id, sh) — the verify stage's
+    join input. Exposed separately so callers can persist it: the
+    verify self-references it for both pair sides, and a cached/written
+    table computes it once (queries.py caches it per (session, sf))."""
+    return shingles.groupBy(id_col).agg(F.collect_list("s").alias("sh"))
+
+
+def jaccard_verify(cands: DataFrame, shingles: DataFrame, id_col: str,
+                   *, threshold: float = 0.5, round_to: int = 6,
+                   arrays: Optional[DataFrame] = None) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (id_a, id_b) — the
+    verify stage. Joins two per-doc distinct-shingle ARRAYS (collected
+    once, reused for both sides — pass a persisted `arrays` to avoid
+    recomputing the collect for each side); |∩| via array_intersect.
+    Verifies candidates only — the unrestricted shingle self-join is
+    the quadratic trap (measured 16.7 s vs 3 s at sf0.1; impossible at
+    10^10 docs)."""
+    sh_arr = arrays if arrays is not None else shingle_arrays(
+        shingles, id_col)
+    a = sh_arr.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
+    b = sh_arr.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, round_to))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  *, ngram: int = 3, num_bands: int = 2,
+                  rows_per_band: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """The full MinHash pipeline: shingle → sign → band-join candidates
+    → exact-Jaccard verify. Returns verified near-dup pairs
+    (id_a, id_b, jaccard). Convenience composition of the blocks above;
+    pipelines that also run simhash/Jaccard should persist
+    `distinct_shingles` once and call the blocks directly."""
+    sh = distinct_shingles(df, id_col, text_col, ngram=ngram)
+    sig = minhash_signatures(sh, id_col, num_bands=num_bands,
+                             rows_per_band=rows_per_band)
+    cands = banded_candidate_pairs(
+        sig, id_col, [f"band{b + 1}" for b in range(num_bands)])
+    return jaccard_verify(cands, sh, id_col, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(shingles: DataFrame, id_col: str,
+                         *, bits: int = 60) -> DataFrame:
+    """SimHash fingerprint (id, simhash long) over distinct shingles:
+    md5-prefix shingle hash (bits/4 hex chars — ≤60 bits parses into a
+    SIGNED 64-bit long identically in Spark and DuckDB), per-bit ±1
+    majority vote (Charikar). Shingles, not single tokens: with a small
+    shared vocabulary the unweighted-token vote degenerates toward the
+    corpus-majority fingerprint (measured: 13% of all pairs at
+    hamming≤3); shingles are doc-specific so unrelated docs separate.
+    One explode + one groupBy — map-side combinable, no skew (hashes
+    are uniform), linear in corpus tokens. Docs under `ngram` tokens
+    produce no shingles and go unfingerprinted (exact dedup covers
+    them)."""
+    if bits > 60 or bits % 4:
+        raise ValueError("bits must be a multiple of 4, ≤ 60 "
+                         "(signed-long portability)")
+    h = shingles.withColumn(
+        "h",
+        F.conv(F.substring(F.md5("s"), 1, bits // 4), 16, 10)
+        .cast("long"))
+    votes = h.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1))
+        .alias(f"v{b}")
+        for b in range(bits)
+    ])
+    fp = sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        for b in range(bits)
+    )
+    return votes.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(fp: DataFrame, id_col: str,
+                  *, bits: int = 60, num_bands: int = 4,
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: banded LSH self-join then exact hamming
+    verify via xor + bit_count. Pigeonhole: hamming ≤ num_bands-1 over
+    `bits` bits ⇒ ≥ 1 band identical, so with max_hamming ≤ num_bands-1
+    the band join loses no qualifying pair. Band cardinality is
+    2^(bits/num_bands) — size it ∝ log2(n) to keep per-bucket pair
+    blocks bounded (tools/bench_band_cardinality.py measures the
+    blow-up of under-sized bands)."""
+    if max_hamming > num_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs ≥ {max_hamming + 1} bands "
+            "for the pigeonhole guarantee")
+    band_bits = bits // num_bands
+    band_vals = 1 << band_bits
+    band_arr = F.array(*[
+        (F.shiftright(F.col("simhash"), band_bits * i)
+         % band_vals).cast("int")
+        for i in range(num_bands)
+    ])
+    bl = fp.select(F.col(id_col).alias("_id"), "simhash",
+                   F.posexplode(band_arr).alias("bi", "bv"))
+    a, b = bl.alias("a"), bl.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bi") == F.col("b.bi"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.col("a.simhash").alias("ha"),
+                F.col("b.simhash").alias("hb"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  *, ngram: int = 3, bits: int = 60, num_bands: int = 4,
+                  max_hamming: int = 3) -> DataFrame:
+    """Full SimHash pipeline: shingle → fingerprint → banded pairs."""
+    sh = distinct_shingles(df, id_col, text_col, ngram=ngram)
+    fp = simhash_fingerprints(sh, id_col, bits=bits)
+    return simhash_pairs(fp, id_col, bits=bits, num_bands=num_bands,
+                         max_hamming=max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def unit_bucketed_vectors(df: DataFrame, id_col: str, vec_col: str,
+                          *, bits: int = 16,
+                          cast_double: bool = True) -> DataFrame:
+    """(_id, bucket, u): sign-LSH bucket + unit-normalized vector per
+    row. Exposed separately so callers can persist it: the pair join
+    references it for both sides, and normalizing ONCE per vector (not
+    per pair) is what keeps the interpreted higher-order fold to 1 per
+    candidate pair instead of 3 (measured 9.1 s → ~3 s at sf0.1)."""
+    from .ann import sign_lsh_bucket
+
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        (F.transform(vec_col, lambda x: x.cast("double"))
+         if cast_double else F.col(vec_col)).alias("emb"))
+    nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda acc, v: acc + v * v))
+    return (e.withColumn("nrm", nrm)
+            .withColumn("u", F.transform("emb", lambda v: v / F.col("nrm")))
+            .withColumn("bucket", sign_lsh_bucket("emb", bits))
+            .select("_id", "bucket", "u"))
+
+
+def bucketed_near_dup_pairs(b: DataFrame, *, threshold: float = 0.99,
+                            round_to: int = 6) -> DataFrame:
+    """In-bucket pair join over a `unit_bucketed_vectors` table →
+    (id_a, id_b, cosine ≥ threshold)."""
+    x, y = b.alias("x"), b.alias("y")
+    j = x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col("x._id") < F.col("y._id")))
+    cos = F.round(F.aggregate(
+        F.zip_with(F.col("x.u"), F.col("y.u"), lambda p, q: p * q),
+        F.lit(0.0), lambda acc, v: acc + v), round_to)
+    return (
+        j.select(F.col("x._id").alias("id_a"),
+                 F.col("y._id").alias("id_b"),
+                 cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
+                       *, bits: int = 16, threshold: float = 0.99,
+                       round_to: int = 6,
+                       cast_double: bool = True) -> DataFrame:
+    """Embedding-cosine near-dup: sign-pattern LSH bucket (`bits` fixed
+    hyperplanes — size ∝ log2(n)) → in-bucket pair join → cosine ≥
+    threshold. The bucket join turns the O(n²) cross join into
+    per-bucket blocks — the 10^9-vector scale path. Returns
+    (id_a, id_b, cosine). Convenience composition; persist
+    `unit_bucketed_vectors` when running repeatedly."""
+    b = unit_bucketed_vectors(df, id_col, vec_col, bits=bits,
+                              cast_double=cast_double)
+    return bucketed_near_dup_pairs(b, threshold=threshold,
+                                   round_to=round_to)
+
+
+# ---------------------------------------------------------------------------
+# clustering + survivor selection
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", *, max_iters: int = 12,
+                         checkpoint_dir: Optional[str] = None) -> DataFrame:
+    """Connected components over an undirected edge list — the step a
+    dedup pipeline needs between pair verification and survivor
+    selection (pairs alone can't pick survivors when A~B and B~C but
+    A!~C). Returns (node, cluster_id) for every node that appears in an
+    edge; cluster_id = min node id of the component.
+
+    Distributed min-label propagation with pointer jumping: each
+    iteration (a) lowers every node's label to the min over its
+    neighbors' labels, then (b) shortcuts label chains by one hop
+    (lbl ← lbl(lbl)), so convergence is O(log(diameter)) rounds — at
+    near-dup component sizes that is 1-2 iterations, and each iteration
+    is two shuffles on the EDGE list only, never the corpus.
+
+    Lineage is truncated every round (each iteration references its
+    step twice, so the logical plan DOUBLES per round; left to
+    accumulate, the planner OOMs on tree rendering the moment a
+    downstream query composes on top). Default is eager
+    `localCheckpoint` — right for a single-node/bench run, but its
+    blocks are executor-memory-resident and die with an executor. Pass
+    `checkpoint_dir` on a real cluster: labels then checkpoint to
+    reliable storage (`spark.checkpoint()`, GraphX-style), so a lost
+    executor mid-iteration recomputes from the checkpoint files instead
+    of failing the job."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    adj = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(pairs.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v")))
+    )
+    lbl = (adj.select(F.col("u").alias("node")).distinct()
+           .withColumn("lbl", F.col("node")))
+    # Block lifecycle: each `lbl = new` drops the ONLY Python ref to
+    # the superseded table; CPython refcounting detaches the py4j
+    # object immediately and Spark's ContextCleaner then unpersists
+    # the checkpointed blocks (same on the failure path when the
+    # frame unwinds). Worst-case pinned-until-cleaned is bounded by
+    # max_iters × one tiny (node,lbl) table; 12 rounds of
+    # pointer-jumping covers diameters past 4000.
+    for _ in range(max_iters):
+        nb = (adj.join(lbl.withColumnRenamed("node", "v"), "v")
+              .groupBy("u").agg(F.min("lbl").alias("nlbl"))
+              .withColumnRenamed("u", "node"))
+        step = (lbl.join(nb, "node", "left")
+                .select("node", F.least(
+                    "lbl", F.coalesce("nlbl", "lbl")).alias("lbl")))
+        parent = step.select(F.col("node").alias("pnode"),
+                             F.col("lbl").alias("plbl"))
+        new = _truncate(
+            step.join(parent, step["lbl"] == parent["pnode"], "left")
+            .select("node", F.least(
+                "lbl", F.coalesce("plbl", "lbl")).alias("lbl")))
+        changed = (new.alias("n").join(lbl.alias("o"), "node")
+                   .filter(F.col("n.lbl") != F.col("o.lbl"))
+                   .count())
+        lbl = new
+        if changed == 0:
+            return lbl
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds")
+
+
+def cluster_assignments(labels: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(node, lbl) CC labels → (id_col, cluster_id, is_survivor);
+    the survivor is the min-id member of each cluster."""
+    return labels.select(
+        F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_survivor"))
+
+
+def survivor_docs(df: DataFrame, id_col: str,
+                  clusters: DataFrame) -> DataFrame:
+    """The dedup family APPLIED: the corpus with cluster non-survivors
+    removed — the table a training run actually reads. Anti-join on
+    the non-survivor set: the corpus side never shuffles wider than the
+    join, and the right side is tiny — Catalyst broadcasts it."""
+    losers = (clusters.filter(~F.col("is_survivor"))
+              .select(F.col(id_col)))
+    return df.join(losers, id_col, "left_anti")
+
+
+def cluster_and_survivors(df: DataFrame, id_col: str, pairs: DataFrame,
+                          *, src: str = "id_a", dst: str = "id_b",
+                          max_iters: int = 12,
+                          checkpoint_dir: Optional[str] = None):
+    """Convenience: verified pairs → (clusters, deduped corpus)."""
+    labels = connected_components(pairs, src, dst, max_iters=max_iters,
+                                  checkpoint_dir=checkpoint_dir)
+    clusters = cluster_assignments(labels, id_col)
+    return clusters, survivor_docs(df, id_col, clusters)

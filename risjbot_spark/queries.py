@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from . import ann, dedup
 from .schema import PY_WS_RE
 
 
@@ -383,83 +384,36 @@ def _docs_with_mutants(spark, sf):
 
 
 def q_exact_dedup(spark, sf):
-    """Exact dedup: hash-groupBy on normalized text, keep min doc_id."""
-    d = _docs_with_mutants(spark, sf)
-    norm = F.lower(F.trim(F.regexp_replace("text", PY_WS_RE, " ")))
-    return (
-        d.withColumn("fp", F.md5(norm))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
-        .filter(F.col("n_copies") > 1)
-        .orderBy("keep_id")
-    )
-
-
-def _toks():
-    # PY_WS_RE + empty-token filter on BOTH engines. F.split uses
-    # limit=-1, so boundary whitespace yields empty tokens (and trim()
-    # strips spaces only, on both engines) — the shared filter is what
-    # keeps token/shingle positions identical across engines and equal
-    # to str.split() semantics.
-    return F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), PY_WS_RE),
-        lambda x: x != "")
-
-
-def _shingle_rows(d):
-    """(doc_id, toks) → exploded (doc_id, s) 3-word-shingle rows.
-
-    Construction is arrays_zip of THREE shifted slices — 3 array ops per
-    ROW — then explode + codegen'd concat. The obvious alternatives are
-    10-20× slower, measured: transform(sequence(...), i -> concat_ws(' ',
-    slice(toks,i,3))) does an interpreted per-SHINGLE slice (O(words²)
-    work), and a size(sh)>0 pre-filter gets pushdown-inlined into the
-    scan, re-evaluating the whole non-codegen expression per row. The
-    guarded CASE also matters: Spark's sequence(1, 0) counts DOWN."""
-    z = F.expr(
-        "CASE WHEN size(toks) >= 3 THEN arrays_zip("
-        "slice(toks, 1, size(toks)-2), "
-        "slice(toks, 2, size(toks)-2), "
-        "slice(toks, 3, size(toks)-2)) "
-        "ELSE array() END"
-    )
-    return (
-        d.select("doc_id", F.explode(z).alias("t"))
-        .select("doc_id",
-                F.concat_ws(" ", "t.0", "t.1", "t.2").alias("s"))
-    )
+    """Exact dedup via dedup.exact_dup_groups: hash-groupBy on
+    normalized text, keep min doc_id."""
+    return (dedup.exact_dup_groups(
+        _docs_with_mutants(spark, sf), "doc_id", "text")
+        .orderBy("keep_id"))
 
 
 def _distinct_shingles(spark, sf):
-    """THE shared dedup stage: distinct (doc_id, shingle) rows, cached.
-
-    Every signature in the family is a function of the distinct shingle
-    set — min(md5) over duplicates equals min over distinct, and simhash
-    already votes over distinct shingles — so minhash, Jaccard arrays,
-    and simhash all derive from this one cached table: one shingle scan
-    per (session, sf) instead of one per plan reference."""
+    """THE shared dedup stage: distinct (doc_id, shingle) rows via
+    dedup.distinct_shingles, cached. Every signature in the family is a
+    function of the distinct shingle set — min(md5) over duplicates
+    equals min over distinct, and simhash already votes over distinct
+    shingles — so minhash, Jaccard arrays, and simhash all derive from
+    this one cached table: one shingle scan per (session, sf) instead
+    of one per plan reference."""
     return _cached_stage(
         spark, sf, "shingles",
-        lambda: _shingle_rows(
-            _docs_with_mutants(spark, sf).withColumn("toks", _toks())
-        ).distinct())
+        lambda: dedup.distinct_shingles(
+            _docs_with_mutants(spark, sf), "doc_id", "text", ngram=3))
 
 
 def _minhash_sig(spark, sf):
-    """Signature table (doc_id, band1, band2), cached — it is referenced
-    twice by the band self-join in _lsh_candidate_pairs."""
-    def build():
-        ex = _distinct_shingles(spark, sf)
-        sig = ex.groupBy("doc_id").agg(*[
-            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"m{k}")
-            for k in range(6)
-        ])
-        return sig.select(
-            "doc_id",
-            F.md5(F.concat_ws("", "m0", "m1", "m2")).alias("band1"),
-            F.md5(F.concat_ws("", "m3", "m4", "m5")).alias("band2"),
-        )
-    return _cached_stage(spark, sf, "minhash_sig", build)
+    """Signature table (doc_id, band1, band2) via
+    dedup.minhash_signatures (k=6 permutations, 2 bands × 3 rows),
+    cached — it is referenced twice by the band self-join."""
+    return _cached_stage(
+        spark, sf, "minhash_sig",
+        lambda: dedup.minhash_signatures(
+            _distinct_shingles(spark, sf), "doc_id",
+            num_bands=2, rows_per_band=3))
 
 
 def q_minhash_signature(spark, sf):
@@ -470,19 +424,12 @@ def q_minhash_signature(spark, sf):
 
 
 def _lsh_candidate_pairs(spark, sf):
-    """Candidate near-dup pairs sharing either LSH band (unordered)."""
-    sig = _minhash_sig(spark, sf)
-    b1 = sig.select("doc_id", F.col("band1").alias("band"))
-    b2 = sig.select("doc_id", F.col("band2").alias("band"))
-    both = b1.unionAll(b2)
-    a = both.alias("a")
-    b = both.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    """Candidate near-dup pairs sharing either LSH band (unordered),
+    via dedup.banded_candidate_pairs."""
+    return (dedup.banded_candidate_pairs(
+        _minhash_sig(spark, sf), "doc_id", ["band1", "band2"])
+        .select(F.col("id_a").alias("doc_a"),
+                F.col("id_b").alias("doc_b")))
 
 
 def q_lsh_dup_pairs(spark, sf):
@@ -491,27 +438,24 @@ def q_lsh_dup_pairs(spark, sf):
 
 
 def _verified_pairs(spark, sf):
-    """Verified near-dup pairs (jaccard ≥ 0.5) — the dedup pipeline's
-    edge list, cached: both the pairs query and the cluster assignment
-    (q_dedup_clusters) derive from this one verify stage."""
+    """Verified near-dup pairs (jaccard ≥ 0.5) via dedup.jaccard_verify
+    — the dedup pipeline's edge list, cached: both the pairs query and
+    the cluster assignment (q_dedup_clusters) derive from this one
+    verify stage. The per-doc shingle arrays are cached separately
+    because the verify references them for BOTH pair sides."""
     def build():
         sh_arr = _cached_stage(
             spark, sf, "shingle_arrays",
-            lambda: _distinct_shingles(spark, sf)
-            .groupBy("doc_id").agg(F.collect_list("s").alias("sh")))
-        cands = _lsh_candidate_pairs(spark, sf)
-        a = sh_arr.select(F.col("doc_id").alias("doc_a"),
-                          F.col("sh").alias("sha"))
-        b = sh_arr.select(F.col("doc_id").alias("doc_b"),
-                          F.col("sh").alias("shb"))
-        inter = F.size(F.array_intersect("sha", "shb"))
-        union = F.size("sha") + F.size("shb") - inter
-        return (
-            cands.join(a, "doc_a").join(b, "doc_b")
-            .withColumn("jaccard", F.round(inter / union, 6))
-            .filter(F.col("jaccard") >= 0.5)
-            .select("doc_a", "doc_b", "jaccard")
-        )
+            lambda: dedup.shingle_arrays(
+                _distinct_shingles(spark, sf), "doc_id"))
+        cands = (_lsh_candidate_pairs(spark, sf)
+                 .select(F.col("doc_a").alias("id_a"),
+                         F.col("doc_b").alias("id_b")))
+        return (dedup.jaccard_verify(
+            cands, _distinct_shingles(spark, sf), "doc_id",
+            threshold=0.5, arrays=sh_arr)
+            .select(F.col("id_a").alias("doc_a"),
+                    F.col("id_b").alias("doc_b"), "jaccard"))
     return _cached_stage(spark, sf, "verified_pairs", build)
 
 
@@ -526,90 +470,34 @@ def q_ngram_jaccard_pairs(spark, sf):
 
 
 def q_dedup_clusters(spark, sf):
-    """Near-dup CLUSTER ASSIGNMENT: connected components over the
-    verified-pair graph, the step a real dedup pipeline needs between
-    pair verification and survivor selection (pairs alone can't pick
-    survivors when A~B and B~C but A!~C).
-
-    Distributed min-label propagation with pointer jumping: each
-    iteration (a) lowers every node's label to the min over its
-    neighbors' labels, then (b) shortcuts label chains by one hop
-    (lbl ← lbl(lbl)), so convergence is O(log(diameter)) rounds — at
-    near-dup component sizes (a handful of mutants per original)
-    that is 1-2 iterations, and each iteration is two shuffles on the
-    EDGE list only, never the corpus. cluster_id = min doc_id of the
-    component; is_survivor marks the kept copy."""
-    def build():
-        edges = _verified_pairs(spark, sf)
-        adj = (
-            edges.select(F.col("doc_a").alias("u"),
-                         F.col("doc_b").alias("v"))
-            .unionAll(edges.select(F.col("doc_b").alias("u"),
-                                   F.col("doc_a").alias("v")))
-        )
-        lbl = (adj.select(F.col("u").alias("node")).distinct()
-               .withColumn("lbl", F.col("node")))
-        # Block lifecycle: each `lbl = new` drops the ONLY Python ref to
-        # the superseded table; CPython refcounting detaches the py4j
-        # object immediately and Spark's ContextCleaner then unpersists
-        # the checkpointed blocks (same on the failure path when the
-        # frame unwinds). Worst-case pinned-until-cleaned is bounded by
-        # the iteration cap × one tiny (node,lbl) table; 12 rounds of
-        # pointer-jumping covers diameters past 4000.
-        for _ in range(12):
-            nb = (adj.join(lbl.withColumnRenamed("node", "v"), "v")
-                  .groupBy("u").agg(F.min("lbl").alias("nlbl"))
-                  .withColumnRenamed("u", "node"))
-            step = (lbl.join(nb, "node", "left")
-                    .select("node", F.least(
-                        "lbl", F.coalesce("nlbl", "lbl")).alias("lbl")))
-            parent = step.select(F.col("node").alias("pnode"),
-                                 F.col("lbl").alias("plbl"))
-            # eager localCheckpoint, NOT persist: each iteration
-            # references `step` twice, so the logical plan DOUBLES per
-            # round — left to accumulate it OOMs the planner (tree
-            # rendering alone blows the heap) the moment a downstream
-            # query composes on top. Truncating lineage each round keeps
-            # the plan O(1); it also materializes `new`, so the
-            # superseded label blocks are GC-reclaimed as the loop
-            # drops its references. (On a real cluster, an iterative
-            # job checkpoints labels to reliable storage each K rounds
-            # for the same reason — GraphX-style.)
-            new = (step.join(parent, step["lbl"] == parent["pnode"],
-                             "left")
-                   .select("node", F.least(
-                       "lbl", F.coalesce("plbl", "lbl")).alias("lbl"))
-                   .localCheckpoint(eager=True))
-            changed = (new.alias("n").join(lbl.alias("o"), "node")
-                       .filter(F.col("n.lbl") != F.col("o.lbl"))
-                       .count())
-            lbl = new
-            if changed == 0:
-                return lbl  # truncated-lineage; _cached_stage persists
-        raise RuntimeError(
-            "dedup_clusters did not converge in 12 rounds")
-
-    labels = _cached_stage(spark, sf, "cc_labels", build)
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"),
-        (F.col("node") == F.col("lbl")).alias("is_survivor"),
-    ).orderBy("doc_id")
+    """Near-dup CLUSTER ASSIGNMENT via dedup.connected_components over
+    the verified-pair graph — the step a real dedup pipeline needs
+    between pair verification and survivor selection (pairs alone can't
+    pick survivors when A~B and B~C but A!~C). Min-label propagation +
+    pointer jumping on the EDGE list only (see dedup.py for the
+    algorithm, lineage-truncation, and cluster-durability notes).
+    cluster_id = min doc_id of the component; is_survivor marks the
+    kept copy."""
+    labels = _cached_stage(
+        spark, sf, "cc_labels",
+        lambda: dedup.connected_components(
+            _verified_pairs(spark, sf), "doc_a", "doc_b", max_iters=12))
+    return dedup.cluster_assignments(labels, "doc_id").orderBy("doc_id")
 
 
 def q_dedup_survivor_docs(spark, sf):
-    """The dedup family APPLIED: the corpus (incl. planted mutants) with
-    near-dup cluster non-survivors removed — i.e. the table a training
-    run would actually read. Anti-join on the clusters' non-survivor set:
-    the corpus side never shuffles wider than the join, and the right
-    side (non-survivors) is tiny — Catalyst broadcasts it."""
-    d = _docs_with_mutants(spark, sf)
-    losers = (q_dedup_clusters(spark, sf)
-              .filter(~F.col("is_survivor")).select("doc_id"))
-    return (
-        d.join(losers, "doc_id", "left_anti")
-        .select("doc_id", F.length("text").alias("text_len"))
-        .orderBy("doc_id")
-    )
+    """The dedup family APPLIED via dedup.survivor_docs: the corpus
+    (incl. planted mutants) with near-dup cluster non-survivors removed
+    — i.e. the table a training run would actually read. Anti-join on
+    the clusters' non-survivor set: the corpus side never shuffles wider
+    than the join, and the right side (non-survivors) is tiny —
+    Catalyst broadcasts it."""
+    deduped = dedup.survivor_docs(
+        _docs_with_mutants(spark, sf), "doc_id",
+        q_dedup_clusters(spark, sf))
+    return (deduped
+            .select("doc_id", F.length("text").alias("text_len"))
+            .orderBy("doc_id"))
 
 
 # SimHash geometry. 60 bits (15 md5 hex chars — parses into a SIGNED
@@ -628,36 +516,15 @@ _SIMHASH_BAND_VALS = 1 << _SIMHASH_BAND_BITS           # 32768
 
 
 def _simhash_fp(spark, sf):
-    """60-bit SimHash per doc over distinct 3-token shingles: md5-prefix
-    shingle hash (15 hex chars, engine-portable), per-bit ±1 majority
-    vote (Charikar's scheme; bit b of the fingerprint is 1 iff the sum
-    of ±1 votes for bit b is > 0). Shingles, not single tokens: with a
-    small shared vocabulary the unweighted-token vote degenerates toward
-    the corpus-majority fingerprint (measured: 13% of all pairs at
-    hamming<=3); shingles are doc-specific so unrelated docs separate.
-    One explode + one groupBy — map-side combinable, no skew (hashes are
-    uniform), linear in corpus tokens. Docs under 3 tokens produce no
-    shingles and go unfingerprinted (exact dedup covers them).
-
+    """60-bit SimHash per doc via dedup.simhash_fingerprints over the
+    shared distinct-shingle stage (Charikar's per-bit ±1 majority vote;
+    see dedup.py for the shingles-not-tokens rationale and scale notes).
     Cached: the fingerprint table is referenced twice by the band
     self-join in q_simhash_dup_pairs."""
-    def build():
-        sh = _distinct_shingles(spark, sf)
-        h = sh.withColumn(
-            "h",
-            F.conv(F.substring(F.md5("s"), 1, _SIMHASH_BITS // 4), 16, 10)
-            .cast("long"))
-        votes = h.groupBy("doc_id").agg(*[
-            F.sum(F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1))
-            .alias(f"v{b}")
-            for b in range(_SIMHASH_BITS)
-        ])
-        fp = sum(
-            F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
-            for b in range(_SIMHASH_BITS)
-        )
-        return votes.select("doc_id", fp.cast("long").alias("simhash"))
-    return _cached_stage(spark, sf, "simhash_fp", build)
+    return _cached_stage(
+        spark, sf, "simhash_fp",
+        lambda: dedup.simhash_fingerprints(
+            _distinct_shingles(spark, sf), "doc_id", bits=_SIMHASH_BITS))
 
 
 def q_simhash_fingerprint(spark, sf):
@@ -666,38 +533,19 @@ def q_simhash_fingerprint(spark, sf):
 
 
 def q_simhash_dup_pairs(spark, sf):
-    """SimHash near-dup pairs: banded LSH self-join (4 bands × 15 bits —
-    pigeonhole: hamming ≤ 3 over 60 bits ⇒ ≥ 1 band identical, so the
-    band join loses no qualifying pair) then exact hamming verify via
-    xor + bit_count. At 10^10 docs the band join shuffles only
-    (band_idx, band_val) buckets instead of the full cross join, and
-    32768 values per band keep the per-bucket pair blocks bounded."""
-    fp = _simhash_fp(spark, sf)
-    band_arr = F.array(*[
-        (F.shiftright(F.col("simhash"), _SIMHASH_BAND_BITS * i)
-         % _SIMHASH_BAND_VALS).cast("int")
-        for i in range(_SIMHASH_BANDS)
-    ])
-    bl = fp.select("doc_id", "simhash",
-                   F.posexplode(band_arr).alias("bi", "bv"))
-    a, b = bl.alias("a"), bl.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.bi") == F.col("b.bi"))
-               & (F.col("a.bv") == F.col("b.bv"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.simhash").alias("ha"),
-                F.col("b.simhash").alias("hb"))
-        .distinct()
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
-    return (
-        pairs.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
-    )
+    """SimHash near-dup pairs via dedup.simhash_pairs: banded LSH
+    self-join (4 bands × 15 bits — pigeonhole: hamming ≤ 3 over 60 bits
+    ⇒ ≥ 1 band identical, so the band join loses no qualifying pair)
+    then exact hamming verify via xor + bit_count. At 10^10 docs the
+    band join shuffles only (band_idx, band_val) buckets instead of the
+    full cross join, and 32768 values per band keep the per-bucket pair
+    blocks bounded."""
+    return (dedup.simhash_pairs(
+        _simhash_fp(spark, sf), "doc_id", bits=_SIMHASH_BITS,
+        num_bands=_SIMHASH_BANDS, max_hamming=3)
+        .select(F.col("id_a").alias("doc_a"),
+                F.col("id_b").alias("doc_b"), "hamming")
+        .orderBy("doc_a", "doc_b"))
 
 
 def _emb_with_mutants(spark, sf):
@@ -714,24 +562,18 @@ def _emb_with_mutants(spark, sf):
     return e.unionByName(mut)
 
 
-# Sign-hyperplane count for the embedding LSH family. 16 bits → 65536
-# buckets (was 8/256 in r2: per-bucket blocks grew O((n/256)²) — the r2
-# verdict's scale ceiling). At corpus scale, size this ∝ log2(n): the
-# expected bucket population is n / 2^bits, and the pair-block work is
-# sum(n_b²) — tools/bench_band_cardinality.py shows the 8-bit version
-# exploding at 10^6 vectors while 16 bits stays bounded. Axis-aligned
-# planes (sign of dimension i) keep it deterministic and SQL-portable;
-# a production index would draw random Gaussian planes per seed.
+# Sign-hyperplane count for the embedding LSH family (bench default for
+# ann.sign_lsh_bucket / dedup.embedding_near_dup — the parameterized
+# API). 16 bits → 65536 buckets (was 8/256 in r2: per-bucket blocks grew
+# O((n/256)²) — the r2 verdict's scale ceiling). At corpus scale, size
+# bits ∝ log2(n): tools/bench_band_cardinality.py shows the 8-bit
+# version exploding at 10^6 vectors while 16 bits stays bounded.
 _EMB_LSH_BITS = 16
 
 
 def _emb_bucket_expr(col: str, bits: int = _EMB_LSH_BITS):
     """Sign-pattern bucket id over the first `bits` dimensions."""
-    terms = [
-        F.when(F.element_at(col, i + 1) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
-        for i in range(bits)
-    ]
-    return sum(terms).cast("int")
+    return ann.sign_lsh_bucket(col, bits)
 
 
 def q_embedding_near_dup(spark, sf):
@@ -743,33 +585,18 @@ def q_embedding_near_dup(spark, sf):
     construction at ANY bit width: the perturbation preserves every
     element's sign, so a mutant always lands in its original's bucket.
     JVM higher-order functions only, no Python."""
-    # normalize ONCE per vector, not per pair: the higher-order
-    # aggregate/zip_with exprs are interpreted (not codegen), so cosine
-    # as dot-of-unit-vectors does 1 fold per candidate pair instead of 3
-    # (measured 9.1 s → ~3 s at sf0.1; at 10^9 vectors the norms would
-    # be precomputed into the index anyway). Cached: the bucketed
-    # unit-vector table feeds both sides of the in-bucket self-join.
-    def build():
-        e = _emb_with_mutants(spark, sf)
-        nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda acc, v: acc + v * v))
-        b = e.withColumn("nrm", nrm).withColumn(
-            "u", F.transform("emb", lambda v: v / F.col("nrm")))
-        return b.withColumn("bucket", _emb_bucket_expr("emb")).select(
-            "vec_id", "bucket", "u")
-    b = _cached_stage(spark, sf, "emb_unit_buckets", build)
-    x, y = b.alias("x"), b.alias("y")
-    j = x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
-               & (F.col("x.vec_id") < F.col("y.vec_id")))
-    cos = F.round(F.aggregate(
-        F.zip_with(F.col("x.u"), F.col("y.u"), lambda p, q: p * q),
-        F.lit(0.0), lambda acc, v: acc + v), 6)
-    return (
-        j.select(F.col("x.vec_id").alias("vec_a"),
-                 F.col("y.vec_id").alias("vec_b"),
-                 cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.99)
-        .orderBy("vec_a", "vec_b")
-    )
+    # the bucketed unit-vector table is cached because it feeds both
+    # sides of the in-bucket self-join (see dedup.unit_bucketed_vectors
+    # for the normalize-once rationale and measurements)
+    b = _cached_stage(
+        spark, sf, "emb_unit_buckets",
+        lambda: dedup.unit_bucketed_vectors(
+            _emb_with_mutants(spark, sf), "vec_id", "emb",
+            bits=_EMB_LSH_BITS, cast_double=False))
+    return (dedup.bucketed_near_dup_pairs(b, threshold=0.99)
+            .select(F.col("id_a").alias("vec_a"),
+                    F.col("id_b").alias("vec_b"), "cosine")
+            .orderBy("vec_a", "vec_b"))
 
 
 # ---------------------------------------------------------------------------
@@ -893,22 +720,13 @@ def q_doc_fingerprint(spark, sf):
 
 def q_ann_cosine_topk(spark, sf):
     """Brute-force cosine top-k vs query vector vec_id=0 (the exact
-    baseline an IVF/LSH path is measured against). Dot products via
-    F.zip_with/aggregate — JVM higher-order functions, no Python."""
-    e = _t(spark, sf, "embeddings").withColumn(
-        "emb", F.transform("embedding", lambda x: x.cast("double")))
-    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
-    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    dot = F.aggregate(
-        F.zip_with("emb", "qv", lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
-    cos = dot / (norm(F.col("emb")) * norm(F.col("qv")))
-    return (
-        j.select("vec_id", F.round(cos, 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(10)
-    )
+    baseline an IVF/LSH path is measured against) via ann.brute_topk —
+    JVM higher-order functions, no Python."""
+    e = _t(spark, sf, "embeddings")
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(ann.as_double_vec("embedding").alias("qv")))
+    return ann.brute_topk(
+        e.filter(F.col("vec_id") != 0), "vec_id", "embedding", q, k=10)
 
 
 def q_ivf_centroids(spark, sf):
@@ -926,8 +744,9 @@ def q_ivf_centroids(spark, sf):
 
 def q_ivf_assign(spark, sf):
     """IVF probe: assign each vector to its nearest centroid (squared L2)
-    — broadcast the (tiny) centroid table, JVM-side distance, argmin via
-    window. Returns cluster sizes + how many vectors moved label."""
+    — broadcast the (tiny) centroid table, argmin as an expression over
+    the centroid array (ann.assign_nearest; no n×K materialization, no
+    window shuffle). Returns cluster sizes + how many vectors moved."""
     e = _t(spark, sf, "embeddings").withColumn(
         "emb", F.transform("embedding", lambda x: x.cast("double")))
     ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
@@ -939,16 +758,9 @@ def q_ivf_assign(spark, sf):
         .select(F.col("label").alias("centroid"),
                 F.expr("transform(pc, x -> x.c)").alias("cvec"))
     )
-    j = e.crossJoin(F.broadcast(cents))
-    dist = F.aggregate(
-        F.zip_with("emb", "cvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("centroid").asc())
-    assigned = (
-        j.select("vec_id", "label", "centroid", dist.alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    assigned = ann.assign_nearest(
+        e.select("vec_id", "label", "emb"), "emb", cents,
+        out_col="centroid")
     return (
         assigned.groupBy("centroid")
         .agg(F.count("*").alias("n"),
@@ -1001,56 +813,25 @@ def q_ivf_search(spark, sf):
     )
 
 
-# Lloyd k-means geometry for the iterative IVF build. Deterministic
-# everywhere: seeds are the K smallest vec_ids, assignment ties break on
-# centroid id, and each iteration's centroids are ROUNDED to 6 decimals
-# before the next assignment — quantizing at the iteration boundary
-# pins engine-vs-oracle float drift to zero instead of letting summation
-# order compound across iterations. The label-seeded build
-# (q_ivf_centroids) stays as the oracle-exact one-shot variant; this is
-# the real index build a 10^9-vector deployment iterates (more rounds,
-# sampled init — the structure is the same DataFrame loop).
+# Lloyd k-means geometry for the iterative IVF build (bench defaults for
+# risjbot_spark.ann.kmeans — the reusable, geometry-parameterized API).
+# The label-seeded build (q_ivf_centroids) stays as the oracle-exact
+# one-shot variant; this is the real index build a 10^9-vector
+# deployment iterates (more rounds, sampled init — same DataFrame loop).
 _KMEANS_K = 10
 _KMEANS_ITERS = 2
 
 
 def _kmeans_cents(spark, sf):
-    """Final Lloyd centroids as (centroid int, cvec array<double>) —
-    K iterations unrolled into one DataFrame plan; centroids broadcast
-    into the assignment join each round (K rows — never a shuffle of
-    the vector side). Cached: build + search both read it."""
-    def build():
-        e = _t(spark, sf, "embeddings").select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
-        cents = e.filter(F.col("vec_id") < _KMEANS_K).select(
-            F.col("vec_id").cast("int").alias("centroid"),
-            F.col("emb").alias("cvec"))
-        dist = F.aggregate(
-            F.zip_with("emb", "cvec", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-        for _ in range(_KMEANS_ITERS):
-            w = Window.partitionBy("vec_id").orderBy(
-                F.col("d").asc(), F.col("centroid").asc())
-            assigned = (
-                e.crossJoin(F.broadcast(cents))
-                .select("vec_id", "emb", "centroid", dist.alias("d"))
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-            )
-            cents = (
-                assigned.select(
-                    "centroid", F.posexplode("emb").alias("pos", "v"))
-                .groupBy("centroid", "pos")
-                .agg(F.round(F.avg("v"), 6).alias("c"))
-                .groupBy("centroid")
-                .agg(F.array_sort(
-                    F.collect_list(F.struct("pos", "c"))).alias("pc"))
-                .select("centroid",
-                        F.expr("transform(pc, x -> x.c)").alias("cvec"))
-            )
-        return cents
-    return _cached_stage(spark, sf, "ivf_kmeans_cents", build)
+    """Final Lloyd centroids as (centroid int, cvec array<double>) via
+    ann.kmeans — assignment is an expression-level argmin over the
+    broadcast centroid array (the r3 verdict's n×K crossJoin+window
+    shuffle is gone). Cached: build + search both read it."""
+    return _cached_stage(
+        spark, sf, "ivf_kmeans_cents",
+        lambda: ann.kmeans(
+            _t(spark, sf, "embeddings"), "vec_id", "embedding",
+            k=_KMEANS_K, iters=_KMEANS_ITERS))
 
 
 def q_ivf_kmeans(spark, sf):
@@ -1065,53 +846,17 @@ def q_ivf_kmeans(spark, sf):
 
 
 def q_ivf_kmeans_search(spark, sf):
-    """IVF top-k search over the k-means index: assign vectors to their
-    final-centroid cluster, probe the nprobe=3 centroids nearest the
-    query, exact cosine within those clusters. Recall@10 vs the
+    """IVF top-k search over the k-means index via ann.ivf_search:
+    assign vectors to their final-centroid cluster (expression argmin,
+    no shuffle of the vector side), probe the nprobe=3 centroids nearest
+    the query, exact cosine within those clusters. Recall@10 vs the
     brute-force q_ann_cosine_topk is reported by bench.py."""
-    e = _t(spark, sf, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
-    cents = _kmeans_cents(spark, sf)
-    dist = F.aggregate(
-        F.zip_with("emb", "cvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("d").asc(), F.col("centroid").asc())
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "centroid", dist.alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("centroid").alias("cluster"))
-    )
-    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
-    dot = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
-        lambda acc, v: acc + v)
-    nrm = lambda c: F.sqrt(dot(c, c))
-    ccos = (dot(F.col("cvec"), F.col("qv"))
-            / (nrm(F.col("cvec")) * nrm(F.col("qv"))))
-    top_cents = (
-        cents.crossJoin(F.broadcast(q))
-        .select("centroid", ccos.alias("ccos"))
-        .orderBy(F.col("ccos").desc(), F.col("centroid").asc())
-        .limit(3)
-        .select(F.col("centroid").alias("cluster"))
-    )
-    cands = (
-        e.filter(F.col("vec_id") != 0)
-        .join(assigned, "vec_id")
-        .join(F.broadcast(top_cents), "cluster")
-        .crossJoin(F.broadcast(q))
-    )
-    vcos = (dot(F.col("emb"), F.col("qv"))
-            / (nrm(F.col("emb")) * nrm(F.col("qv"))))
-    return (
-        cands.select("vec_id", F.round(vcos, 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(10)
-    )
+    e = _t(spark, sf, "embeddings")
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(ann.as_double_vec("embedding").alias("qv")))
+    return ann.ivf_search(
+        e.filter(F.col("vec_id") != 0), "vec_id", "embedding",
+        _kmeans_cents(spark, sf), q, nprobe=3, k=10)
 
 
 def q_ann_lsh_bucket(spark, sf):
@@ -1127,21 +872,14 @@ def q_ann_lsh_bucket(spark, sf):
 
 
 def q_knn_label_vote(spark, sf):
-    """kNN classification shape: label histogram of the 50 nearest."""
-    e = _t(spark, sf, "embeddings").withColumn(
-        "emb", F.transform("embedding", lambda x: x.cast("double")))
-    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
-    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    dot = F.aggregate(F.zip_with("emb", "qv", lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
-    cos = dot / (norm(F.col("emb")) * norm(F.col("qv")))
-    top = (
-        j.select("vec_id", "label", F.round(cos, 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(50)
-    )
-    return top.groupBy("label").agg(F.count("*").alias("votes")).orderBy("label")
+    """kNN classification shape: label histogram of the 50 nearest,
+    via ann.knn_label_vote."""
+    e = _t(spark, sf, "embeddings")
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(ann.as_double_vec("embedding").alias("qv")))
+    return ann.knn_label_vote(
+        e.filter(F.col("vec_id") != 0), "vec_id", "embedding", "label",
+        q, k=50)
 
 
 # ---------------------------------------------------------------------------

@@ -247,6 +247,21 @@ def main() -> None:
           "no cartesian: centroids broadcast into the assignment join")
     check("ivf_kmeans", "BroadcastNestedLoopJoin" in p
           or "BroadcastHashJoin" in p, "centroid side broadcast")
+    # assignment is an expression argmin over the broadcast centroid
+    # array (ann.assign_nearest): the r3 crossJoin+row_number shape
+    # showed an n×K hashpartitioning(vec_id) exchange feeding a Window
+    # — the vector side must never hash-shuffle for assignment (the
+    # only remaining Window is the K-row seed ranking, which exchanges
+    # a SinglePartition of k rows)
+    check("ivf_kmeans",
+          "hashpartitioning(vec_id" not in p
+          and "hashpartitioning(_id" not in p,
+          "vectors never shuffle for assignment (expression argmin)")
+    ps = plan_of(QUERIES["ivf_kmeans_search"](spark, SF))
+    check("ivf_kmeans_search",
+          "hashpartitioning(vec_id" not in ps
+          and "hashpartitioning(_id" not in ps,
+          "search-side assignment shuffle-free too")
 
     ok = all(c[1] for c in checks)
     lines = ["# PLANS — physical-plan audit\n",
