@@ -112,7 +112,7 @@ def main() -> None:
     # 'table' (bucket-keyed parquet bitmaps — the 10^10-key path); the
     # table run also tracks driver-Python RSS to show the filter no
     # longer grows driver memory per round
-    mor_bloom = os.environ.get("SPARK_GRAFT_BENCH_BLOOM", "driver")
+    mor_bloom = os.environ.get("SPARK_GRAFT_BENCH_BLOOM", "auto")
     mor_series: list[float] = []
     mor_commit: list[float] = []
     mor_rss: list[int] = []
@@ -140,6 +140,7 @@ def main() -> None:
                 num_partitions=max(CPUS, 8), collect_lineage=False,
                 use_bloom=True, bloom_backend=mor_bloom),
         )
+        mor_backend_resolved = mor_eng.bloom_backend
         for r in range(mor_rounds):
             perf: dict = {}
             t0 = time.monotonic()
@@ -221,6 +222,7 @@ def main() -> None:
         out["mor_rounds"] = mor_series
         out["mor_seen_commit_secs"] = mor_commit
         out["mor_bloom_backend"] = mor_bloom
+        out["mor_bloom_resolved"] = mor_backend_resolved
         out["mor_driver_rss_mb"] = mor_rss
         out["mor_summary"] = {
             "rounds": len(mor_series),

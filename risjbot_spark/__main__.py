@@ -50,20 +50,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "session's spark.sql.shuffle.partitions (so "
                         "spark-submit --conf wins), else 32")
     c.add_argument("--robots-scale-path", action="store_true",
-                   help="keep robots rules/budgets in DataFrames joined "
-                        "on host (for host counts beyond driver memory) "
-                        "instead of the broadcast dict")
+                   default=None,
+                   help="force robots rules/budgets into DataFrames "
+                        "joined on host instead of the broadcast dict; "
+                        "default: auto by host count")
     c.add_argument("--no-broadcast-frontier", action="store_true",
-                   help="shuffle-join the fetch instead of broadcasting "
-                        "the frontier (pair with a bucketed pages table)")
+                   default=None,
+                   help="force a shuffle-join fetch instead of "
+                        "broadcasting the frontier (pair with a bucketed "
+                        "pages table); default: auto by frontier rows")
     c.add_argument("--no-bucket-seen", action="store_true",
                    help="compact the seen base flat instead of bucketed "
                         "by url_hash")
-    c.add_argument("--bloom-backend", choices=["driver", "table"],
-                   default="driver",
+    c.add_argument("--bloom-backend", choices=["driver", "table", "auto"],
+                   default="auto",
                    help="'table' keeps bloom bitmaps as a bucket-keyed "
                         "parquet table built/probed distributed (the "
-                        "10^10-key path); 'driver' broadcasts them")
+                        "10^10-key path); 'driver' broadcasts them; "
+                        "'auto' (default) picks by key count vs the "
+                        "driver budget")
     c.add_argument("--comments-host", default="",
                    help="chase viafoura comment threads for pages on "
                         "this host (e.g. liverpoolecho.co.uk) via the "
@@ -162,7 +167,8 @@ def main(argv=None, spark=None) -> int:
         num_partitions=eff_partitions,
         follow_links=args.follow_links,
         robots_scale_path=args.robots_scale_path,
-        broadcast_frontier=not args.no_broadcast_frontier,
+        broadcast_frontier=(None if args.no_broadcast_frontier is None
+                            else not args.no_broadcast_frontier),
         bucket_seen_base=not args.no_bucket_seen,
         bloom_backend=args.bloom_backend,
         comments_host=args.comments_host,

@@ -81,7 +81,8 @@ class SnapshotTable:
                partition_by: list[str] | None = None,
                stats: dict | None = None,
                bucket_by: str | None = None,
-               n_buckets: int = 32) -> int:
+               n_buckets: int = 32,
+               lineage_fn=None) -> int:
         """Write df as a new immutable snapshot and swap CURRENT.
 
         mode='replace': snapshot contents = df (the seen-table MERGE result).
@@ -162,6 +163,15 @@ class SnapshotTable:
                 # need this: the catalog entry carries the schema.)
                 partition_by = None
                 df.write.mode("overwrite").parquet(data_dir)
+        # lineage_fn runs AFTER the data write but BEFORE the manifest
+        # write: the write action has executed the plan, so Observation
+        # metrics riding it are resolvable now — lineage counters land in
+        # the committed manifest without any extra Spark job (the eager
+        # count()/agg() pattern ran the round's plan subtrees twice).
+        # Receives the fresh data dir so callers can also fold in
+        # driver-side parquet-footer stats (per-file row counts).
+        if lineage_fn is not None:
+            lineage = {**(lineage or {}), **(lineage_fn(data_dir) or {})}
         files = [data_dir]
         file_meta = {}
         if mode == "append" and parent is not None:

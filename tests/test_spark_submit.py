@@ -123,3 +123,74 @@ def test_spark_submit_pyfiles_crawl(spark, tmp_path):
     arts = spark.read.parquet(*manifest["files"])
     assert 0 < arts.count() <= 30
     assert {"url_canon", "headline", "bodytext"} <= set(arts.columns)
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not on this host")
+def test_spark_submit_ships_library_doubles_to_executors(tmp_path):
+    """r3 verdict item #5 — the executor-level seam proof. The fat zip
+    (risjbot_spark + the vendored API doubles from tests/fixtures/
+    fakelibs) ships through --py-files; worker PROCESSES must then (a)
+    report the doubles via backend_flags(), and (b) produce extraction
+    values through the real-library dispatch branch — pinned by the
+    driver, executed in the workers — not the stand-in heuristics.
+    FAKE_POLARITY/FAKE_SYLLABLES are distinctive constants no stand-in
+    produces, so a value match proves WHICH branch ran worker-side."""
+    zip_path = str(tmp_path / "risjbot_fat.zip")
+    build_zip(zip_path,
+              extra_pkg_dirs=[os.path.join(REPO, "tests", "fixtures",
+                                           "fakelibs")])
+    names = set(zipfile.ZipFile(zip_path).namelist())
+    assert {"textblob/__init__.py", "pronouncing/__init__.py",
+            "risjbot_spark/extract/nlp.py"} <= names
+
+    probe = tmp_path / "probe.py"
+    probe.write_text(
+        "import json\n"
+        "import pandas as pd\n"
+        "from pyspark.sql import SparkSession\n"
+        "from risjbot_spark.extract import nlp\n"
+        "from risjbot_spark.udfs import make_sentiment_udf\n"
+        "spark = SparkSession.builder.getOrCreate()\n"
+        "print('DRIVER=' + json.dumps(nlp.backend_flags()))\n"
+        "def probe(it):\n"
+        "    from risjbot_spark.extract import nlp as wnlp\n"
+        "    flags = wnlp.backend_flags()\n"
+        "    for pdf in it:\n"
+        "        yield pd.DataFrame({\n"
+        "            'textblob': [flags['textblob']] * len(pdf),\n"
+        "            'cmu': [flags['cmu']] * len(pdf),\n"
+        "            'syl': [wnlp.count_syllables('word')] * len(pdf)})\n"
+        "rows = (spark.range(4).repartition(2)\n"
+        "        .mapInPandas(probe, 'textblob boolean, cmu boolean, "
+        "syl int').collect())\n"
+        "print('WORKER=' + json.dumps(sorted(\n"
+        "    [r['textblob'], r['cmu'], r['syl']] for r in rows)))\n"
+        "sdf = spark.createDataFrame([('any text',)], 'text string')\n"
+        "sent = sdf.select(make_sentiment_udf()('text').alias('s'))"
+        ".select('s.*').first()\n"
+        "print('SENTIMENT=%.3f' % sent['sentiment'])\n"
+        "spark.stop()\n")
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "SPARK_HOME")}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=2",
+         "--py-files", zip_path, str(probe)],
+        cwd=str(tmp_path), env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = proc.stdout
+    driver_flags = json.loads(out.split("DRIVER=")[1].splitlines()[0])
+    assert driver_flags["textblob"] and driver_flags["cmu"]
+    worker = json.loads(out.split("WORKER=")[1].splitlines()[0])
+    # every worker row: doubles importable + FAKE_SYLLABLES value
+    assert worker and all(r == [True, True, 2] for r in worker)
+    # the engine's sentiment UDF (driver-pinned flags, worker-executed)
+    # carries textblob-double values — FAKE_POLARITY, not the stand-in
+    assert "SENTIMENT=0.123" in out

@@ -29,17 +29,29 @@ PACKAGE = "risjbot_spark"
 _EPOCH = (1980, 1, 1, 0, 0, 0)
 
 
-def build_zip(out_path: str, repo: str = REPO) -> str:
+def build_zip(out_path: str, repo: str = REPO,
+              extra_pkg_dirs: "list[str] | None" = None) -> str:
     """Zip every .py under risjbot_spark/ (package layout preserved);
-    returns the artifact's sha256 hex digest."""
+    returns the artifact's sha256 hex digest.
+
+    extra_pkg_dirs: directories whose CHILD packages are added at the
+    zip ROOT — e.g. a vendored-library dir (tests/fixtures/fakelibs)
+    ships its textblob/, pronouncing/, ... packages to every executor
+    alongside risjbot_spark, so worker processes import them from the
+    same --py-files artifact (the executor-level seam-proof path: a
+    worker-side backend_flags() then reports the shipped libraries)."""
     pkg_root = os.path.join(repo, PACKAGE)
     arcs = []
-    for dirpath, dirnames, filenames in os.walk(pkg_root):
-        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
-        for fn in filenames:
-            if fn.endswith(".py"):
-                full = os.path.join(dirpath, fn)
-                arcs.append((os.path.relpath(full, repo), full))
+    roots = [(pkg_root, repo)]
+    for extra in extra_pkg_dirs or []:
+        roots.append((extra, extra))
+    for walk_root, rel_base in roots:
+        for dirpath, dirnames, filenames in os.walk(walk_root):
+            dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    arcs.append((os.path.relpath(full, rel_base), full))
     if not arcs:
         raise FileNotFoundError(f"no .py files under {pkg_root}")
     arcs.sort(key=lambda t: t[0])
@@ -62,8 +74,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "dist",
                                                   "risjbot_spark.zip"))
+    ap.add_argument("--with-libs", action="append", default=[],
+                    metavar="DIR",
+                    help="also ship DIR's child packages at the zip root "
+                         "(vendored NLP/media libraries for executors)")
     args = ap.parse_args()
-    digest = build_zip(args.out)
+    digest = build_zip(args.out, extra_pkg_dirs=args.with_libs)
     n = len(zipfile.ZipFile(args.out).namelist())
     print(f"{args.out}  files={n}  sha256={digest}")
     return 0
