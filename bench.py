@@ -140,7 +140,6 @@ def main() -> None:
                 num_partitions=max(CPUS, 8), collect_lineage=False,
                 use_bloom=True, bloom_backend=mor_bloom),
         )
-        mor_backend_resolved = mor_eng.bloom_backend
         for r in range(mor_rounds):
             perf: dict = {}
             t0 = time.monotonic()
@@ -222,7 +221,9 @@ def main() -> None:
         out["mor_rounds"] = mor_series
         out["mor_seen_commit_secs"] = mor_commit
         out["mor_bloom_backend"] = mor_bloom
-        out["mor_bloom_resolved"] = mor_backend_resolved
+        # read AFTER the round loop: mid-run driver->table promotion can
+        # flip the resolved backend inside a round
+        out["mor_bloom_resolved"] = mor_eng.bloom_backend
         out["mor_driver_rss_mb"] = mor_rss
         out["mor_summary"] = {
             "rounds": len(mor_series),

@@ -91,7 +91,10 @@ def sign_lsh_bucket(col, bits: int = 16) -> Column:
         F.when(F.element_at(col, i + 1) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
         for i in range(bits)
     ]
-    return sum(terms).cast("int")
+    # int covers the bench widths; the log2(n)-sized widths the scale
+    # recipe calls for (30+ bits at 10^9 vectors) overflow a 32-bit int
+    # under ANSI mode, so widen the cast there
+    return sum(terms).cast("int" if bits < 31 else "long")
 
 
 # ---------------------------------------------------------------------------

@@ -316,7 +316,11 @@ class CrawlEngine:
             if self.bloom_backend == "table":
                 from .frontier.bloom_table import DistributedBloomTable
 
-                loaded = DistributedBloomTable.load(spark, self._bloom_dir)
+                loaded = (self._preloaded_bloom
+                          if isinstance(self._preloaded_bloom,
+                                        DistributedBloomTable)
+                          else DistributedBloomTable.load(
+                              spark, self._bloom_dir))
                 if (loaded is not None
                         and self._bloom_marker() == (cur, "table")):
                     self.bloom = loaded
@@ -333,15 +337,23 @@ class CrawlEngine:
                     # rewrite
                     self._write_bloom_marker()
                 else:
+                    # fresh table sized for the keys it is about to hold
+                    # (auto promotion knows the driver checkpoint's
+                    # n_keys / the seen count — arriving saturated would
+                    # burn grow-4x rebuilds immediately)
                     self.bloom = DistributedBloomTable(
                         spark, self._bloom_dir, self.cfg.bloom_buckets,
-                        self.cfg.bloom_bits_per_bucket)
+                        self._bloom_bits_for(self._bloom_est_keys,
+                                             self.cfg.bloom_buckets))
                     if cur is not None:
                         self.bloom.rebuild_from(
                             self.seen().select("url_hash"))
                         self._write_bloom_marker()
             else:
-                loaded = PartitionedBloom.load(self._bloom_dir)
+                loaded = (self._preloaded_bloom
+                          if isinstance(self._preloaded_bloom,
+                                        PartitionedBloom)
+                          else PartitionedBloom.load(self._bloom_dir))
                 self.bloom = loaded
                 if (self.bloom is not None
                         and self._bloom_marker() != (cur, "driver")):
@@ -448,7 +460,13 @@ class CrawlEngine:
         A driver-backed warehouse whose keys crossed the budget resolves
         to "table" here: the table path then finds no table checkpoint,
         rebuilds from the seen snapshot once (durable), and the marker
-        records the promotion."""
+        records the promotion. Whatever checkpoint this method loads is
+        stashed (_preloaded_bloom) so __init__ reuses the object instead
+        of paying a second full bitmap read, and the key-count evidence
+        is kept (_bloom_est_keys) so fresh table construction can size
+        its bitmaps to the keys it is about to hold."""
+        self._preloaded_bloom = None
+        self._bloom_est_keys = 0
         if self.cfg.bloom_backend != "auto":
             self.backend_choices["bloom_backend"] = {
                 "value": self.cfg.bloom_backend, "auto": False,
@@ -458,6 +476,7 @@ class CrawlEngine:
 
         def pick(est: int, why: str) -> str:
             val = "table" if est > budget else "driver"
+            self._bloom_est_keys = est
             self.backend_choices["bloom_backend"] = {
                 "value": val, "auto": True,
                 "why": f"{why} vs driver budget {budget} keys"}
@@ -471,6 +490,7 @@ class CrawlEngine:
 
         t = DistributedBloomTable.load(self.spark, self._bloom_dir)
         if t is not None:
+            self._preloaded_bloom = t
             self.backend_choices["bloom_backend"] = {
                 "value": "table", "auto": True,
                 "why": f"existing table checkpoint ({t.n_keys} keys) "
@@ -478,17 +498,33 @@ class CrawlEngine:
             return "table"
         d = PartitionedBloom.load(self._bloom_dir)
         if d is not None:
+            self._preloaded_bloom = d
             return pick(d.n_keys, f"driver checkpoint n_keys={d.n_keys}")
         if self.seen_table.current_snapshot_id() is None:
             return pick(0, "empty seen table")
         n = self.seen().count()
         return pick(n, f"seen-table count={n}")
 
-    def _resolve_broadcast_frontier(self, frontier_rows: int | None) -> bool:
+    def _bloom_bits_for(self, n_keys: int, n_buckets: int) -> int:
+        """bits_per_bucket sized for n_keys at ~10 bits/key (the
+        overfull() threshold), floor = the configured default, rounded
+        up to a power of two — a fresh table built for keys ALREADY
+        known (promotion, big-warehouse rebuild) must not arrive
+        saturated and burn grow-4× full-table rebuilds (same trap the
+        driver reload path documents: a stale checkpoint's grown SIZE
+        is the right size)."""
+        m = self.cfg.bloom_bits_per_bucket
+        need = (10 * max(0, n_keys)) // max(1, n_buckets) + 1
+        while m < need:
+            m *= 4
+        return m
+
+    def _resolve_broadcast_frontier(self) -> bool:
         """Per-round broadcast-vs-SMJ choice for the fetch join when
         broadcast_frontier=None. Evidence costs no extra job: the
         previous round's frontier size (the frontier_in Observation that
-        rode that round's commit); a first round with no evidence
+        rode that round's commit — created for auto mode even with
+        lineage collection off); a first round with no evidence
         broadcasts — the frontier is the seed list then, and seed lists
         that already exceed the budget warrant an explicit override."""
         if self.cfg.broadcast_frontier is not None:
@@ -496,8 +532,7 @@ class CrawlEngine:
                 "value": self.cfg.broadcast_frontier, "auto": False,
                 "why": "explicit"}
             return self.cfg.broadcast_frontier
-        est = (frontier_rows if frontier_rows is not None
-               else self._last_frontier_rows)
+        est = self._last_frontier_rows
         if est is None:
             val, why = True, "no frontier estimate yet (first round)"
         else:
@@ -761,8 +796,9 @@ class CrawlEngine:
         trim_round = (cfg.refetch.trimdb and cfg.trim_every > 0
                       and round_no > 0 and round_no % cfg.trim_every == 0)
         if (cfg.collect_lineage or trim_round
-                or (cfg.use_bloom and self.bloom is not None)):
-            if cfg.collect_lineage:
+                or (cfg.use_bloom and self.bloom is not None)
+                or cfg.broadcast_frontier is None):
+            if cfg.collect_lineage or cfg.broadcast_frontier is None:
                 # frontier_in rides the round's commit as an Observation
                 # INSIDE the cached plan: the cache materializes once (a
                 # consumer under the commit action), the CollectMetrics
@@ -881,8 +917,7 @@ class CrawlEngine:
                     F.substring_index("fetchtime_str", ", ", -1),
                     "dd MMM yyyy HH:mm:ss 'GMT'"))
         else:
-            bcast = self._resolve_broadcast_frontier(
-                self._last_frontier_rows)
+            bcast = self._resolve_broadcast_frontier()
             sched_side = F.broadcast(scheduled) if bcast else scheduled
             fetched = self.pages.join(
                 sched_side, self.pages.page_url == sched_side.url_canon,
@@ -1069,6 +1104,13 @@ class CrawlEngine:
         # next round's broadcast-frontier evidence, off counters already
         # paid for (the frontier_in Observation riding the commit)
         est = lineage.get("frontier_in", lineage.get("after_seen_gate"))
+        if est is None and "frontier_in" in observations:
+            # collect_lineage off but broadcast_frontier auto: the
+            # observation was still attached (free) — read it directly
+            try:
+                est = observations["frontier_in"].get.get("n")
+            except Exception:
+                est = None
         if est is not None:
             self._last_frontier_rows = int(est)
         # fr_cached stays persisted until after the seen commit: trim
@@ -1158,6 +1200,30 @@ class CrawlEngine:
             # incremental, this round's keys only; small rounds update on
             # the driver (no extra Spark job)
             self.bloom.add_df(fetched_keys, driver_threshold=2_000_000)
+            if (cfg.bloom_backend == "auto"
+                    and self.bloom_backend == "driver"
+                    and self.bloom.n_keys > cfg.driver_bloom_max_keys):
+                # MID-RUN promotion driver→table: a brand-new big crawl
+                # starts with an empty seen table (auto resolves driver)
+                # and can cross the driver budget inside round 0 — don't
+                # wait for the next engine construction to stop growing
+                # driver-resident bitmaps. One seen scan rebuilds the
+                # distributed table from the authoritative key set; the
+                # marker records the new backend so resume is sticky.
+                from .frontier.bloom_table import DistributedBloomTable
+
+                nb = max(self.cfg.bloom_buckets, self.bloom.n_buckets)
+                t = DistributedBloomTable(
+                    self.spark, self._bloom_dir, nb,
+                    self._bloom_bits_for(self.bloom.n_keys, nb))
+                t.rebuild_from(self.seen().select("url_hash"))
+                self.bloom = t
+                self.bloom_backend = "table"
+                self.backend_choices["bloom_backend"] = {
+                    "value": "table", "auto": True,
+                    "why": (f"promoted mid-run: driver bloom n_keys="
+                            f"{t.n_keys} crossed budget "
+                            f"{cfg.driver_bloom_max_keys}")}
             if self.bloom.overfull():
                 # adaptive growth: rebuild 4× larger from the seen
                 # snapshot (one scan, amortized over the rounds the

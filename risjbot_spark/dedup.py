@@ -90,9 +90,13 @@ def tokens_expr(text_col) -> Column:
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: hash-groupBy on normalized text — map-side
     combinable, one shuffle on the (uniform) md5 key. Returns
-    (fp, keep_id, n_copies) for groups with >1 member."""
+    (fp, keep_id, n_copies) for groups with >1 member. NULL-text rows
+    are excluded up front: md5(NULL) is NULL, and grouping on it would
+    report every NULL-text document as an exact duplicate of all the
+    others — a survivor pipeline would then delete distinct docs."""
     return (
-        df.withColumn("fp", F.md5(normalized_text_expr(text_col)))
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("fp", F.md5(normalized_text_expr(text_col)))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
         .filter(F.col("n_copies") > 1)
@@ -198,7 +202,8 @@ def shingle_arrays(shingles: DataFrame, id_col: str) -> DataFrame:
     return shingles.groupBy(id_col).agg(F.collect_list("s").alias("sh"))
 
 
-def jaccard_verify(cands: DataFrame, shingles: DataFrame, id_col: str,
+def jaccard_verify(cands: DataFrame, shingles: Optional[DataFrame],
+                   id_col: str,
                    *, threshold: float = 0.5, round_to: int = 6,
                    arrays: Optional[DataFrame] = None) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (id_a, id_b) — the
@@ -207,7 +212,10 @@ def jaccard_verify(cands: DataFrame, shingles: DataFrame, id_col: str,
     recomputing the collect for each side); |∩| via array_intersect.
     Verifies candidates only — the unrestricted shingle self-join is
     the quadratic trap (measured 16.7 s vs 3 s at sf0.1; impossible at
-    10^10 docs)."""
+    10^10 docs). Pass EXACTLY ONE of `shingles` / `arrays`."""
+    if (shingles is None) == (arrays is None):
+        raise ValueError(
+            "jaccard_verify takes exactly one of shingles= or arrays=")
     sh_arr = arrays if arrays is not None else shingle_arrays(
         shingles, id_col)
     a = sh_arr.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))

@@ -452,8 +452,7 @@ def _verified_pairs(spark, sf):
                  .select(F.col("doc_a").alias("id_a"),
                          F.col("doc_b").alias("id_b")))
         return (dedup.jaccard_verify(
-            cands, _distinct_shingles(spark, sf), "doc_id",
-            threshold=0.5, arrays=sh_arr)
+            cands, None, "doc_id", threshold=0.5, arrays=sh_arr)
             .select(F.col("id_a").alias("doc_a"),
                     F.col("id_b").alias("doc_b"), "jaccard"))
     return _cached_stage(spark, sf, "verified_pairs", build)
@@ -1344,7 +1343,8 @@ ORACLE_SQL = {
         WITH {_MUTANTS_CTE}
         SELECT md5(lower(trim(regexp_replace(text, '{PY_WS_RE}', ' ', 'g')))) AS fp,
                min(doc_id) AS keep_id, count(*) AS n_copies
-        FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""",
+        FROM docs WHERE text IS NOT NULL
+        GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""",
     "minhash_signature": _SIG_SQL,
     "simhash_fingerprint": _SIMHASH_FP_SQL,
     "simhash_dup_pairs": f"""

@@ -61,8 +61,11 @@ def test_bloom_flips_to_table_beyond_driver_budget(spark, tmp_path):
 
     pages = pages_df(spark, 40, partitions=2)
     seeds = pages.select("url").withColumn("priority", F.lit(0))
-    eng = _engine(spark, tmp_path, pages, driver_bloom_max_keys=25)
-    assert eng.bloom_backend == "driver"        # empty table → driver
+    # write the over-budget warehouse under an EXPLICIT driver backend
+    # (auto would already promote mid-run — covered by its own test);
+    # this scenario is resuming an old driver-pinned warehouse with auto
+    eng = _engine(spark, tmp_path, pages, bloom_backend="driver")
+    assert eng.bloom_backend == "driver"
     eng.run_round(seeds, 0, T0)                 # 40 keys now seen
     eng2 = _engine(spark, tmp_path, pages, driver_bloom_max_keys=25)
     assert eng2.bloom_backend == "table"
@@ -113,12 +116,14 @@ def test_frontier_stops_broadcasting_beyond_row_budget(spark, tmp_path):
     assert "60 rows" in ch["why"]
     # both the broadcast and the SMJ round fetched + extracted all 60
     assert eng.articles_table.read().count() == 120
-    # with lineage OFF the decision rides the previous round's count
+    # with lineage OFF the evidence still flows: the frontier_in
+    # Observation is attached whenever broadcast_frontier is auto (it
+    # costs no job), so round 1 flips without any caller help
     eng2 = _engine(spark, tmp_path, pages, name="wh2",
                    broadcast_frontier_max_rows=10, collect_lineage=False)
     eng2.run_round(seeds, 0, T0)
     assert eng2.backend_choices["broadcast_frontier"]["value"] is True
-    eng2._last_frontier_rows = 60          # what observations would feed
+    assert eng2._last_frontier_rows == 60
     eng2.run_round(seeds, 1, T0 + timedelta(seconds=3600))
     assert eng2.backend_choices["broadcast_frontier"]["value"] is False
 
@@ -159,3 +164,26 @@ def test_auto_equals_explicit_round_output(spark, tmp_path):
         seen = sorted((r.url, r.fetches) for r in eng.seen().collect())
         results[name] = (arts, seen)
     assert results["auto"] == results["explicit"]
+
+
+def test_bloom_promotes_mid_run_when_budget_crossed(spark, tmp_path):
+    """A brand-new crawl (empty seen table → auto picks driver) whose
+    round-0 key count crosses driver_bloom_max_keys must promote to the
+    table backend INSIDE the round — not wait for the next engine
+    construction — and keep gating correctly afterwards."""
+    from risjbot_spark.frontier.bloom_table import DistributedBloomTable
+
+    pages = pages_df(spark, 50, partitions=2)
+    seeds = pages.select("url").withColumn("priority", F.lit(0))
+    eng = _engine(spark, tmp_path, pages, driver_bloom_max_keys=30)
+    assert eng.bloom_backend == "driver"
+    eng.run_round(seeds, 0, T0)                # 50 keys > 30 budget
+    assert eng.bloom_backend == "table"
+    assert isinstance(eng.bloom, DistributedBloomTable)
+    assert "promoted mid-run" in eng.backend_choices["bloom_backend"]["why"]
+    # next round (1 s later): everything gated, zero refetches
+    eng.run_round(seeds, 1, T0 + timedelta(seconds=1))
+    assert eng.articles_table.read().count() == 50
+    # a fresh construction is sticky on the promoted table checkpoint
+    eng2 = _engine(spark, tmp_path, pages, driver_bloom_max_keys=30)
+    assert eng2.bloom_backend == "table"

@@ -161,10 +161,26 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert ckpt_files, "reliable checkpoint wrote no files"
 
 
+def test_null_text_docs_never_group_as_exact_dups(spark):
+    d = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text"), (4, "real text")],
+        "pk long, body string")
+    groups = dedup.exact_dup_groups(d, "pk", "body").collect()
+    # the two NULL-text docs are distinct, not duplicates; only the
+    # real-text pair groups
+    assert len(groups) == 1 and groups[0]["keep_id"] == 3
+
+
+def test_jaccard_verify_requires_exactly_one_input(spark):
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.jaccard_verify(cands, None, "pk")
+
+
 def test_cluster_and_survivors_end_to_end(corpus):
+    # minhash near-dup pairs alone connect the 1/2/3/4(/8) component
+    # (1,2,8 are exact copies, so they also share every minhash band)
     pairs = dedup.minhash_dedup(corpus, "pk", "body")
-    exact = dedup.exact_dup_groups(corpus, "pk", "body")
-    # fold exact-dup groups into the edge list too (keep_id ↔ members)
     clusters, deduped = dedup.cluster_and_survivors(corpus, "pk", pairs)
     kept = {r["pk"] for r in deduped.collect()}
     # one survivor per near-dup component; docs without edges all kept

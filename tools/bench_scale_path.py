@@ -99,7 +99,16 @@ def main() -> None:
             shutil.rmtree(leftover)
         write_bucketed_pages(flat, table, buckets=BUCKETS)
     pages = read_bucketed_pages(spark, table)
-    seeds = flat.select("url").withColumn("priority", F.lit(0))
+    # seeds come from the bucketed table (it keeps the raw url column),
+    # so the flat corpus is droppable once ingested — at 20M+ pages the
+    # duplicate flat copy is what no longer fits the sandbox disk
+    # (SPARK_GRAFT_SP_DROP_FLAT=1 to reclaim it; a real deployment's
+    # ingest reads from object storage and has no second copy at all)
+    seeds = spark.table(table).select("url").withColumn(
+        "priority", F.lit(0))
+    if os.environ.get("SPARK_GRAFT_SP_DROP_FLAT") == "1":
+        import shutil
+        shutil.rmtree(pages_path, ignore_errors=True)
 
     wh = tempfile.mkdtemp(prefix="risjbot_sp_wh_")
     eng = CrawlEngine(
