@@ -21,6 +21,11 @@ Layout:
              is Iceberg MERGE/snapshots, same interface)
   crawl.py   the round-based crawl pipeline (one round = one commit)
   corpus.py  deterministic synthetic Common-Crawl-style pages corpus
+  dedup.py   training-data dedup library over arbitrary DataFrames
+             (exact / MinHash+LSH / SimHash / embedding near-dup,
+             connected-components clustering, survivor selection)
+  ann.py     similarity-search library (brute cosine, sign-LSH,
+             Lloyd k-means IVF build/search, kNN vote)
 """
 
 __version__ = "0.1.0"

@@ -94,12 +94,15 @@ def test_token_count_matches_python_split(spark, ws_sf):
 
 
 def test_shingle_tokens_drop_boundary_empties(spark, ws_sf):
-    """_toks() never emits empty tokens, so shingle windows can't slide
-    over phantom boundary positions."""
+    """tokens_expr() never emits empty tokens, so shingle windows can't
+    slide over phantom boundary positions (lives in the dedup library
+    since r4; the bench queries route through it)."""
     from pyspark.sql import functions as F
 
+    from risjbot_spark.dedup import tokens_expr
+
     d = spark.read.parquet(f"{ws_sf}/documents.parquet")
-    toks = d.select(Q._toks().alias("toks"))
+    toks = d.select(tokens_expr(F.col("text")).alias("toks"))
     n_empty = toks.select(
         F.size(F.filter("toks", lambda x: x == "")).alias("n")
     ).agg(F.sum("n")).collect()[0][0]

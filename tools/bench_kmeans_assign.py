@@ -1,0 +1,144 @@
+"""Measure the k-means assignment fix (r3 verdict item #2) at 10^6
+vectors: the r3 shape materialized n×K crossJoin rows and shuffled them
+through a row_number window partitioned by vector id; the r4 shape
+(ann.assign_nearest) computes the argmin as an expression over a
+broadcast centroid array — no n×K materialization, no vector-side
+exchange. Both run one full Lloyd step (assign + centroid recompute) on
+the same deterministic corpus; output = one JSON line +
+BENCH/kmeans_assign_1m.json.
+
+    SPARK_GRAFT_KM_VECS=1000000 SPARK_GRAFT_KM_K=10 \
+        python tools/bench_kmeans_assign.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N = int(os.environ.get("SPARK_GRAFT_KM_VECS", "1000000"))
+K = int(os.environ.get("SPARK_GRAFT_KM_K", "10"))
+DIM = int(os.environ.get("SPARK_GRAFT_KM_DIM", "16"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    from risjbot_spark import ann
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # deterministic synthetic vectors: dim-16 doubles from a hash mix
+    e = (spark.range(N).withColumnRenamed("id", "vid")
+         .withColumn("v", F.array(*[
+             (F.pmod(F.xxhash64(F.col("vid"), F.lit(d)), 1000) / 500.0
+              - 1.0).cast("double")
+             for d in range(DIM)]))
+         .persist())
+    e.count()
+    cents = (e.filter(F.col("vid") < K)
+             .select(F.col("vid").cast("int").alias("centroid"),
+                     F.col("v").alias("cvec"))
+             .persist())
+    cents.count()
+
+    def recompute(assigned):
+        # the shared (and unavoidable) half of a Lloyd step
+        return (assigned.select("centroid",
+                                F.posexplode("v").alias("pos", "val"))
+                .groupBy("centroid", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("c"))
+                .groupBy("centroid")
+                .agg(F.count("*").alias("dims")))
+
+    dist = F.aggregate(
+        F.zip_with("v", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+    def old_shape():
+        # r3: materialize n×K rows, shuffle ALL of them through a
+        # row_number window partitioned by vector id
+        w = Window.partitionBy("vid").orderBy(
+            F.col("d").asc(), F.col("centroid").asc())
+        return (e.crossJoin(F.broadcast(cents))
+                .select("vid", "v", "centroid", dist.alias("d"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("d", "rn"))
+
+    def argmin_shape():
+        # r4 default (ann.assign_nearest): expression argmin over the
+        # broadcast centroid array — ZERO exchange for assignment
+        return ann.assign_nearest(e.select("vid", "v"), "v", cents,
+                                  out_col="centroid")
+
+    def minby_shape():
+        # middle ground: map-side-combining min_by — shuffles n rows
+        # (vid + full vector), K× less than the window but not zero
+        j = (e.crossJoin(F.broadcast(cents))
+             .select("vid", "v", "centroid",
+                     F.struct(dist.alias("d"),
+                              F.col("centroid").alias("c2")).alias("dc")))
+        return (j.groupBy("vid")
+                .agg(F.min_by(F.struct(F.col("centroid"), F.col("v")),
+                              F.col("dc")).alias("b"))
+                .select("vid", F.col("b.v").alias("v"),
+                        F.col("b.centroid").alias("centroid")))
+
+    out = {"metric": "kmeans_assign_step_seconds", "vectors": N, "k": K,
+           "dim": DIM, "cpus": CPUS}
+    shapes = [("old_crossjoin_window", old_shape),
+              ("argmin_expression", argmin_shape),
+              ("minby_groupby", minby_shape)]
+    # interleave repetitions (ABBA) — co-tenant noise on this box swings
+    # identical runs ±50%, so per-shape best-of across interleaved
+    # passes is the honest comparator
+    bests = {name: None for name, _ in shapes}
+    for _ in range(3):
+        for name, fn in shapes:
+            t0 = time.monotonic()
+            recompute(fn()).collect()
+            dt = time.monotonic() - t0
+            bests[name] = dt if bests[name] is None else min(
+                bests[name], dt)
+    for name, b in bests.items():
+        out[name + "_secs"] = round(b, 3)
+    # Exchange volume per Lloyd iteration — the property that matters at
+    # 10^9 vectors, where the window's n×K-row exchange is TBs of
+    # network while the argmin's extra per-row expression cost amortizes
+    # across executors. Locally (RAM-speed shuffle) the codegen'd
+    # shapes can out-run the interpreted argmin fold — record both
+    # dimensions rather than pretend one number settles it.
+    out["assignment_exchange_rows"] = {
+        "old_crossjoin_window": N * K,
+        "argmin_expression": 0,
+        "minby_groupby": N,
+    }
+    out["ts"] = datetime.now(timezone.utc).isoformat()
+    print(json.dumps(out))
+    with open(os.path.join(REPO, "BENCH", "kmeans_assign_1m.json"),
+              "w") as f:
+        json.dump(out, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
