@@ -28,7 +28,34 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_delivery_probe(procs: int, quantum: int = 10_000_000) -> float:
+    """ops/s of a pure-python busy fleet at `procs` processes — the
+    box's CPU delivery at bench time, recorded INTO the bench output so
+    cross-round comparisons can normalize for co-tenant noise (identical
+    code has measured 2-3× apart purely by load window on this shared
+    VM; see BENCH/BASELINE.md methodology). ~2 s, runs before Spark
+    starts. SPARK_GRAFT_BENCH_PROBE=0 skips it."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as p:
+        t0 = time.monotonic()
+        p.map(_burn_quantum, [quantum] * procs)
+        dt = time.monotonic() - t0
+    return round(procs * quantum / dt)
+
+
+def _burn_quantum(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i
+    return x
+
+
 def main() -> None:
+    host_mops = None
+    if os.environ.get("SPARK_GRAFT_BENCH_PROBE", "1") != "0":
+        host_mops = _host_delivery_probe(min(2 * CPUS, 32))
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -211,6 +238,10 @@ def main() -> None:
         "crawl_urls_per_sec": round(n_articles / crawl_secs, 1) if crawl_secs else None,
         "crawl_urls_per_sec_warm": (
             round(n_articles / warm_best, 1) if warm_best else None),
+        # in-situ CPU-delivery marker (busy-loop ops/s at the crawl's
+        # busy-thread count, measured just before Spark started):
+        # normalizes cross-round comparisons on this co-tenant-noisy box
+        "host_cpu_delivery_ops_per_sec": host_mops,
     }
     if recall:
         out["ann_recall"] = recall
