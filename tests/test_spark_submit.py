@@ -194,3 +194,66 @@ def test_spark_submit_ships_library_doubles_to_executors(tmp_path):
     # the engine's sentiment UDF (driver-pinned flags, worker-executed)
     # carries textblob-double values — FAKE_POLARITY, not the stand-in
     assert "SENTIMENT=0.123" in out
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not on this host")
+def test_spark_submit_media_decode_dispatch_in_workers(tmp_path):
+    """The multimodal half of the executor-seam proof: PIL + soundfile
+    doubles ship in the --py-files zip, the DRIVER probes them available
+    (use_fake_decode -> real branch) and pins that in the mapInPandas
+    closures, and WORKER processes must then produce the doubles'
+    distinctive values — PIL double: 2x2x3 arange(12) ramp; soundfile
+    double: channel-mean waveform [0.3, 0.7] — proving the real-library
+    dispatch path executes inside executors, not just driver-side."""
+    zip_path = str(tmp_path / "risjbot_media.zip")
+    build_zip(zip_path,
+              extra_pkg_dirs=[os.path.join(REPO, "tests", "fixtures",
+                                           "fakelibs")])
+    assert {"PIL/__init__.py", "soundfile/__init__.py"} <= set(
+        zipfile.ZipFile(zip_path).namelist())
+
+    probe = tmp_path / "probe_media.py"
+    probe.write_text(
+        "import json\n"
+        "import numpy as np\n"
+        "from pyspark.sql import SparkSession\n"
+        "from risjbot_spark import multimodal as M\n"
+        "spark = SparkSession.builder.getOrCreate()\n"
+        "print('FLAGS=' + json.dumps(M.backend_flags()))\n"
+        "rows = [(1, 'image', b'img-bytes', {}), (2, 'audio', b'wav', {})]\n"
+        "media = spark.createDataFrame(rows, 'media_id long, kind string,"
+        " content binary, meta map<string,string>').repartition(2)\n"
+        "rz = {r['media_id']: bytes(r['pixels'])\n"
+        "      for r in M.resize_images(media, width=2, height=2)"
+        ".collect()}\n"
+        "print('PIXELS=' + rz[1].hex())\n"
+        "feats = {r['media_id']: r['feature']\n"
+        "         for r in M.extract_features(media).collect()}\n"
+        "wave = np.clip((np.array([0.3, 0.7]) + 1.0) * 127.5, 0, 255)"
+        ".astype('uint8')\n"
+        "hist, _ = np.histogram(wave, bins=64, range=(0, 256))\n"
+        "want = (hist / hist.sum()).astype('float32')\n"
+        "got = np.array(feats[2], dtype='float32')\n"
+        "print('AUDIO_MATCH=' + str(bool(np.allclose(got, want))))\n"
+        "spark.stop()\n")
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "SPARK_HOME")}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=2",
+         "--py-files", zip_path, str(probe)],
+        cwd=str(tmp_path), env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = proc.stdout
+    flags = json.loads(out.split("FLAGS=")[1].splitlines()[0])
+    assert flags["image"] and flags["audio"]
+    # PIL double's arange(12) ramp, identity-resized at 2x2
+    assert "PIXELS=" + bytes(range(12)).hex() in out
+    assert "AUDIO_MATCH=True" in out
