@@ -48,6 +48,7 @@ __all__ = [
     "assign_nearest",
     "kmeans",
     "ivf_search",
+    "ivf_search_batch",
     "brute_topk",
     "knn_label_vote",
 ]
@@ -253,6 +254,66 @@ def ivf_search(
             .alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivf_search_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+    nprobe: int = 3,
+    k: int = 10,
+    round_to: int = 6,
+    cast_double: bool = True,
+) -> DataFrame:
+    """Top-k per query over the IVF index for a BATCH of queries — the
+    shape a real retrieval deployment runs (one query at a time wastes a
+    full corpus-assignment pass per query).
+
+    Plan: vectors are assigned once (expression argmin, no shuffle);
+    the (queries × centroids) scoring is Q×K rows — tiny, broadcast;
+    each vector row then fans out only to the queries probing its
+    cluster (≤ Q×nprobe/K expected fan-out), and the per-query top-k
+    runs as ONE window partitioned by query id. At corpus scale the
+    only shuffle is that Q-keyed window over the candidate set —
+    uniform when Q spreads across executors; a Q≪cores batch should
+    instead loop ivf_search (TakeOrdered per query, no window).
+    Returns (query_id_col, id_col, cosine), k rows per query, ordered.
+    """
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        (as_double_vec(vec_col) if cast_double else F.col(vec_col)).alias("_v"))
+    q = queries.select(F.col(query_id_col).alias("_qid"),
+                       F.col(query_vec_col).alias("_qv"))
+    assigned = assign_nearest(e, "_v", centroids, out_col="_cluster")
+    cw = Window.partitionBy("_qid").orderBy(
+        F.col("_ccos").desc(), F.col("centroid").asc())
+    probe_lists = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("_qid", "_qv", "centroid",
+                cosine_expr(F.col("cvec"), F.col("_qv")).alias("_ccos"))
+        .withColumn("_rn", F.row_number().over(cw))
+        .filter(F.col("_rn") <= nprobe)
+        .select("_qid", "_qv", F.col("centroid").alias("_cluster"))
+    )
+    cands = assigned.join(F.broadcast(probe_lists), "_cluster")
+    vw = Window.partitionBy("_qid").orderBy(
+        F.col("cosine").desc(), F.col("_id").asc())
+    return (
+        cands.select(
+            "_qid", "_id",
+            F.round(cosine_expr(F.col("_v"), F.col("_qv")), round_to)
+            .alias("cosine"))
+        .withColumn("_rn", F.row_number().over(vw))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("_qid").alias(query_id_col),
+                F.col("_id").alias(id_col), "cosine")
+        .orderBy(query_id_col, F.col("cosine").desc(), id_col)
     )
 
 

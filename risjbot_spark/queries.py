@@ -858,6 +858,22 @@ def q_ivf_kmeans_search(spark, sf):
         _kmeans_cents(spark, sf), q, nprobe=3, k=10)
 
 
+def q_ivf_batch_search(spark, sf):
+    """Batched IVF retrieval via ann.ivf_search_batch: vec_ids 0-2 as
+    the query batch (qid = vec_id), searched over the rest of the corpus
+    through the k-means index — vectors assigned once, Q×K centroid
+    scoring broadcast, one qid-partitioned window for the per-query
+    top-k (the shape a retrieval deployment runs; per-query ivf_search
+    would re-assign the corpus per query)."""
+    e = _t(spark, sf, "embeddings")
+    qs = (e.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("qid"),
+                  ann.as_double_vec("embedding").alias("qv")))
+    return ann.ivf_search_batch(
+        e.filter(F.col("vec_id") >= 3), "vec_id", "embedding",
+        _kmeans_cents(spark, sf), qs, nprobe=3, k=5)
+
+
 def q_ann_lsh_bucket(spark, sf):
     """LSH-bucketed ANN scale path: sign pattern over _EMB_LSH_BITS
     fixed hyperplanes (axis-aligned → deterministic and SQL-portable);
@@ -1019,6 +1035,7 @@ QUERIES = {
     "ivf_search": q_ivf_search,
     "ivf_kmeans": q_ivf_kmeans,
     "ivf_kmeans_search": q_ivf_kmeans_search,
+    "ivf_batch_search": q_ivf_batch_search,
     "knn_label_vote": q_knn_label_vote,
     "binary_meta": q_binary_meta,
 }
@@ -1599,6 +1616,44 @@ ORACLE_SQL = {
         JOIN topc ON a.cluster = topc.cluster, q
         WHERE e.vec_id <> 0
         ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""",
+    "ivf_batch_search": f"""
+        WITH {_KMEANS_CTES},
+        af AS (
+          SELECT vec_id, centroid AS cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d ASC, centroid ASC) AS rn
+          FROM (SELECT e.vec_id, c.centroid,
+                       list_sum(list_transform(list_zip(e.emb, c.cvec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+                FROM e CROSS JOIN {_KMEANS_FINAL} c)),
+        qs AS (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 3),
+        topc AS (
+          SELECT qid, qv, cluster FROM (
+            SELECT qs.qid, qs.qv, c.centroid AS cluster,
+                   row_number() OVER (PARTITION BY qs.qid ORDER BY
+                     list_dot_product(c.cvec, qs.qv)
+                     / (sqrt(list_dot_product(c.cvec, c.cvec))
+                        * sqrt(list_dot_product(qs.qv, qs.qv))) DESC,
+                     c.centroid ASC) AS rn
+            FROM {_KMEANS_FINAL} c CROSS JOIN qs)
+          WHERE rn <= 3),
+        scored AS (
+          SELECT t.qid, e.vec_id,
+                 round(list_dot_product(e.emb, t.qv)
+                       / (sqrt(list_dot_product(e.emb, e.emb))
+                          * sqrt(list_dot_product(t.qv, t.qv))), 6)
+                   AS cosine
+          FROM e
+          JOIN (SELECT vec_id, cluster FROM af WHERE rn = 1) a
+            ON e.vec_id = a.vec_id
+          JOIN topc t ON a.cluster = t.cluster
+          WHERE e.vec_id >= 3)
+        SELECT qid, vec_id, cosine FROM (
+          SELECT qid, vec_id, cosine,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, vec_id ASC) AS rn
+          FROM scored)
+        WHERE rn <= 5 ORDER BY qid, cosine DESC, vec_id""",
     "ann_lsh_bucket": f"""
         WITH b AS (
           SELECT {_emb_bucket_sql('embedding')} AS bucket

@@ -296,3 +296,22 @@ def test_cc_reliable_checkpoint_survives_source_loss(spark, tmp_path):
     shutil.rmtree(src)                      # sever the input lineage
     got = {r["node"]: r["lbl"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_ivf_search_batch_matches_per_query(vectors):
+    """Batch retrieval must return, per query, exactly what the
+    single-query ivf_search returns for that query."""
+    cents = ann.kmeans(vectors, "vid", "vec", k=2, iters=2)
+    qs = vectors.filter(F.col("vid").isin(10, 12)).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qv"))
+    corpus = vectors.filter(~F.col("vid").isin(10, 12))
+    batch = {}
+    for r in ann.ivf_search_batch(corpus, "vid", "vec", cents, qs,
+                                  nprobe=1, k=3).collect():
+        batch.setdefault(r["qid"], []).append((r["vid"], r["cosine"]))
+    for qid in (10, 12):
+        q1 = vectors.filter(F.col("vid") == qid).select(
+            ann.as_double_vec("vec").alias("qv"))
+        single = [(r["vid"], r["cosine"]) for r in ann.ivf_search(
+            corpus, "vid", "vec", cents, q1, nprobe=1, k=3).collect()]
+        assert batch[qid] == single
