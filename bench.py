@@ -52,9 +52,15 @@ def _burn_quantum(n: int) -> int:
 
 
 def main() -> None:
-    host_mops = None
+    host_mops, probe_procs = None, min(2 * CPUS, 32)
     if os.environ.get("SPARK_GRAFT_BENCH_PROBE", "1") != "0":
-        host_mops = _host_delivery_probe(min(2 * CPUS, 32))
+        try:
+            host_mops = _host_delivery_probe(probe_procs)
+        except Exception:
+            # auxiliary diagnostic only — a locked-down container where
+            # multiprocessing can't start (no /dev/shm, no semaphores)
+            # must not abort the headline bench
+            host_mops = None
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -239,10 +245,15 @@ def main() -> None:
         "crawl_urls_per_sec": round(n_articles / crawl_secs, 1) if crawl_secs else None,
         "crawl_urls_per_sec_warm": (
             round(n_articles / warm_best, 1) if warm_best else None),
-        # in-situ CPU-delivery marker (busy-loop ops/s at the crawl's
-        # busy-thread count, measured just before Spark started):
-        # normalizes cross-round comparisons on this co-tenant-noisy box
+        # in-situ CPU-delivery marker (busy-loop ops/s at probe_procs
+        # processes, measured just before Spark started): normalizes
+        # CROSS-ROUND comparisons at the SAME cpus setting on this
+        # co-tenant-noisy box. NOT comparable across different CPUS —
+        # per-proc delivery is sublinear in proc count (see
+        # BENCH/BASELINE.md); scaling legs use bench_scaling.py's own
+        # two-point ceiling instead.
         "host_cpu_delivery_ops_per_sec": host_mops,
+        "host_cpu_delivery_probe_procs": probe_procs,
     }
     if recall:
         out["ann_recall"] = recall

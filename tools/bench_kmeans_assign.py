@@ -108,12 +108,14 @@ def main() -> None:
     shapes = [("old_crossjoin_window", old_shape),
               ("argmin_expression", argmin_shape),
               ("minby_groupby", minby_shape)]
-    # interleave repetitions (ABBA) — co-tenant noise on this box swings
-    # identical runs ±50%, so per-shape best-of across interleaved
-    # passes is the honest comparator
+    # interleave repetitions with the order REVERSED on alternate
+    # passes (true ABBA|BBAA) — co-tenant noise on this box swings
+    # identical runs ±50% and can drift monotonically within a run, so
+    # a fixed pass order would systematically favor whichever shape
+    # runs at the lighter end of the drift
     bests = {name: None for name, _ in shapes}
-    for _ in range(3):
-        for name, fn in shapes:
+    for i in range(3):
+        for name, fn in (shapes if i % 2 == 0 else shapes[::-1]):
             t0 = time.monotonic()
             recompute(fn()).collect()
             dt = time.monotonic() - t0
@@ -134,7 +136,10 @@ def main() -> None:
     }
     out["ts"] = datetime.now(timezone.utc).isoformat()
     print(json.dumps(out))
-    with open(os.path.join(REPO, "BENCH", "kmeans_assign_1m.json"),
+    # artifact name derives from N: a smoke run with a small
+    # SPARK_GRAFT_KM_VECS must not clobber the canonical 1M record
+    tag = f"{N // 1_000_000}m" if N % 1_000_000 == 0 else str(N)
+    with open(os.path.join(REPO, "BENCH", f"kmeans_assign_{tag}.json"),
               "w") as f:
         json.dump(out, f, indent=1)
     spark.stop()
