@@ -3,6 +3,7 @@ from .ops import (
     frontier_stream_dedup,
     stateful_host_budget_gate,
     stateful_refetch_gate,
+    stream_exact_text_dedup,
     stream_extract_articles,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "fetch_rate_metrics",
     "stateful_host_budget_gate",
     "stateful_refetch_gate",
+    "stream_exact_text_dedup",
     "stream_extract_articles",
 ]

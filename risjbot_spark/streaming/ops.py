@@ -237,6 +237,35 @@ def stateful_host_budget_gate(
     )
 
 
+def stream_exact_text_dedup(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            ts_col: str = "ts",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the training-data exact dedup (dedup.
+    exact_dup_groups): keep the FIRST document per normalized-text
+    fingerprint within the watermark horizon — the continuous-ingest
+    shape of a pre-training pipeline (documents arrive as a stream; the
+    batch CC/minhash family runs on the compacted table behind it).
+
+    dropDuplicates on the md5 fingerprint is the streaming-native form:
+    state is one tiny (fp, ts) row per distinct doc, bounded by the
+    watermark (a duplicate arriving later than the horizon passes — the
+    batch dedup over the accumulated table is the authoritative pass,
+    same layering as the crawl's bloom-then-join gate). NULL-text rows
+    pass through untouched: md5(NULL) is NULL and distinct NULL-text
+    docs are not duplicates (same contract as the batch library)."""
+    from ..dedup import normalized_text_expr
+
+    fp = F.when(F.col(text_col).isNotNull(),
+                F.md5(normalized_text_expr(F.col(text_col))))
+    with_fp = (docs.withColumn("_fp", fp)
+               .withWatermark(ts_col, watermark))
+    deduped = (with_fp.filter(F.col("_fp").isNotNull())
+               .dropDuplicates(["_fp"]))
+    nulls = with_fp.filter(F.col("_fp").isNull())
+    return deduped.unionByName(nulls).drop("_fp")
+
+
 def stream_extract_articles(pages_stream: DataFrame) -> DataFrame:
     """Continuous-ingest twin of the batch extract stage: the SAME
     vectorized extraction UDF (byte-identity surface included) applied to

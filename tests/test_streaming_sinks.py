@@ -359,3 +359,36 @@ def test_stream_checkpoint_resume_exactly_once(spark, tmp_path):
     # no fetch_url appears twice — the checkpoint prevented reprocessing
     assert arts.groupBy("fetch_url").count() \
         .filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_exact_text_dedup(spark, tmp_path):
+    """Training-data exact dedup in-stream: first doc per normalized
+    fingerprint kept within the watermark; NULL-text rows pass through
+    (distinct NULL-text docs are not duplicates — batch-library
+    contract)."""
+    from risjbot_spark.streaming import stream_exact_text_dedup
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (1, "Same   Text here", T0),
+        (2, "same text HERE", T0),          # ws/case dup of 1
+        (3, "a different document", T0),
+        (4, None, T0),
+        (5, None, T0),                      # NULL is never a dup of NULL
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp").parquet(src)
+    q = (stream_exact_text_dedup(stream).writeStream
+         .format("memory").queryName("txt_dedup_t")
+         .trigger(availableNow=True).start())
+    _run_stream(q)
+    got = {r["doc_id"] for r in
+           spark.sql("select * from txt_dedup_t").collect()}
+    # one of {1,2} survives (stream arrival order is nondeterministic
+    # across file splits), 3 survives, both NULL docs survive
+    assert len(got & {1, 2}) == 1
+    assert {3, 4, 5} <= got
+    assert len(got) == 4
