@@ -315,3 +315,26 @@ def test_ivf_search_batch_matches_per_query(vectors):
         single = [(r["vid"], r["cosine"]) for r in ann.ivf_search(
             corpus, "vid", "vec", cents, q1, nprobe=1, k=3).collect()]
         assert batch[qid] == single
+
+
+def test_assign_strategies_agree(spark, vectors):
+    """"argmin" (zero-exchange) and "minby" (map-side-combining, for
+    K×dim beyond a single row) must assign identically, tie-breaks
+    included — two identical-distance centroids force the (d, id)
+    ordering to decide."""
+    e = vectors.select("vid", ann.as_double_vec("vec").alias("vec"))
+    cents = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.0]),
+         (2, [-1.0, 2.0, -3.0, 4.0])],
+        "centroid int, cvec array<double>")
+    a = {r["vid"]: r["c"] for r in ann.assign_nearest(
+        e, "vec", cents, out_col="c").collect()}
+    b = {r["vid"]: r["c"] for r in ann.assign_nearest(
+        e, "vec", cents, out_col="c", strategy="minby",
+        id_col="vid").collect()}
+    assert a == b
+    assert a[10] == 0          # tie between 0 and 1 → smaller id
+    with pytest.raises(ValueError, match="id_col"):
+        ann.assign_nearest(e, "vec", cents, strategy="minby")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        ann.assign_nearest(e, "vec", cents, strategy="window")
