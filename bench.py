@@ -199,6 +199,7 @@ def main() -> None:
         "ivf_kmeans_search", "ivf_batch_search", "lang_id",
         "doc_fingerprint",
         "quality_score", "token_count",
+        "repetition_signals", "decontaminate",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

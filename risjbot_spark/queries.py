@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from . import ann, dedup
+from . import ann, dedup, textquality
 from .schema import PY_WS_RE
 
 
@@ -713,6 +713,33 @@ def q_doc_fingerprint(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_repetition_signals(spark, sf):
+    """Gopher-style repetition quality signals — distinct-token ratio,
+    modal-token fraction, duplicate-bigram fraction — as pure per-row
+    expressions (library: textquality.repetition_signals)."""
+    d = _t(spark, sf, "documents")
+    return (textquality.repetition_signals(d, "doc_id", "text", ngram=2)
+            .orderBy("doc_id"))
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: training docs sharing 5-token
+    shingles with an eval set (library: textquality.decontaminate).
+    The eval set is a deterministic mutant slice of the corpus — every
+    10th document with its first token dropped, the same mutant class
+    the dedup oracles use — so contamination provably exists and the
+    oracle can restate it in SQL."""
+    d = _t(spark, sf, "documents")
+    ev = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"),
+                F.expr("substring(text, instr(text, ' ') + 1)")
+                .alias("text"))
+    )
+    return (textquality.decontaminate(d, ev, "doc_id", "text", ngram=5)
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: similarity search
 # ---------------------------------------------------------------------------
@@ -1028,6 +1055,8 @@ QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "stratified_sample": q_stratified_sample,
+    "repetition_signals": q_repetition_signals,
+    "decontaminate": q_decontaminate,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ivf_centroids": q_ivf_centroids,
@@ -1501,6 +1530,81 @@ ORACLE_SQL = {
                md5(lower(trim(regexp_replace(text, '{PY_WS_RE}', ' ', 'g')))) AS fp,
                substring(md5(lower(trim(regexp_replace(text, '{PY_WS_RE}', ' ', 'g')))), 1, 16) AS fp64
         FROM documents ORDER BY doc_id""",
+    # repetition signals: same lowercased str.split() tokens as the
+    # Spark side (textquality.repetition_signals); the dup-bigram
+    # fraction is stated as (total - distinct) / total on BOTH engines
+    # so float rounding can never diverge between algebraic forms
+    "repetition_signals": f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)),
+                                                '{PY_WS_RE}'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN toks IS NULL THEN NULL
+                      WHEN len(toks) >= 2 THEN list_transform(
+                        generate_series(1, len(toks) - 1),
+                        i -> concat_ws(' ', toks[i], toks[i+1]))
+                      ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM tok)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CASE WHEN n > 0
+                    THEN round(len(list_distinct(toks)) / n, 6)
+               END AS distinct_token_ratio,
+               CASE WHEN n > 0
+                    THEN round(list_max(list_transform(
+                           list_distinct(toks),
+                           t -> len(list_filter(toks, w -> w = t)))) / n, 6)
+               END AS top_token_frac,
+               CASE WHEN len(grams) > 0
+                    THEN round((len(grams) - len(list_distinct(grams)))
+                               / len(grams), 6)
+               END AS dup_ngram_frac
+        FROM g ORDER BY doc_id""",
+    # decontamination: distinct 5-token shingles of each training doc
+    # LEFT JOINed against the eval set's distinct shingles (eval = the
+    # drop-first-token mutant of every 10th doc, as in the Spark query)
+    "decontaminate": f"""
+        WITH ev0 AS (
+          SELECT substring(text, instr(text, ' ') + 1) AS text
+          FROM documents WHERE doc_id % 10 = 0),
+        etok AS (
+          SELECT list_filter(string_split_regex(lower(trim(text)),
+                                                '{PY_WS_RE}'),
+                             x -> x <> '') AS toks
+          FROM ev0),
+        esh AS (
+          SELECT DISTINCT unnest(list_transform(
+                   generate_series(1, len(toks) - 4),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                  toks[i+3], toks[i+4]))) AS s
+          FROM etok WHERE len(toks) >= 5),
+        ttok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)),
+                                                '{PY_WS_RE}'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        tsh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(toks) - 4),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                  toks[i+3], toks[i+4]))) AS s
+          FROM ttok WHERE len(toks) >= 5)
+        SELECT t.doc_id,
+               CAST(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               count(*) AS n_doc_ngrams,
+               round(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*), 6) AS hit_frac
+        FROM tsh t LEFT JOIN esh e ON t.s = e.s
+        GROUP BY t.doc_id
+        HAVING sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) > 0
+        ORDER BY doc_id""",
     "stratified_sample": """
         SELECT doc_id, coalesce(lang, 'en') AS lang,
                (doc_id * 2654435761) % 1000 AS bucket

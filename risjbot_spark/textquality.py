@@ -1,0 +1,145 @@
+"""Text-quality and contamination analysis over arbitrary DataFrames —
+the repetition-signal and benchmark-decontamination half of the
+training-data library (sibling of `dedup`/`ann`; same contract: caller
+DataFrame + column NAMES, bench constants as parameter defaults).
+
+Two capabilities a 100 TB training-data pipeline runs on every corpus:
+
+  * repetition_signals — per-document repetitiveness statistics in the
+    style of the Gopher quality rules (Rae et al. 2021, public):
+    distinct-token ratio, most-frequent-token fraction, duplicate
+    n-gram fraction. Pure per-row JVM expressions over the token array:
+    ZERO shuffle, pushdown-friendly, cost bounded by document length —
+    never an explode+groupBy over O(corpus tokens) rows.
+  * decontaminate — flag training documents that share token n-grams
+    with an evaluation/benchmark set (the standard n-gram-overlap
+    decontamination used for public LLM training sets). The eval side
+    is distinct-ed and BROADCAST (benchmarks are tiny next to a crawl);
+    the training corpus explodes to distinct (id, ngram) rows and
+    aggregates per id — one map-side-combinable shuffle on doc id, and
+    the 100 TB side is never hashed across the cluster for the join.
+    At production scale the join key would be a 64-bit hash of the
+    n-gram rather than the string (same plan shape, ~8 bytes/key);
+    the string form here keeps the DuckDB oracle engine-exact, since
+    xxhash64 is not portable across engines.
+
+Reference parity: RISJbot has no corpus-level quality/contamination
+stage (its per-page QA is the fake-404/no-bodytext checks in
+`/root/reference/RISJbot/spiders/base.py`); this module is part of the
+LLM-training-data surface the brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_rows, tokens_expr
+
+__all__ = [
+    "ngrams_expr",
+    "repetition_signals",
+    "decontaminate",
+]
+
+
+def ngrams_expr(toks, n: int) -> Column:
+    """Array of space-joined token n-grams from a token-array column —
+    the non-exploded sibling of `dedup.shingle_rows`, built the same
+    fast way (arrays_zip of n shifted slices, then one codegen'd
+    concat_ws per gram; see shingle_rows' docstring for why the
+    transform(sequence, slice) alternative is 10-20× slower). Guarded:
+    short docs short-circuit to an empty array (Spark's sequence(1, 0)
+    counts DOWN), and NULL tokens stay NULL."""
+    if n < 1:
+        raise ValueError(f"ngram size must be >= 1, got {n}")
+    shift_len = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, shift_len) for i in range(n)])
+    grams = F.transform(
+        zipped,
+        lambda t: F.concat_ws(" ", *[t[str(i)] for i in range(n)]))
+    return (
+        F.when(toks.isNull(), F.lit(None).cast("array<string>"))
+        .when(F.size(toks) >= n, grams)
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str,
+                       *, ngram: int = 2,
+                       round_dp: int = 6) -> DataFrame:
+    """Per-document repetition statistics (Gopher-style quality rules):
+
+      n_tokens             — lowercased str.split() token count
+      distinct_token_ratio — |distinct tokens| / n_tokens
+      top_token_frac       — occurrences of the modal token / n_tokens
+      dup_ngram_frac       — 1 - |distinct n-grams| / |n-grams|
+
+    NULL text yields NULL everywhere; an empty/whitespace-only doc has
+    n_tokens = 0 and NULL ratios; a doc shorter than `ngram` tokens has
+    NULL dup_ngram_frac (no n-grams to judge).
+
+    All four are per-row expressions over the token array — the modal
+    count is array_max over per-distinct-token filters, O(distinct ×
+    len) per row, bounded by document length. That beats the explode +
+    groupBy(id, token) alternative at corpus scale: no shuffle at all,
+    and the scan stays a projection Catalyst can prune around."""
+    toks = tokens_expr(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    distinct_toks = F.array_distinct("_toks")
+    top_cnt = F.array_max(F.transform(
+        distinct_toks,
+        lambda t: F.size(F.filter(F.col("_toks"), lambda w: w == t))))
+    grams = ngrams_expr(F.col("_toks"), ngram)
+    n_grams = F.size(grams)
+    frac = (
+        lambda num, den: F.when(den > 0, F.round(num / den, round_dp)))
+    return d.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        frac(F.size(distinct_toks), n).alias("distinct_token_ratio"),
+        frac(top_cnt, n).alias("top_token_frac"),
+        frac(n_grams - F.size(F.array_distinct(grams)), n_grams)
+        .alias("dup_ngram_frac"),
+    )
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  id_col: str, text_col: str,
+                  *, ngram: int = 5,
+                  round_dp: int = 6) -> DataFrame:
+    """Benchmark decontamination by token n-gram overlap: for every
+    training document that shares at least one `ngram`-token shingle
+    with the evaluation set, return
+
+      (id_col, n_hits, n_doc_ngrams, hit_frac)
+
+    where n_hits counts the doc's DISTINCT shingles that appear
+    anywhere in the eval set and n_doc_ngrams its distinct-shingle
+    total. Callers drop (or audit) rows above a hit_frac threshold.
+
+    Plan shape at 100 TB: the eval side reduces to a distinct shingle
+    set and is broadcast (benchmark suites are MBs, crawls are TBs), so
+    the training side is a scan → explode → broadcast-hash-join →
+    partial-agg pipeline with exactly one exchange, on the doc id. The
+    doc-side distinct() is an id-keyed aggregate and AQE coalesces it
+    into the same shuffle. Both sides tokenize identically (lowercased
+    str.split(): `dedup.tokens_expr`), so quoting a benchmark question
+    verbatim hits regardless of case or whitespace shape."""
+    ev = (shingle_rows(eval_df, id_col, text_col, ngram=ngram)
+          .select("s").distinct()
+          .withColumn("_hit", F.lit(1)))
+    tr = shingle_rows(train, id_col, text_col, ngram=ngram).distinct()
+    joined = tr.join(F.broadcast(ev), "s", "left")
+    n_hits = F.sum(F.coalesce("_hit", F.lit(0)))
+    return (
+        joined.groupBy(id_col)
+        .agg(n_hits.cast("long").alias("n_hits"),
+             F.count("*").alias("n_doc_ngrams"))
+        .filter(F.col("n_hits") > 0)
+        .select(id_col, "n_hits", "n_doc_ngrams",
+                F.round(F.col("n_hits") / F.col("n_doc_ngrams"),
+                        round_dp).alias("hit_frac"))
+    )

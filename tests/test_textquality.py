@@ -1,0 +1,109 @@
+"""textquality library API (repetition signals + decontamination) on
+arbitrary-schema DataFrames, plus plan-shape guarantees: repetition
+signals must be a pure projection (zero exchanges) and decontamination
+must broadcast the eval side and shuffle exactly once (on the doc id).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from risjbot_spark import textquality
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "a b a b c"),                 # 4 bigrams, 3 distinct
+        (2, "x x x x"),                   # maximally repetitive
+        (3, None),                        # NULL text
+        (4, ""),                          # empty
+        (5, "solo"),                      # shorter than any bigram
+        (6, "  Tabs\tand  SPACES  "),     # ws + case normalization
+    ]
+    return spark.createDataFrame(rows, "pk long, body string")
+
+
+def test_repetition_signals_values(corpus):
+    out = {r["pk"]: r for r in
+           textquality.repetition_signals(corpus, "pk", "body")
+           .collect()}
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["distinct_token_ratio"],
+            r1["top_token_frac"], r1["dup_ngram_frac"]) == (5, 0.6, 0.4,
+                                                            0.25)
+    r2 = out[2]
+    assert (r2["n_tokens"], r2["distinct_token_ratio"],
+            r2["top_token_frac"], r2["dup_ngram_frac"]) == (4, 0.25, 1.0,
+                                                            0.666667)
+    # NULL text → NULL everywhere; empty → 0 tokens, NULL ratios;
+    # single token → no bigrams to judge
+    assert all(out[3][c] is None for c in
+               ("n_tokens", "distinct_token_ratio", "top_token_frac",
+                "dup_ngram_frac"))
+    assert out[4]["n_tokens"] == 0 and out[4]["distinct_token_ratio"] is None
+    assert out[5]["dup_ngram_frac"] is None
+    assert out[5]["top_token_frac"] == 1.0
+    # lowercase + Python-whitespace tokenization
+    assert out[6]["n_tokens"] == 3 and out[6]["distinct_token_ratio"] == 1.0
+
+
+def test_repetition_signals_ngram_param(spark):
+    # "a b c a b c" with ngram=3: grams (a b c, b c a, c a b, a b c)
+    # → 4 total, 3 distinct → dup frac 0.25
+    df = spark.createDataFrame([(1, "a b c a b c")], "pk long, body string")
+    row = textquality.repetition_signals(df, "pk", "body", ngram=3).first()
+    assert row["dup_ngram_frac"] == 0.25
+
+
+def test_repetition_signals_is_pure_projection(corpus):
+    plan = (textquality.repetition_signals(corpus, "pk", "body")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_ngrams_expr_rejects_bad_n(corpus):
+    with pytest.raises(ValueError):
+        textquality.ngrams_expr(F.col("x"), 0)
+
+
+@pytest.fixture(scope="module")
+def contaminated(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven"),
+            (3, "alpha beta gamma delta epsilon UNRELATED tail here"),
+            (4, None),
+            (5, "tiny doc"),
+        ],
+        "pk long, body string")
+    ev = spark.createDataFrame(
+        [(100, "beta gamma delta epsilon zeta"),
+         (101, "ALPHA beta GAMMA delta epsilon")],
+        "pk long, body string")
+    return train, ev
+
+
+def test_decontaminate_hits(contaminated):
+    train, ev = contaminated
+    out = {r["pk"]: r for r in
+           textquality.decontaminate(train, ev, "pk", "body").collect()}
+    # doc 1 has 4 distinct 5-grams; eval holds "beta gamma delta epsilon
+    # zeta" and "alpha beta gamma delta epsilon" (case-folded) → 2 hits
+    assert out[1]["n_hits"] == 2 and out[1]["n_doc_ngrams"] == 4
+    assert out[1]["hit_frac"] == 0.5
+    # doc 3 shares only "alpha beta gamma delta epsilon"
+    assert out[3]["n_hits"] == 1 and out[3]["n_doc_ngrams"] == 4
+    # clean / NULL / too-short docs never appear
+    assert set(out) == {1, 3}
+
+
+def test_decontaminate_plan_broadcasts_eval(contaminated):
+    train, ev = contaminated
+    plan = (textquality.decontaminate(train, ev, "pk", "body")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the training side must not hash-exchange for the JOIN; the only
+    # hash exchanges allowed are the id-keyed aggregates (train per-doc
+    # agg + the eval/train distinct()s, which AQE folds into them)
+    assert "SortMergeJoin" not in plan
