@@ -121,17 +121,22 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     total. Callers drop (or audit) rows above a hit_frac threshold.
 
     Plan shape at 100 TB: the eval side reduces to a distinct shingle
-    set and is broadcast (benchmark suites are MBs, crawls are TBs), so
-    the training side is a scan → explode → broadcast-hash-join →
-    partial-agg pipeline with exactly one exchange, on the doc id. The
-    doc-side distinct() is an id-keyed aggregate and AQE coalesces it
-    into the same shuffle. Both sides tokenize identically (lowercased
+    set and is broadcast (benchmark suites are MBs, crawls are TBs),
+    and the training side dedupes each doc's shingles INSIDE the row
+    (array_distinct before the explode — all of a doc's shingles live
+    in one source row, so no cross-partition distinct is ever needed).
+    That leaves scan → explode → broadcast-hash-join → partial-agg with
+    exactly ONE exchange on the 100 TB side, keyed by doc id and
+    map-side combined. Both sides tokenize identically (lowercased
     str.split(): `dedup.tokens_expr`), so quoting a benchmark question
     verbatim hits regardless of case or whitespace shape."""
     ev = (shingle_rows(eval_df, id_col, text_col, ngram=ngram)
           .select("s").distinct()
           .withColumn("_hit", F.lit(1)))
-    tr = shingle_rows(train, id_col, text_col, ngram=ngram).distinct()
+    tr = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            ngrams_expr(tokens_expr(F.col(text_col)), ngram))).alias("s"))
     joined = tr.join(F.broadcast(ev), "s", "left")
     n_hits = F.sum(F.coalesce("_hit", F.lit(0)))
     return (

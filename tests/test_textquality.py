@@ -103,7 +103,11 @@ def test_decontaminate_plan_broadcasts_eval(contaminated):
     plan = (textquality.decontaminate(train, ev, "pk", "body")
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    # the training side must not hash-exchange for the JOIN; the only
-    # hash exchanges allowed are the id-keyed aggregates (train per-doc
-    # agg + the eval/train distinct()s, which AQE folds into them)
     assert "SortMergeJoin" not in plan
+    # per-doc shingle dedup happens inside the row (array_distinct
+    # pre-explode), so the TRAINING side hash-exchanges exactly once —
+    # the id-keyed aggregate. The eval side's distinct() is the only
+    # other hash exchange, and it's on the tiny broadcast input.
+    import re
+    n_hash_ex = len(re.findall(r"Exchange hashpartitioning\(pk", plan))
+    assert n_hash_ex == 1, plan

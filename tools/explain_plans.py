@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -155,6 +156,29 @@ def main() -> None:
     check("ivf_search", "BroadcastHashJoin" in p, "probed centroids broadcast")
     check("ivf_search", "CartesianProduct" not in p,
           "no cartesian in candidate selection")
+
+    # --- repetition_signals: pure per-row projection — the only
+    # exchange allowed is the presentation orderBy's range partitioning
+    p = plan_of(QUERIES["repetition_signals"](spark, SF))
+    sections.append(("repetition_signals (quality expressions)", p))
+    # formatted mode prints the node ("Exchange") and its arguments
+    # ("hashpartitioning(...)") on separate lines — match the argument
+    check("repetition_signals", "hashpartitioning(" not in p,
+          "zero hash exchanges — stats computed inside the row")
+    check("repetition_signals",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "all-JVM expressions (no Python eval)")
+
+    # --- decontaminate: eval shingles broadcast; the corpus side
+    # exchanges exactly once (the id-keyed agg) because per-doc shingle
+    # dedup happens inside the row before the explode
+    p = plan_of(QUERIES["decontaminate"](spark, SF))
+    sections.append(("decontaminate (eval-broadcast overlap join)", p))
+    check("decontaminate", "BroadcastHashJoin" in p,
+          "eval shingle set broadcasts into the corpus scan")
+    check("decontaminate",
+          len(re.findall(r"hashpartitioning\(doc_id", p)) == 1,
+          "corpus side hash-exchanges exactly once (id-keyed agg)")
 
     # --- crawl round: one Python stage, pages never shuffle
     pages_path = "/tmp/risjbot_plans_pages"
