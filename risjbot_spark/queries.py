@@ -728,7 +728,10 @@ def q_decontaminate(spark, sf):
     The eval set is a deterministic mutant slice of the corpus — every
     10th document with its first token dropped, the same mutant class
     the dedup oracles use — so contamination provably exists and the
-    oracle can restate it in SQL."""
+    oracle can restate it in SQL. NOTE: this bench eval side scales
+    with sf (corpus/10) and stays KBs at every shipped sf; a real
+    corpus-sized "eval" side must pass broadcast_eval=False (see the
+    library docstring) — benchmarks, the intended input, are tiny."""
     d = _t(spark, sf, "documents")
     ev = (
         d.filter(F.col("doc_id") % 10 == 0)

@@ -42,6 +42,13 @@ __all__ = [
     "decontaminate",
 ]
 
+# internal working-column names, prefixed so they can't shadow a caller
+# column under the arbitrary-schema contract (guards below still raise
+# on a direct collision rather than silently misbehaving)
+_TOKS = "__tq_toks"
+_SH = "__tq_s"
+_HIT = "__tq_hit"
+
 
 def ngrams_expr(toks, n: int) -> Column:
     """Array of space-joined token n-grams from a token-array column —
@@ -81,18 +88,32 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
     NULL dup_ngram_frac (no n-grams to judge).
 
     All four are per-row expressions over the token array — the modal
-    count is array_max over per-distinct-token filters, O(distinct ×
-    len) per row, bounded by document length. That beats the explode +
+    count is the longest equal-run of the SORTED token array (one
+    array_sort + one aggregate pass, O(L log L) per row), never the
+    per-distinct-token filter scan whose O(distinct × L) degenerates to
+    O(L²) on long high-entropy web documents. That beats the explode +
     groupBy(id, token) alternative at corpus scale: no shuffle at all,
     and the scan stays a projection Catalyst can prune around."""
+    if id_col in ("n_tokens", "distinct_token_ratio", "top_token_frac",
+                  "dup_ngram_frac", _TOKS):
+        raise ValueError(f"id_col {id_col!r} collides with an output or "
+                         "internal column of repetition_signals")
     toks = tokens_expr(F.col(text_col))
-    d = df.select(F.col(id_col), toks.alias("_toks"))
-    n = F.size("_toks")
-    distinct_toks = F.array_distinct("_toks")
-    top_cnt = F.array_max(F.transform(
-        distinct_toks,
-        lambda t: F.size(F.filter(F.col("_toks"), lambda w: w == t))))
-    grams = ngrams_expr(F.col("_toks"), ngram)
+    d = df.select(F.col(id_col), toks.alias(_TOKS))
+    n = F.size(_TOKS)
+    distinct_toks = F.array_distinct(_TOKS)
+    # longest run in the sorted array == count of the modal token; the
+    # accumulator carries (previous token, current run, best run)
+    zero = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"))
+    def _run_step(acc, w):
+        run = (F.when(w.eqNullSafe(acc["prev"]), acc["run"] + 1)
+               .otherwise(F.lit(1)))
+        return F.struct(w.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+    top_cnt = F.aggregate(F.array_sort(F.col(_TOKS)), zero, _run_step,
+                          lambda acc: acc["best"])
+    grams = ngrams_expr(F.col(_TOKS), ngram)
     n_grams = F.size(grams)
     frac = (
         lambda num, den: F.when(den > 0, F.round(num / den, round_dp)))
@@ -109,7 +130,8 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
 def decontaminate(train: DataFrame, eval_df: DataFrame,
                   id_col: str, text_col: str,
                   *, ngram: int = 5,
-                  round_dp: int = 6) -> DataFrame:
+                  round_dp: int = 6,
+                  broadcast_eval: bool = True) -> DataFrame:
     """Benchmark decontamination by token n-gram overlap: for every
     training document that shares at least one `ngram`-token shingle
     with the evaluation set, return
@@ -129,16 +151,28 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     exactly ONE exchange on the 100 TB side, keyed by doc id and
     map-side combined. Both sides tokenize identically (lowercased
     str.split(): `dedup.tokens_expr`), so quoting a benchmark question
-    verbatim hits regardless of case or whitespace shape."""
+    verbatim hits regardless of case or whitespace shape.
+
+    `broadcast_eval` (default True) fits the intended shape — a small
+    benchmark suite. Pass False when the "eval" side is itself
+    corpus-sized (e.g. cross-corpus overlap audits): the hint would
+    otherwise push a multi-GB build past Spark's broadcast limits, and
+    a plain shuffled join is the correct plan there."""
+    # "s" is shingle_rows' own output column (used for the eval side)
+    if id_col in ("n_hits", "n_doc_ngrams", "hit_frac", "s", _SH, _HIT):
+        raise ValueError(f"id_col {id_col!r} collides with an output or "
+                         "internal column of decontaminate")
     ev = (shingle_rows(eval_df, id_col, text_col, ngram=ngram)
-          .select("s").distinct()
-          .withColumn("_hit", F.lit(1)))
+          .select(F.col("s").alias(_SH)).distinct()
+          .withColumn(_HIT, F.lit(1)))
+    if broadcast_eval:
+        ev = F.broadcast(ev)
     tr = train.select(
         F.col(id_col),
         F.explode(F.array_distinct(
-            ngrams_expr(tokens_expr(F.col(text_col)), ngram))).alias("s"))
-    joined = tr.join(F.broadcast(ev), "s", "left")
-    n_hits = F.sum(F.coalesce("_hit", F.lit(0)))
+            ngrams_expr(tokens_expr(F.col(text_col)), ngram))).alias(_SH))
+    joined = tr.join(ev, _SH, "left")
+    n_hits = F.sum(F.coalesce(_HIT, F.lit(0)))
     return (
         joined.groupBy(id_col)
         .agg(n_hits.cast("long").alias("n_hits"),

@@ -66,6 +66,30 @@ def test_ngrams_expr_rejects_bad_n(corpus):
         textquality.ngrams_expr(F.col("x"), 0)
 
 
+def test_colliding_id_col_raises(spark):
+    """Arbitrary-schema contract: a caller id column that matches an
+    output or internal name must fail loudly, not mis-resolve."""
+    df = spark.createDataFrame([("a", "x y z")],
+                               "n_tokens string, body string")
+    with pytest.raises(ValueError, match="collides"):
+        textquality.repetition_signals(df, "n_tokens", "body")
+    df2 = spark.createDataFrame([("a", "x y z")], "s string, body string")
+    with pytest.raises(ValueError, match="collides"):
+        textquality.decontaminate(df2, df2, "s", "body")
+
+
+def test_modal_count_on_long_high_entropy_doc(spark):
+    """The sorted-run modal count must stay cheap on a long
+    mostly-distinct document (the old per-distinct-token filter was
+    O(L²) here) and still agree with the known mode."""
+    words = [f"w{i}" for i in range(20000)] + ["dup"] * 7
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "pk long, body string")
+    row = textquality.repetition_signals(df, "pk", "body").first()
+    assert row["n_tokens"] == 20007
+    assert row["top_token_frac"] == round(7 / 20007, 6)
+
+
 @pytest.fixture(scope="module")
 def contaminated(spark):
     train = spark.createDataFrame(

@@ -54,7 +54,10 @@ def ws_sf(spark, tmp_path_factory):
     # plain rows + explicit schema, NOT a pandas frame: pandas renders a
     # None in an int column as float64 NaN, which Spark ingests as a
     # DOUBLE NaN (not NULL) and ANSI cast("long") then overflows
-    rows = [(i, t, "en", "battery", len(t) if t is not None else None)
+    # ids are multiples of 10 so EVERY battery doc lands in the
+    # decontaminate oracle's eval slice (doc_id % 10 = 0) — its parity
+    # check below would otherwise compare two vacuously empty frames
+    rows = [(i * 10, t, "en", "battery", len(t) if t is not None else None)
             for i, t in enumerate(BATTERY)]
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, "
@@ -72,7 +75,8 @@ def _oracle(name: str, sf: str) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize("name", ["token_count", "quality_score",
-                                  "doc_fingerprint", "wordcount"])
+                                  "doc_fingerprint", "wordcount",
+                                  "repetition_signals", "decontaminate"])
 def test_doc_op_parity_on_exotic_whitespace(spark, ws_sf, name):
     got = Q.QUERIES[name](spark, ws_sf).toPandas()
     want = _oracle(name, ws_sf)
@@ -90,7 +94,14 @@ def test_token_count_matches_python_split(spark, ws_sf):
            for r in Q.QUERIES["token_count"](spark, ws_sf).collect()}
     for i, t in enumerate(BATTERY):
         want = len(t.split()) if t is not None else None
-        assert got[i] == want, repr(t)
+        assert got[i * 10] == want, repr(t)
+
+
+def test_decontaminate_battery_is_not_vacuous(spark, ws_sf):
+    """The exotic-ws decontaminate parity above must compare real rows:
+    the long exotic text's drop-first-token mutant shares 5-grams with
+    its original, so at least one contaminated doc must surface."""
+    assert Q.QUERIES["decontaminate"](spark, ws_sf).count() >= 1
 
 
 def test_shingle_tokens_drop_boundary_empties(spark, ws_sf):
