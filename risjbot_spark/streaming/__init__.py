@@ -4,6 +4,7 @@ from .ops import (
     stateful_host_budget_gate,
     stateful_refetch_gate,
     stream_exact_text_dedup,
+    stream_quality_gate,
     stream_extract_articles,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "stateful_host_budget_gate",
     "stateful_refetch_gate",
     "stream_exact_text_dedup",
+    "stream_quality_gate",
     "stream_extract_articles",
 ]

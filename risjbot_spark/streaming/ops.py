@@ -266,6 +266,68 @@ def stream_exact_text_dedup(docs: DataFrame, id_col: str = "doc_id",
     return deduped.unionByName(nulls).drop("_fp")
 
 
+def stream_quality_gate(docs: DataFrame, eval_docs: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        *, ngram: int = 2, decontam_ngram: int = 5,
+                        max_dup_ngram_frac: float = 0.3,
+                        max_top_token_frac: float = 0.3,
+                        min_distinct_ratio: float = 0.2,
+                        max_hit_frac: float = 0.0) -> DataFrame:
+    """Streaming twin of the training-data quality + decontamination
+    gate (textquality.repetition_signals / .decontaminate): documents
+    arriving as a stream are annotated with the four repetition signals
+    and an eval-overlap fraction, and rows failing any threshold are
+    dropped — the continuous-ingest filter in front of a pre-training
+    corpus sink.
+
+    Everything is per-row and STATELESS, so the gate needs no watermark
+    and composes under any output mode: the static eval set (a
+    benchmark suite — tiny by construction) is pre-reduced to ONE row
+    holding its distinct shingle array and broadcast into the stream
+    (the same one-row-array shape the k-means assignment broadcasts);
+    contamination is then size(array_intersect(doc_grams, eval_grams))
+    computed inside the row — no streaming aggregate, no state store.
+
+    Gate semantics: NULL-text docs are dropped (nothing to train on);
+    docs too short to judge a signal (NULL fraction) pass that check —
+    the batch pipeline over the accumulated table stays authoritative,
+    the same layering as the crawl's bloom-then-join gate."""
+    from ..dedup import tokens_expr
+    from ..textquality import ngrams_expr, repetition_exprs
+
+    ev = (eval_docs
+          .select(F.explode(F.array_distinct(
+              ngrams_expr(tokens_expr(F.col(text_col)), decontam_ngram)))
+              .alias("s"))
+          .agg(F.collect_set("s").alias("_eval_grams")))
+    gated = (
+        docs.filter(F.col(text_col).isNotNull())
+        .withColumn("_toks", tokens_expr(F.col(text_col)))
+        .join(F.broadcast(ev), F.lit(True), "inner")
+    )
+    sig = repetition_exprs(F.col("_toks"), ngram=ngram)
+    doc_grams = F.array_distinct(
+        ngrams_expr(F.col("_toks"), decontam_ngram))
+    hit_frac = F.when(
+        F.size(doc_grams) > 0,
+        F.round(F.size(F.array_intersect(doc_grams, "_eval_grams"))
+                / F.size(doc_grams), 6))
+    annotated = gated.select(
+        id_col, text_col,
+        *(expr.alias(name) for name, expr in sig.items()),
+        hit_frac.alias("eval_hit_frac"))
+    passes = (
+        F.coalesce(F.col("dup_ngram_frac") <= max_dup_ngram_frac,
+                   F.lit(True))
+        & F.coalesce(F.col("top_token_frac") <= max_top_token_frac,
+                     F.lit(True))
+        & F.coalesce(F.col("distinct_token_ratio") >= min_distinct_ratio,
+                     F.lit(True))
+        & F.coalesce(F.col("eval_hit_frac") <= max_hit_frac, F.lit(True))
+    )
+    return annotated.filter(passes)
+
+
 def stream_extract_articles(pages_stream: DataFrame) -> DataFrame:
     """Continuous-ingest twin of the batch extract stage: the SAME
     vectorized extraction UDF (byte-identity surface included) applied to

@@ -38,6 +38,7 @@ from .dedup import shingle_rows, tokens_expr
 
 __all__ = [
     "ngrams_expr",
+    "repetition_exprs",
     "repetition_signals",
     "decontaminate",
 ]
@@ -100,8 +101,19 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
                          "internal column of repetition_signals")
     toks = tokens_expr(F.col(text_col))
     d = df.select(F.col(id_col), toks.alias(_TOKS))
-    n = F.size(_TOKS)
-    distinct_toks = F.array_distinct(_TOKS)
+    sig = repetition_exprs(F.col(_TOKS), ngram=ngram, round_dp=round_dp)
+    return d.select(
+        id_col, *(expr.alias(name) for name, expr in sig.items()))
+
+
+def repetition_exprs(toks, *, ngram: int = 2,
+                     round_dp: int = 6) -> "dict[str, Column]":
+    """The four repetition signals as named Column expressions over a
+    token-array column — the composable form `repetition_signals` and
+    the streaming quality gate both select from. Keys double as the
+    canonical output column names."""
+    n = F.size(toks)
+    distinct_toks = F.array_distinct(toks)
     # longest run in the sorted array == count of the modal token; the
     # accumulator carries (previous token, current run, best run)
     zero = F.struct(F.lit(None).cast("string").alias("prev"),
@@ -111,20 +123,19 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
                .otherwise(F.lit(1)))
         return F.struct(w.alias("prev"), run.alias("run"),
                         F.greatest(acc["best"], run).alias("best"))
-    top_cnt = F.aggregate(F.array_sort(F.col(_TOKS)), zero, _run_step,
+    top_cnt = F.aggregate(F.array_sort(toks), zero, _run_step,
                           lambda acc: acc["best"])
-    grams = ngrams_expr(F.col(_TOKS), ngram)
+    grams = ngrams_expr(toks, ngram)
     n_grams = F.size(grams)
     frac = (
         lambda num, den: F.when(den > 0, F.round(num / den, round_dp)))
-    return d.select(
-        id_col,
-        n.cast("long").alias("n_tokens"),
-        frac(F.size(distinct_toks), n).alias("distinct_token_ratio"),
-        frac(top_cnt, n).alias("top_token_frac"),
-        frac(n_grams - F.size(F.array_distinct(grams)), n_grams)
-        .alias("dup_ngram_frac"),
-    )
+    return {
+        "n_tokens": n.cast("long"),
+        "distinct_token_ratio": frac(F.size(distinct_toks), n),
+        "top_token_frac": frac(top_cnt, n),
+        "dup_ngram_frac": frac(n_grams - F.size(F.array_distinct(grams)),
+                               n_grams),
+    }
 
 
 def decontaminate(train: DataFrame, eval_df: DataFrame,

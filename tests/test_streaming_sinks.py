@@ -392,3 +392,44 @@ def test_stream_exact_text_dedup(spark, tmp_path):
     assert len(got & {1, 2}) == 1
     assert {3, 4, 5} <= got
     assert len(got) == 4
+
+
+def test_stream_quality_gate(spark, tmp_path):
+    """Continuous-ingest quality + decontamination gate: repetitive
+    docs, eval-contaminated docs, and NULL-text docs drop; clean docs
+    pass annotated; short docs pass their unjudgeable checks."""
+    from risjbot_spark.streaming import stream_quality_gate
+
+    src = str(tmp_path / "qdocs")
+    clean = ("the quick brown fox jumps over the lazy dog while many "
+             "other animals watch from the tall green trees nearby")
+    repetitive = "spam spam spam spam spam spam spam spam"
+    contaminated = ("padding before the secret benchmark answer is "
+                    "forty two exactly and padding after")
+    rows = [
+        (1, clean, T0),
+        (2, repetitive, T0),       # top_token_frac 1.0 → dropped
+        (3, contaminated, T0),     # shares a 5-gram with the eval set
+        (4, None, T0),             # NULL text → dropped
+        (5, "tiny", T0),           # 1 token → modal frac 1.0 → dropped
+        (6, "alpha beta gamma delta", T0),  # clean; too short for the
+        # 5-gram contamination check (NULL hit frac) → that check passes
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).write.mode("overwrite").parquet(src)
+    ev = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two")],
+        "doc_id long, text string")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp").parquet(src)
+    q = (stream_quality_gate(stream, ev).writeStream
+         .format("memory").queryName("quality_gate_t")
+         .trigger(availableNow=True).start())
+    _run_stream(q)
+    out = {r["doc_id"]: r for r in
+           spark.sql("select * from quality_gate_t").collect()}
+    assert set(out) == {1, 6}
+    assert out[1]["eval_hit_frac"] == 0.0
+    assert out[1]["n_tokens"] == 20
+    assert out[6]["eval_hit_frac"] is None       # unjudgeable → passes
