@@ -1,0 +1,131 @@
+"""Scale evidence for the textquality family (round-4 additions): run
+repetition_signals and decontaminate over a synthetic 10^6-document
+corpus on local[32] and record throughput + plan-shape facts.
+
+What this demonstrates for the 100 TB story:
+  * repetition_signals is a pure projection — docs/sec should track raw
+    scan+expression speed and the plan carries ZERO hash exchanges;
+  * decontaminate explodes ~(len-4) distinct 5-gram strings per doc
+    (~7×10^7 rows at 10^6 docs) through ONE broadcast join and ONE
+    id-keyed exchange — the measured shape a 1000-executor run scales
+    by partitions.
+
+The corpus is deterministic (xxhash64-seeded picks from a 200-word
+vocabulary, 40-79 tokens/doc) — built entirely with JVM expressions, no
+Python row funcs anywhere. The eval side for decontaminate is the
+drop-first-token mutant of every 1000th doc (~0.1%, the realistic
+benchmark-to-corpus ratio).
+
+Absolute numbers carry the documented ±50% co-tenant noise (see
+BENCH/BASELINE.md); the busy-fleet CPU-delivery probe is embedded so a
+reader can normalize. Run: python tools/bench_textquality_scale.py
+[n_docs] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+VOCAB = [f"w{i:03d}" for i in range(200)]
+
+
+def corpus(spark, n_docs: int):
+    """Deterministic synthetic docs: 40-79 tokens drawn from VOCAB by
+    xxhash64(id, position) — pure expressions, reproducible."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    n_toks = (F.pmod(F.xxhash64("id"), F.lit(40)) + 40).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_toks),
+        lambda j: F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64("id", j), F.lit(len(VOCAB))) + 1)
+            .cast("int")))
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", words).alias("text"))
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    out_path = (sys.argv[2] if len(sys.argv) > 2
+                else os.path.join(REPO, "BENCH", "textquality_1m.json"))
+    sys.path.insert(0, REPO)
+    from bench import _host_delivery_probe
+    host_ops = _host_delivery_probe(32)
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "64")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory", "8g")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from risjbot_spark.textquality import decontaminate, repetition_signals
+
+    docs = corpus(spark, n_docs)
+    docs.write.mode("overwrite").parquet("/tmp/tq_scale_docs")
+    docs = spark.read.parquet("/tmp/tq_scale_docs")
+
+    # --- repetition_signals: force full evaluation via an aggregate
+    sig = repetition_signals(docs, "doc_id", "text")
+    t0 = time.monotonic()
+    sig_agg = sig.agg(
+        F.avg("dup_ngram_frac").alias("avg_dup"),
+        F.avg("top_token_frac").alias("avg_top"),
+        F.count("*").alias("n")).first()
+    t_sig = time.monotonic() - t0
+    sig_plan = sig._jdf.queryExecution().executedPlan().toString()
+
+    # --- decontaminate: eval = drop-first-token mutants of 0.1% of docs
+    ev = (docs.filter(F.col("doc_id") % 1000 == 0)
+          .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                  F.expr("substring(text, instr(text, ' ') + 1)")
+                  .alias("text")))
+    dc = decontaminate(docs, ev, "doc_id", "text", ngram=5)
+    t0 = time.monotonic()
+    n_contaminated = dc.count()
+    t_dc = time.monotonic() - t0
+    dc_plan = dc._jdf.queryExecution().executedPlan().toString()
+
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    result = {
+        "n_docs": n_docs,
+        "host_cpu_delivery_ops_per_sec": host_ops,
+        "repetition_signals": {
+            "seconds": round(t_sig, 2),
+            "docs_per_sec": round(n_docs / t_sig),
+            "avg_dup_ngram_frac": round(sig_agg["avg_dup"], 6),
+            "avg_top_token_frac": round(sig_agg["avg_top"], 6),
+            "rows": sig_agg["n"],
+            "plan_has_hash_exchange":
+                "Exchange hashpartitioning" in sig_plan,
+        },
+        "decontaminate": {
+            "seconds": round(t_dc, 2),
+            "docs_per_sec": round(n_docs / t_dc),
+            "n_eval_docs": n_docs // 1000,
+            "n_contaminated": n_contaminated,
+            "plan_broadcasts_eval": "BroadcastHashJoin" in dc_plan,
+            "plan_corpus_hash_exchanges":
+                dc_plan.count("Exchange hashpartitioning(doc_id"),
+        },
+        "driver_rss_mb": round(rss_mb, 1),
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
