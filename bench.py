@@ -200,6 +200,7 @@ def main() -> None:
         "doc_fingerprint",
         "quality_score", "token_count",
         "repetition_signals", "decontaminate",
+        "quality_gate_docs", "mix_report",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

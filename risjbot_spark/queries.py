@@ -743,6 +743,30 @@ def q_decontaminate(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_quality_gate_docs(spark, sf):
+    """The quality gate APPLIED: documents that survive the repetition
+    thresholds, signals attached (library: textquality.quality_filter).
+    Thresholds sit inside the corpus' measured signal distribution
+    (p90-p95) so the gate provably drops rows AND provably keeps rows
+    at every shipped sf — a vacuous gate would hash-match trivially."""
+    d = _t(spark, sf, "documents")
+    return (textquality.quality_filter(
+                d, "text", ngram=2,
+                max_dup_ngram_frac=0.08, max_top_token_frac=0.15,
+                min_distinct_ratio=0.35, with_signals=True)
+            .orderBy("doc_id"))
+
+
+def q_mix_report(spark, sf):
+    """Data-mix curation report by (source, lang): document counts,
+    token totals, corpus token share, mean repetition signals
+    (library: textquality.mix_report)."""
+    d = _t(spark, sf, "documents")
+    return (textquality.mix_report(d, ["source", "lang"], "text",
+                                   ngram=2)
+            .orderBy("source", "lang"))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: similarity search
 # ---------------------------------------------------------------------------
@@ -1060,6 +1084,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "repetition_signals": q_repetition_signals,
     "decontaminate": q_decontaminate,
+    "quality_gate_docs": q_quality_gate_docs,
+    "mix_report": q_mix_report,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ivf_centroids": q_ivf_centroids,
@@ -1567,6 +1593,106 @@ ORACLE_SQL = {
                                / len(grams), 6)
                END AS dup_ngram_frac
         FROM g ORDER BY doc_id""",
+    # quality gate applied: same per-row signal expressions, thresholds
+    # with NULL-passes (coalesce TRUE) semantics, original columns kept
+    "quality_gate_docs": f"""
+        WITH tok AS (
+          SELECT doc_id, text, lang, source, n_chars,
+                 list_filter(string_split_regex(lower(trim(text)),
+                                                '{PY_WS_RE}'),
+                             x -> x <> '') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        g AS (
+          SELECT doc_id, text, lang, source, n_chars, toks,
+                 len(toks) AS n,
+                 CASE WHEN toks IS NULL THEN NULL
+                      WHEN len(toks) >= 2 THEN list_transform(
+                        generate_series(1, len(toks) - 1),
+                        i -> concat_ws(' ', toks[i], toks[i+1]))
+                      ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM tok),
+        sig AS (
+          SELECT doc_id, text, lang, source, n_chars,
+                 CAST(n AS BIGINT) AS n_tokens,
+                 CASE WHEN n > 0
+                      THEN round(len(list_distinct(toks)) / n, 6)
+                 END AS distinct_token_ratio,
+                 CASE WHEN n > 0
+                      THEN round(list_max(list_transform(
+                             list_distinct(toks),
+                             t -> len(list_filter(toks, w -> w = t)))) / n, 6)
+                 END AS top_token_frac,
+                 CASE WHEN len(grams) > 0
+                      THEN round((len(grams) - len(list_distinct(grams)))
+                                 / len(grams), 6)
+                 END AS dup_ngram_frac
+          FROM g)
+        SELECT * FROM sig
+        WHERE coalesce(dup_ngram_frac <= 0.08, TRUE)
+          AND coalesce(top_token_frac <= 0.15, TRUE)
+          AND coalesce(distinct_token_ratio >= 0.35, TRUE)
+        ORDER BY doc_id""",
+    # mix report: per-(source, lang) aggregates of the same per-row
+    # signals; token_share over the aggregated relation only
+    "mix_report": f"""
+        WITH tok AS (
+          SELECT source, lang,
+                 list_filter(string_split_regex(lower(trim(text)),
+                                                '{PY_WS_RE}'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT source, lang, toks, len(toks) AS n,
+                 CASE WHEN toks IS NULL THEN NULL
+                      WHEN len(toks) >= 2 THEN list_transform(
+                        generate_series(1, len(toks) - 1),
+                        i -> concat_ws(' ', toks[i], toks[i+1]))
+                      ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM tok),
+        sig AS (
+          SELECT source, lang, n,
+                 CASE WHEN n > 0
+                      THEN round(len(list_distinct(toks)) / n, 6)
+                 END AS dtr,
+                 CASE WHEN n > 0
+                      THEN round(list_max(list_transform(
+                             list_distinct(toks),
+                             t -> len(list_filter(toks, w -> w = t)))) / n, 6)
+                 END AS ttf,
+                 CASE WHEN len(grams) > 0
+                      THEN round((len(grams) - len(list_distinct(grams)))
+                                 / len(grams), 6)
+                 END AS dnf
+          FROM g),
+        agg AS (
+          -- means in exact integer arithmetic: (2s+c) // (2c) is
+          -- round-half-up(s/c), engine- and order-independent (float
+          -- avg() ties on exact decimal halves round differently in
+          -- Spark vs C-family engines; see the Spark side's comment)
+          SELECT source, lang,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n) AS BIGINT) AS n_tokens,
+                 CASE WHEN count(dtr) > 0 THEN CAST(
+                   (2 * sum(CAST(round(dtr * 1000000) AS BIGINT))
+                    + count(dtr)) // (2 * count(dtr)) AS DOUBLE)
+                   / 1000000.0 END AS mean_distinct_token_ratio,
+                 CASE WHEN count(ttf) > 0 THEN CAST(
+                   (2 * sum(CAST(round(ttf * 1000000) AS BIGINT))
+                    + count(ttf)) // (2 * count(ttf)) AS DOUBLE)
+                   / 1000000.0 END AS mean_top_token_frac,
+                 CASE WHEN count(dnf) > 0 THEN CAST(
+                   (2 * sum(CAST(round(dnf * 1000000) AS BIGINT))
+                    + count(dnf)) // (2 * count(dnf)) AS DOUBLE)
+                   / 1000000.0 END AS mean_dup_ngram_frac
+          FROM sig GROUP BY source, lang)
+        SELECT source, lang, n_docs, n_tokens,
+               CASE WHEN sum(n_tokens) OVER () > 0 THEN CAST(
+                 (2 * n_tokens * 1000000 + sum(n_tokens) OVER ())
+                 // (2 * sum(n_tokens) OVER ()) AS DOUBLE)
+                 / 1000000.0 END AS token_share,
+               mean_distinct_token_ratio, mean_top_token_frac,
+               mean_dup_ngram_frac
+        FROM agg ORDER BY source, lang""",
     # decontamination: distinct 5-token shingles of each training doc
     # LEFT JOINed against the eval set's distinct shingles (eval = the
     # drop-first-token mutant of every 10th doc, as in the Spark query)

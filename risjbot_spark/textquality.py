@@ -40,6 +40,8 @@ __all__ = [
     "ngrams_expr",
     "repetition_exprs",
     "repetition_signals",
+    "quality_filter",
+    "mix_report",
     "decontaminate",
 ]
 
@@ -136,6 +138,140 @@ def repetition_exprs(toks, *, ngram: int = 2,
         "dup_ngram_frac": frac(n_grams - F.size(F.array_distinct(grams)),
                                n_grams),
     }
+
+
+def quality_filter(df: DataFrame, text_col: str,
+                   *, ngram: int = 2,
+                   max_dup_ngram_frac: float = 0.3,
+                   max_top_token_frac: float = 0.3,
+                   min_distinct_ratio: float = 0.2,
+                   with_signals: bool = False,
+                   round_dp: int = 6) -> DataFrame:
+    """APPLY the repetition-quality gate: return the rows of `df` that
+    pass the Gopher-style thresholds — the kept corpus a training run
+    actually reads, the same relationship `dedup.survivor_docs` has to
+    the pair-finding ops. All caller columns survive; with
+    `with_signals=True` the four signal columns are appended (guarded
+    against caller-column collisions).
+
+    Gate semantics match the streaming twin (`stream_quality_gate`):
+    NULL-text rows are dropped (nothing to train on), and a document
+    too short to judge a signal (NULL fraction — e.g. no n-grams)
+    passes that check rather than being silently discarded.
+
+    Plan shape at 100 TB: a pure projection + filter — ZERO exchanges,
+    no join, no aggregation. The token array and its sort are computed
+    once per row in one codegen'd stage; Catalyst prunes everything
+    but `text_col` plus whatever the caller selects downstream, so the
+    gate composes into the scan of a parquet corpus."""
+    sig_names = ("n_tokens", "distinct_token_ratio", "top_token_frac",
+                 "dup_ngram_frac")
+    if _TOKS in df.columns:
+        raise ValueError(f"input column {_TOKS!r} collides with an "
+                         "internal column of quality_filter")
+    if with_signals:
+        clash = [c for c in sig_names if c in df.columns]
+        if clash:
+            raise ValueError(
+                f"with_signals=True would overwrite caller columns "
+                f"{clash}; rename them or pass with_signals=False")
+    d = (df.filter(F.col(text_col).isNotNull())
+         .withColumn(_TOKS, tokens_expr(F.col(text_col))))
+    sig = repetition_exprs(F.col(_TOKS), ngram=ngram, round_dp=round_dp)
+    passes = (
+        F.coalesce(sig["dup_ngram_frac"] <= max_dup_ngram_frac,
+                   F.lit(True))
+        & F.coalesce(sig["top_token_frac"] <= max_top_token_frac,
+                     F.lit(True))
+        & F.coalesce(sig["distinct_token_ratio"] >= min_distinct_ratio,
+                     F.lit(True)))
+    kept = d.filter(passes)
+    if with_signals:
+        kept = kept.select(
+            *df.columns, *(sig[n].alias(n) for n in sig_names))
+    return kept.drop(_TOKS)
+
+
+def mix_report(df: DataFrame, group_cols, text_col: str,
+               *, ngram: int = 2, round_dp: int = 6) -> DataFrame:
+    """Data-mix curation report: per-group document counts, token
+    totals, corpus token share, and mean repetition signals — the table
+    a training run sets mixture weights from (by source, language,
+    domain tier, ...). `group_cols` is a column name or list of names.
+
+    Output: group_cols..., n_docs, n_tokens, token_share,
+    mean_distinct_token_ratio, mean_top_token_frac,
+    mean_dup_ngram_frac. NULL-text documents count toward n_docs but
+    contribute NULL tokens/signals (sum/avg skip them, matching SQL).
+
+    Plan shape at 100 TB: ONE map-side-combinable exchange keyed by the
+    group columns — the per-row signal expressions fold into partial
+    aggregates inside the scan stage, so the shuffle carries one row
+    per (partition, group), not per document. The `token_share` window
+    then runs over the AGGREGATED relation only (cardinality = number
+    of groups — sources × languages, thousands at web scale, never
+    corpus-sized), so the single-partition window a naive plan would
+    put on the corpus never appears."""
+    from pyspark.sql import Window
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    out_names = ("n_docs", "n_tokens", "token_share",
+                 "mean_distinct_token_ratio", "mean_top_token_frac",
+                 "mean_dup_ngram_frac")
+    clash = [c for c in group_cols
+             if c in out_names or c.startswith("__tq_")]
+    if clash:
+        raise ValueError(f"group column(s) {clash} collide with "
+                         "mix_report output/internal columns")
+    d = df.select(*group_cols,
+                  tokens_expr(F.col(text_col)).alias(_TOKS))
+    sig = repetition_exprs(F.col(_TOKS), ngram=ngram, round_dp=round_dp)
+    scale = 10 ** round_dp
+
+    # Group means are computed ENTIRELY in integer arithmetic: float
+    # avg() is summation-order-dependent (engines and partitionings sum
+    # in different orders), and when a mean of round_dp-rounded values
+    # lands on an exact decimal half even a deterministic double is
+    # rounded differently by different engines (Spark rounds the
+    # shortest decimal string HALF_UP, C-family engines round the
+    # binary value — 0.1268895 goes to .126890 vs .126889). So: per-row
+    # values become exact scaled integers, the sum is an exact integer,
+    # and round-half-up(s/c) is (2s+c) div (2c) — associative, exact,
+    # and engine-independent; only then does the result become a double
+    # (an exact division by the scale).
+    def _k(col):
+        return F.round(col * scale).cast("long")
+
+    sums = [
+        ("mean_distinct_token_ratio", "distinct_token_ratio"),
+        ("mean_top_token_frac", "top_token_frac"),
+        ("mean_dup_ngram_frac", "dup_ngram_frac"),
+    ]
+    agg = d.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(sig["n_tokens"]).cast("long").alias("n_tokens"),
+        *[x for out, name in sums for x in (
+            F.sum(_k(sig[name])).alias(f"__tq_s_{out}"),
+            F.count(sig[name]).alias(f"__tq_c_{out}"))])
+
+    def _mean(out):
+        s, c = f"__tq_s_{out}", f"__tq_c_{out}"
+        return F.expr(
+            f"CASE WHEN {c} > 0 THEN "
+            f"CAST((2 * {s} + {c}) div (2 * {c}) AS DOUBLE) "
+            f"/ {float(scale)} END")
+
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    share = F.expr(  # same integer half-up as the means
+        f"CASE WHEN __tq_total > 0 THEN "
+        f"CAST((2 * n_tokens * {scale} + __tq_total) "
+        f"div (2 * __tq_total) AS DOUBLE) / {float(scale)} END")
+    return (
+        agg.withColumn("__tq_total", total)
+        .select(*group_cols, "n_docs", "n_tokens",
+                share.alias("token_share"),
+                *(_mean(out).alias(out) for out, _ in sums)))
 
 
 def decontaminate(train: DataFrame, eval_df: DataFrame,

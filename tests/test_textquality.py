@@ -135,3 +135,99 @@ def test_decontaminate_plan_broadcasts_eval(contaminated):
     import re
     n_hash_ex = len(re.findall(r"Exchange hashpartitioning\(pk", plan))
     assert n_hash_ex == 1, plan
+
+
+def test_quality_filter_keeps_and_drops(corpus):
+    """The applied gate: NULL text dropped, too-short-to-judge passes
+    (NULL fractions), threshold violations dropped, all caller columns
+    survive, signals appended on request."""
+    kept = textquality.quality_filter(
+        corpus, "body", max_top_token_frac=0.5, with_signals=True)
+    rows = {r["pk"]: r for r in kept.collect()}
+    # 1: ttf 0.4 ≤ 0.5 → keep; 2: ttf 1.0 → drop; 3: NULL text → drop;
+    # 4: empty → all-NULL signals pass; 5: "solo" ttf 1.0 → drop;
+    # 6: ttf 1/3 → keep
+    assert set(rows) == {1, 4, 6}
+    assert kept.columns == ["pk", "body", "n_tokens",
+                            "distinct_token_ratio", "top_token_frac",
+                            "dup_ngram_frac"]
+    r1 = rows[1]
+    assert (r1["body"], r1["n_tokens"], r1["dup_ngram_frac"]) == (
+        "a b a b c", 5, 0.25)
+    assert rows[4]["distinct_token_ratio"] is None
+    # without signals: original schema, same row set
+    bare = textquality.quality_filter(corpus, "body",
+                                      max_top_token_frac=0.5)
+    assert bare.columns == ["pk", "body"]
+    assert {r["pk"] for r in bare.collect()} == {1, 4, 6}
+
+
+def test_quality_filter_zero_exchanges(corpus):
+    plan = (textquality.quality_filter(corpus, "body", with_signals=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_quality_filter_collision_guards(spark):
+    df = spark.createDataFrame([(1.0, "x y")],
+                               "n_tokens double, body string")
+    with pytest.raises(ValueError, match="overwrite"):
+        textquality.quality_filter(df, "body", with_signals=True)
+    # ...but without signals the caller's n_tokens column is fine
+    assert textquality.quality_filter(df, "body").columns == [
+        "n_tokens", "body"]
+    df2 = spark.createDataFrame([("z", "x y")],
+                                "__tq_toks string, body string")
+    with pytest.raises(ValueError, match="collides"):
+        textquality.quality_filter(df2, "body")
+
+
+@pytest.fixture(scope="module")
+def mix_corpus(spark):
+    rows = [
+        ("g1", "en", "a b c"),    # dtr 1.0, ttf 0.333333, dnf 0.0
+        ("g1", "en", "a a b"),    # dtr 0.666667, ttf 0.666667, dnf 0.0
+        ("g2", "de", "x y"),      # dtr 1.0, ttf 0.5, dnf 0.0
+        ("g2", "de", None),       # counts toward n_docs only
+    ]
+    return spark.createDataFrame(rows, "src string, lg string, body string")
+
+
+def test_mix_report_values(mix_corpus):
+    out = {(r["src"], r["lg"]): r for r in
+           textquality.mix_report(mix_corpus, ["src", "lg"], "body")
+           .collect()}
+    g1, g2 = out[("g1", "en")], out[("g2", "de")]
+    assert (g1["n_docs"], g1["n_tokens"]) == (2, 6)
+    assert (g2["n_docs"], g2["n_tokens"]) == (2, 2)
+    assert g1["token_share"] == 0.75 and g2["token_share"] == 0.25
+    # engine-exact HALF-UP mean: (1.0 + 0.666667)/2 = 0.8333335, an
+    # exact decimal half — must round UP to 0.833334 on every engine
+    # (float avg() would leave this to binary-double luck)
+    assert g1["mean_distinct_token_ratio"] == 0.833334
+    assert g1["mean_top_token_frac"] == 0.5  # (0.333333+0.666667)/2
+    # g2's NULL-text doc is excluded from means (count skips NULLs)
+    assert (g2["mean_distinct_token_ratio"],
+            g2["mean_top_token_frac"],
+            g2["mean_dup_ngram_frac"]) == (1.0, 0.5, 0.0)
+
+
+def test_mix_report_single_group_col_and_guards(mix_corpus):
+    out = textquality.mix_report(mix_corpus, "src", "body")
+    assert {(r["src"], r["n_docs"]) for r in out.collect()} == {
+        ("g1", 2), ("g2", 2)}
+    bad = mix_corpus.withColumnRenamed("src", "n_docs")
+    with pytest.raises(ValueError, match="collide"):
+        textquality.mix_report(bad, "n_docs", "body")
+
+
+def test_mix_report_plan_one_corpus_exchange(mix_corpus):
+    """One hash exchange keyed by the group columns (map-side combined
+    partial aggregate before it); the token_share window's
+    SinglePartition exchange runs over the AGGREGATED relation only —
+    groups, not documents."""
+    plan = (textquality.mix_report(mix_corpus, ["src", "lg"], "body")
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning\(src", plan)) == 1
+    assert "partial_count" in plan.lower() or "partial" in plan.lower()

@@ -1,6 +1,7 @@
 """Scale evidence for the textquality family (round-4 additions): run
-repetition_signals and decontaminate over a synthetic 10^6-document
-corpus on local[32] and record throughput + plan-shape facts.
+repetition_signals, decontaminate, quality_filter (the applied gate)
+and mix_report over a synthetic 10^6-document corpus on local[32] and
+record throughput + plan-shape facts.
 
 What this demonstrates for the 100 TB story:
   * repetition_signals is a pure projection — docs/sec should track raw
@@ -39,6 +40,14 @@ from pyspark.sql import functions as F
 VOCAB = [f"w{i:03d}" for i in range(200)]
 
 
+def final_plan(df) -> str:
+    """Executed-plan text, FINAL section only: after an action, AQE's
+    toString appends an '== Initial Plan ==' section that duplicates
+    every node — counting exchanges across both double-counts them."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.split("== Initial Plan ==")[0]
+
+
 def corpus(spark, n_docs: int):
     """Deterministic synthetic docs: 40-79 tokens drawn from VOCAB by
     xxhash64(id, position) — pure expressions, reproducible."""
@@ -52,7 +61,14 @@ def corpus(spark, n_docs: int):
             .cast("int")))
     return spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
-        F.concat_ws(" ", words).alias("text"))
+        F.concat_ws(" ", words).alias("text"),
+        F.concat(F.lit("src"),
+                 F.pmod(F.xxhash64("id", F.lit("s")), F.lit(50))
+                 .cast("string")).alias("source"),
+        F.element_at(F.array(*[F.lit(x) for x in
+                               ("en", "de", "fr", "es", "zh")]),
+                     (F.pmod(F.xxhash64("id", F.lit("l")), F.lit(5)) + 1)
+                     .cast("int")).alias("lang"))
 
 
 def main() -> int:
@@ -69,7 +85,9 @@ def main() -> int:
              .config("spark.driver.memory", "8g")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    from risjbot_spark.textquality import decontaminate, repetition_signals
+    from risjbot_spark.textquality import (decontaminate, mix_report,
+                                           quality_filter,
+                                           repetition_signals)
 
     docs = corpus(spark, n_docs)
     docs.write.mode("overwrite").parquet("/tmp/tq_scale_docs")
@@ -83,7 +101,7 @@ def main() -> int:
         F.avg("top_token_frac").alias("avg_top"),
         F.count("*").alias("n")).first()
     t_sig = time.monotonic() - t0
-    sig_plan = sig._jdf.queryExecution().executedPlan().toString()
+    sig_plan = final_plan(sig)
 
     # --- decontaminate: eval = drop-first-token mutants of 0.1% of docs
     ev = (docs.filter(F.col("doc_id") % 1000 == 0)
@@ -94,7 +112,23 @@ def main() -> int:
     t0 = time.monotonic()
     n_contaminated = dc.count()
     t_dc = time.monotonic() - t0
-    dc_plan = dc._jdf.queryExecution().executedPlan().toString()
+    dc_plan = final_plan(dc)
+
+    # --- quality_filter: the APPLIED gate — count survivors. The
+    # threshold sits at the corpus' modal-token median so the gate
+    # provably drops AND keeps documents.
+    qf = quality_filter(docs, "text", max_top_token_frac=0.044)
+    t0 = time.monotonic()
+    n_kept = qf.count()
+    t_qf = time.monotonic() - t0
+    qf_plan = final_plan(qf)
+
+    # --- mix_report: 50 sources × 5 langs = 250 groups
+    mr = mix_report(docs, ["source", "lang"], "text")
+    t0 = time.monotonic()
+    mr_rows = mr.collect()
+    t_mr = time.monotonic() - t0
+    mr_plan = final_plan(mr)
 
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
     result = {
@@ -117,6 +151,21 @@ def main() -> int:
             "plan_broadcasts_eval": "BroadcastHashJoin" in dc_plan,
             "plan_corpus_hash_exchanges":
                 dc_plan.count("Exchange hashpartitioning(doc_id"),
+        },
+        "quality_filter": {
+            "seconds": round(t_qf, 2),
+            "docs_per_sec": round(n_docs / t_qf),
+            "n_kept": n_kept,
+            "kept_frac": round(n_kept / n_docs, 4),
+            "plan_has_hash_exchange":
+                "Exchange hashpartitioning" in qf_plan,
+        },
+        "mix_report": {
+            "seconds": round(t_mr, 2),
+            "docs_per_sec": round(n_docs / t_mr),
+            "n_groups": len(mr_rows),
+            "plan_corpus_hash_exchanges":
+                mr_plan.count("Exchange hashpartitioning(source"),
         },
         "driver_rss_mb": round(rss_mb, 1),
     }

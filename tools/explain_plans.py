@@ -180,6 +180,27 @@ def main() -> None:
           len(re.findall(r"hashpartitioning\(doc_id", p)) == 1,
           "corpus side hash-exchanges exactly once (id-keyed agg)")
 
+    # --- quality_gate_docs: the APPLIED gate is a pure filter —
+    # projection + filter only, zero hash exchanges, no join
+    p = plan_of(QUERIES["quality_gate_docs"](spark, SF))
+    sections.append(("quality_gate_docs (applied quality gate)", p))
+    check("quality_gate_docs", "hashpartitioning(" not in p,
+          "zero hash exchanges — gate composes into the scan")
+    check("quality_gate_docs",
+          "Join" not in p and "ArrowEvalPython" not in p,
+          "no join, no Python eval in the gate")
+
+    # --- mix_report: one group-keyed exchange with a partial aggregate
+    # before it; the token_share window's SinglePartition exchange sits
+    # over the aggregated (groups-sized) relation only
+    p = plan_of(QUERIES["mix_report"](spark, SF))
+    sections.append(("mix_report (data-mix curation aggregate)", p))
+    check("mix_report",
+          len(re.findall(r"hashpartitioning\(source", p)) == 1,
+          "corpus exchanges exactly once, keyed by the group columns")
+    check("mix_report", "partial_count" in p or "partial" in p.lower(),
+          "map-side partial aggregation before the exchange")
+
     # --- crawl round: one Python stage, pages never shuffle
     pages_path = "/tmp/risjbot_plans_pages"
     if not os.path.exists(pages_path + "/_SUCCESS"):
