@@ -201,6 +201,7 @@ def main() -> None:
         "quality_score", "token_count",
         "repetition_signals", "decontaminate",
         "quality_gate_docs", "mix_report",
+        "boilerplate_strip_docs", "pii_scrub_docs",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

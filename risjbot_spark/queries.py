@@ -767,6 +767,64 @@ def q_mix_report(spark, sf):
             .orderBy("source", "lang"))
 
 
+def _boiler_mutant(spark, sf):
+    """The synthetic corpus has no newlines, so the boilerplate queries
+    build a deterministic multi-line mutant (same device as
+    q_decontaminate's eval mutants): every doc gains a shared footer, a
+    second footer on every 3rd doc, a unique long tail line, and a
+    shared SHORT line ('ok') that must survive the length floor."""
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Subscribe to our newsletter and never miss an update"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("Follow us on social media for more stories")),
+            F.concat(F.lit("story-id "), F.col("doc_id").cast("string"),
+                     F.lit(" unique trailing line")),
+            F.lit("ok")).alias("text"))
+
+
+def q_boilerplate_lines(spark, sf):
+    """Corpus boilerplate-line discovery: trimmed lines >= 10 chars in
+    >= 3 distinct documents (library: textquality.boilerplate_lines)."""
+    return (textquality.boilerplate_lines(
+                _boiler_mutant(spark, sf), "text",
+                min_docs=3, min_line_chars=10)
+            .orderBy("line"))
+
+
+def q_boilerplate_strip_docs(spark, sf):
+    """Line-level boilerplate removal APPLIED: the mutant corpus with
+    boilerplate lines stripped (library: textquality.strip_boilerplate,
+    broadcast strategy — the corpus side never exchanges)."""
+    return (textquality.strip_boilerplate(
+                _boiler_mutant(spark, sf), "text",
+                min_docs=3, min_line_chars=10)
+            .orderBy("doc_id"))
+
+
+def q_pii_scrub_docs(spark, sf):
+    """PII redaction over a deterministic PII mutant of the corpus
+    (email + IPv4 + international phone appended per doc): scrubbed
+    text plus per-kind counts (library: textquality.pii_scrub). The
+    patterns are written for Java-regex == RE2 parity, which is exactly
+    what this oracle gate proves."""
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    m = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or node 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +44 20 7946 0"),
+            (F.col("doc_id") % 100).cast("string")).alias("text"))
+    return textquality.pii_scrub(m, "text").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: similarity search
 # ---------------------------------------------------------------------------
@@ -1086,6 +1144,9 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "quality_gate_docs": q_quality_gate_docs,
     "mix_report": q_mix_report,
+    "boilerplate_lines": q_boilerplate_lines,
+    "boilerplate_strip_docs": q_boilerplate_strip_docs,
+    "pii_scrub_docs": q_pii_scrub_docs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ivf_centroids": q_ivf_centroids,
@@ -1693,6 +1754,89 @@ ORACLE_SQL = {
                mean_distinct_token_ratio, mean_top_token_frac,
                mean_dup_ngram_frac
         FROM agg ORDER BY source, lang""",
+    # boilerplate-line discovery over the same deterministic multi-line
+    # mutant the Spark query builds; within-doc list_distinct first, so
+    # count(*) is a distinct-document count
+    "boilerplate_lines": """
+        WITH m AS (
+          SELECT doc_id, concat_ws(chr(10), text,
+            'Subscribe to our newsletter and never miss an update',
+            CASE WHEN doc_id % 3 = 0
+                 THEN 'Follow us on social media for more stories' END,
+            concat('story-id ', doc_id, ' unique trailing line'),
+            'ok') AS text
+          FROM documents WHERE text IS NOT NULL),
+        cand AS (
+          SELECT unnest(list_distinct(list_filter(
+                   list_transform(string_split_regex(text, '\\r?\\n'),
+                                  l -> trim(l)),
+                   t -> len(t) >= 10))) AS line
+          FROM m)
+        SELECT line, CAST(count(*) AS BIGINT) AS n_docs
+        FROM cand GROUP BY line HAVING count(*) >= 3 ORDER BY line""",
+    # boilerplate removal applied: drop lines whose trimmed form is in
+    # the >=3-doc set, rejoin with \n (line-ending normalization is part
+    # of the contract)
+    "boilerplate_strip_docs": """
+        WITH m AS (
+          SELECT doc_id, concat_ws(chr(10), text,
+            'Subscribe to our newsletter and never miss an update',
+            CASE WHEN doc_id % 3 = 0
+                 THEN 'Follow us on social media for more stories' END,
+            concat('story-id ', doc_id, ' unique trailing line'),
+            'ok') AS text
+          FROM documents WHERE text IS NOT NULL),
+        cand AS (
+          SELECT unnest(list_distinct(list_filter(
+                   list_transform(string_split_regex(text, '\\r?\\n'),
+                                  l -> trim(l)),
+                   t -> len(t) >= 10))) AS line
+          FROM m),
+        b AS (SELECT line FROM cand GROUP BY line HAVING count(*) >= 3),
+        bs AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS bl
+               FROM b)
+        SELECT doc_id,
+               array_to_string(
+                 list_filter(string_split_regex(m.text, '\\r?\\n'),
+                             l -> NOT list_contains(bl, trim(l))),
+                 chr(10)) AS text
+        FROM m CROSS JOIN bs ORDER BY doc_id""",
+    # PII scrub over the deterministic PII mutant: same patterns (the
+    # library writes them for Java-regex == RE2 parity), same pass
+    # order, counts taken on each pass's input
+    "pii_scrub_docs": f"""
+        WITH m AS (
+          SELECT doc_id, concat(text, ' contact user', doc_id,
+                   '@example.com or node 10.0.', doc_id % 256,
+                   '.7 tel +44 20 7946 0', doc_id % 100) AS text
+          FROM documents WHERE text IS NOT NULL),
+        s1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '{textquality.PII_PATTERNS["email"]}')) AS BIGINT)
+                   AS n_email,
+                 regexp_replace(text,
+                   '{textquality.PII_PATTERNS["email"]}',
+                   '<EMAIL>', 'g') AS t1
+          FROM m),
+        s2 AS (
+          SELECT doc_id, n_email,
+                 CAST(len(regexp_extract_all(t1,
+                   '{textquality.PII_PATTERNS["ipv4"]}')) AS BIGINT)
+                   AS n_ipv4,
+                 regexp_replace(t1,
+                   '{textquality.PII_PATTERNS["ipv4"]}',
+                   '<IPV4>', 'g') AS t2
+          FROM s1)
+        SELECT doc_id,
+               regexp_replace(t2,
+                 '{textquality.PII_PATTERNS["phone"]}',
+                 '<PHONE>', 'g') AS text,
+               n_email, n_ipv4,
+               CAST(len(regexp_extract_all(t2,
+                 '{textquality.PII_PATTERNS["phone"]}')) AS BIGINT)
+                 AS n_phone
+        FROM s2 ORDER BY doc_id""",
     # decontamination: distinct 5-token shingles of each training doc
     # LEFT JOINed against the eval set's distinct shingles (eval = the
     # drop-first-token mutant of every 10th doc, as in the Spark query)

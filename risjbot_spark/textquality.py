@@ -3,7 +3,9 @@ the repetition-signal and benchmark-decontamination half of the
 training-data library (sibling of `dedup`/`ann`; same contract: caller
 DataFrame + column NAMES, bench constants as parameter defaults).
 
-Two capabilities a 100 TB training-data pipeline runs on every corpus:
+Capabilities a 100 TB training-data pipeline runs on every corpus
+(plus their applied forms: `quality_filter`, `mix_report`,
+`strip_boilerplate` — line-level boilerplate removal — and `pii_scrub`):
 
   * repetition_signals — per-document repetitiveness statistics in the
     style of the Gopher quality rules (Rae et al. 2021, public):
@@ -43,6 +45,10 @@ __all__ = [
     "quality_filter",
     "mix_report",
     "decontaminate",
+    "boilerplate_lines",
+    "strip_boilerplate",
+    "PII_PATTERNS",
+    "pii_scrub",
 ]
 
 # internal working-column names, prefixed so they can't shadow a caller
@@ -51,6 +57,13 @@ __all__ = [
 _TOKS = "__tq_toks"
 _SH = "__tq_s"
 _HIT = "__tq_hit"
+_BSET = "__tq_boiler"
+_POS = "__tq_pos"
+_LINE = "__tq_line"
+
+# Line split for boilerplate removal: regex so \r\n corpora work; the
+# reassembled text always uses plain \n (documented normalization).
+_LINE_RE = r"\r?\n"
 
 
 def ngrams_expr(toks, n: int) -> Column:
@@ -329,3 +342,200 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
                 F.round(F.col("n_hits") / F.col("n_doc_ngrams"),
                         round_dp).alias("hit_frac"))
     )
+
+
+def _cand_lines(text_col, min_line_chars: int) -> Column:
+    """Per-row DISTINCT trimmed candidate lines (length >=
+    min_line_chars) — the within-doc dedup that makes a plain count()
+    downstream a distinct-document count (decontaminate's trick: all of
+    a doc's lines live in one source row, so no cross-partition
+    distinct is ever needed)."""
+    # NB: the lambda must be single-arg — passing F.trim directly makes
+    # transform() bind its (element, index) pair to trim's optional
+    # two-parameter form, silently trimming index DIGITS instead of
+    # whitespace
+    return F.array_distinct(F.filter(
+        F.transform(F.split(text_col, _LINE_RE), lambda l: F.trim(l)),
+        lambda t: F.length(t) >= min_line_chars))
+
+
+def boilerplate_lines(df: DataFrame, text_col: str,
+                      *, min_docs: int = 2,
+                      min_line_chars: int = 10) -> DataFrame:
+    """The corpus' boilerplate-line set: trimmed lines of at least
+    `min_line_chars` characters that appear in at least `min_docs`
+    DISTINCT documents — cookie banners, subscribe prompts, share bars;
+    the CCNet/RefinedWeb-style line-level pass that document-level
+    dedup never catches because every page differs elsewhere. Returns
+    (line, n_docs). Line identity is the trimmed line verbatim (no
+    lowercasing — boilerplate is literal); the length floor keeps
+    short/structural lines ("", "---", list bullets) out of the set.
+
+    Plan shape at 100 TB: each doc's lines are trimmed, length-filtered
+    and distinct-ed INSIDE the row, then exploded and counted with ONE
+    map-side-combinable exchange keyed by the line. No distinct-count
+    state, no second pass. At production scale join/count on
+    xxhash64(line) (~8 bytes/key) — string form here keeps the DuckDB
+    oracle engine-exact."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_cand_lines(F.col(text_col),
+                                      min_line_chars)).alias("line"))
+        .groupBy("line").agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs))
+
+
+def strip_boilerplate(df: DataFrame, text_col: str,
+                      *, min_docs: int = 2,
+                      min_line_chars: int = 10,
+                      boiler: DataFrame | None = None,
+                      strategy: str = "broadcast",
+                      id_col: str | None = None,
+                      out_col: str | None = None) -> DataFrame:
+    """APPLY line-level boilerplate removal: every line whose trimmed
+    form is in the boilerplate set (computed from `df` itself, or
+    passed as `boiler` — e.g. a set frozen from a reference corpus and
+    applied to new batches/streams) is dropped, and the surviving lines
+    are rejoined with '\\n' (line endings normalize to \\n). All caller
+    columns survive; the cleaned text replaces `text_col` unless
+    `out_col` names a new column. NULL text stays NULL; a document
+    whose every line is boilerplate becomes the empty string.
+
+    strategy="broadcast" (default): the boilerplate set is collected
+    into a single-row array, broadcast, and the removal is a pure
+    expression — the corpus side never exchanges (the same
+    one-row-broadcast shape as `ann.assign_nearest`). Right for
+    boilerplate sets up to ~10^6 lines (the broadcast is the array's
+    string bytes). strategy="join" (requires `id_col`): posexplode →
+    left-anti join on the trimmed line → re-aggregate by id → join
+    back; three corpus-side exchanges, but the boilerplate set only
+    ever streams through a shuffled join — right when the set itself
+    is too large to broadcast (min_docs=2 over a 10^10-page crawl)."""
+    if out_col is None:
+        out_col = text_col
+    elif out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the "
+                         "input; pick a fresh name")
+    clash = [c for c in (_BSET, _POS, _LINE) if c in df.columns]
+    if clash:
+        raise ValueError(f"input column(s) {clash} collide with "
+                         "internal columns of strip_boilerplate")
+    if boiler is None:
+        boiler = boilerplate_lines(df, text_col, min_docs=min_docs,
+                                   min_line_chars=min_line_chars)
+    elif "line" not in boiler.columns:
+        raise ValueError("boiler DataFrame must have a 'line' column "
+                         "(as produced by boilerplate_lines)")
+    text = F.col(text_col)
+    if strategy == "broadcast":
+        bset = boiler.agg(F.collect_list("line").alias(_BSET))
+        cleaned = F.when(text.isNull(), F.lit(None)).otherwise(
+            F.array_join(
+                F.filter(F.split(text, _LINE_RE),
+                         lambda l: ~F.array_contains(F.col(_BSET),
+                                                     F.trim(l))),
+                "\n"))
+        out = (df.crossJoin(F.broadcast(bset))
+               .withColumn(out_col, cleaned).drop(_BSET))
+        return out.select(*df.columns) if out_col in df.columns else out
+    if strategy != "join":
+        raise ValueError(f"unknown strategy {strategy!r}; expected "
+                         "'broadcast' or 'join'")
+    if id_col is None:
+        raise ValueError("strategy='join' needs id_col to reassemble "
+                         "documents")
+    ex = (df.filter(text.isNotNull())
+          .select(F.col(id_col),
+                  F.posexplode(F.split(text, _LINE_RE))
+                  .alias(_POS, _LINE)))
+    kept = ex.join(boiler,
+                   F.trim(ex[_LINE]) == boiler["line"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(_POS, _LINE))),
+                lambda s: s[_LINE]), "\n").alias(_BSET)))
+    # all-lines-boilerplate docs drop out of `rebuilt`: restore them as
+    # empty strings (broadcast-strategy parity); NULL text stays NULL
+    joined = df.join(rebuilt, id_col, "left")
+    cleaned = F.when(text.isNull(), F.lit(None)).otherwise(
+        F.coalesce(F.col(_BSET), F.lit("")))
+    out = joined.withColumn(out_col, cleaned).drop(_BSET)
+    return out.select(*df.columns) if out_col in df.columns else out
+
+
+# PII patterns, written for ENGINE PORTABILITY (Java regex == RE2):
+# character classes + greedy counted quantifiers only — no alternation
+# (where Java's leftmost-FIRST and RE2's leftmost-LONGEST diverge), no
+# backreferences (RE2 has none), \d/\b ASCII in both. phone is the
+# conservative international form (leading +) — a bare-digit-run
+# pattern would eat timestamps and IDs at web scale.
+PII_PATTERNS: "dict[str, str]" = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d[\d() .-]{6,}\d",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str,
+              *, kinds=("email", "ipv4", "phone"),
+              with_counts: bool = True,
+              out_col: str | None = None,
+              patterns: "dict[str, str] | None" = None) -> DataFrame:
+    """Redact PII from a text column: each `kinds` entry's matches are
+    replaced by its `<KIND>` token (e.g. `user@x.com` → `<EMAIL>`), in
+    order — so each kind's count reflects what its pass actually saw
+    after the earlier kinds were already redacted (an email's host can
+    never double-count as a bare domain, an IP inside a URL already
+    gone is not re-counted). With `with_counts=True` (default) an
+    `n_<kind>` long column is appended per kind. All caller columns
+    survive; the scrubbed text replaces `text_col` unless `out_col`
+    names a new column. NULL text stays NULL with NULL counts.
+
+    `patterns` overrides/extends PII_PATTERNS (kind -> regex). Keep
+    overrides inside the portability envelope documented on
+    PII_PATTERNS if oracle parity across engines matters.
+
+    Plan shape at 100 TB: pure per-row expressions — zero exchanges,
+    no join, no Python; the whole scrub composes into the corpus scan
+    like `quality_filter` does."""
+    pats = dict(PII_PATTERNS)
+    if patterns:
+        pats.update(patterns)
+    unknown = [k for k in kinds if k not in pats]
+    if unknown:
+        raise ValueError(f"unknown PII kind(s) {unknown}; known: "
+                         f"{sorted(pats)} (extend via patterns=)")
+    if out_col is None:
+        out_col = text_col
+    elif out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the "
+                         "input; pick a fresh name")
+    if with_counts:
+        clash = [f"n_{k}" for k in kinds if f"n_{k}" in df.columns]
+        if clash:
+            raise ValueError(
+                f"with_counts=True would overwrite caller columns "
+                f"{clash}; rename them or pass with_counts=False")
+    cur = F.col(text_col)
+    counts = []
+    for k in kinds:
+        pat = F.lit(pats[k])
+        if with_counts:
+            # size(NULL array) is -1 under spark.sql.legacy.sizeOfNull —
+            # guard explicitly so NULL text yields NULL counts under any
+            # session config
+            counts.append(
+                F.when(F.col(text_col).isNull(),
+                       F.lit(None).cast("long"))
+                .otherwise(F.size(F.regexp_extract_all(cur, pat, 0))
+                           .cast("long")).alias(f"n_{k}"))
+        cur = F.regexp_replace(cur, pat, f"<{k.upper()}>")
+    scrubbed = cur.alias(out_col)
+    cols = [scrubbed if c == out_col else F.col(c) for c in df.columns]
+    if out_col not in df.columns:
+        cols.append(scrubbed)
+    return df.select(*cols, *counts)

@@ -231,3 +231,154 @@ def test_mix_report_plan_one_corpus_exchange(mix_corpus):
     import re
     assert len(re.findall(r"Exchange hashpartitioning\(src", plan)) == 1
     assert "partial_count" in plan.lower() or "partial" in plan.lower()
+
+
+@pytest.fixture(scope="module")
+def line_corpus(spark):
+    footer = "Subscribe to our newsletter"
+    share = "Share this article now"
+    rows = [
+        (1, f"story one body text\n{footer}\n{share}"),
+        (2, f"story two body text\r\n{footer}\r\nunique tail two"),
+        (3, f"story three body text\n  {footer}  \nok"),
+        (4, f"{share}\n{footer}"),
+        (5, None),
+        (6, "short\nok"),
+    ]
+    return spark.createDataFrame(rows, "pk long, body string")
+
+
+def test_boilerplate_lines_counts(line_corpus):
+    out = {r["line"]: r["n_docs"] for r in
+           textquality.boilerplate_lines(line_corpus, "body",
+                                         min_docs=2).collect()}
+    # footer in docs 1-4 (doc 3 space-padded — trim matches); share in
+    # 1 and 4; "ok"/"short" are under the 10-char floor and never count
+    assert out == {"Subscribe to our newsletter": 4,
+                   "Share this article now": 2}
+    strict = textquality.boilerplate_lines(line_corpus, "body",
+                                           min_docs=3)
+    assert [r["line"] for r in strict.collect()] == [
+        "Subscribe to our newsletter"]
+    with pytest.raises(ValueError, match="min_docs"):
+        textquality.boilerplate_lines(line_corpus, "body", min_docs=1)
+
+
+EXPECT_MIN3 = {
+    1: "story one body text\nShare this article now",
+    2: "story two body text\nunique tail two",   # \r\n normalized
+    3: "story three body text\nok",
+    4: "Share this article now",
+    5: None,
+    6: "short\nok",
+}
+
+
+def test_strip_boilerplate_broadcast(line_corpus):
+    out = {r["pk"]: r["body"] for r in
+           textquality.strip_boilerplate(line_corpus, "body",
+                                         min_docs=3).collect()}
+    assert out == EXPECT_MIN3
+    # min_docs=2 also strips the share bar; doc 4 becomes EMPTY (not
+    # NULL) — every line was boilerplate
+    out2 = {r["pk"]: r["body"] for r in
+            textquality.strip_boilerplate(line_corpus, "body",
+                                          min_docs=2).collect()}
+    assert out2[4] == "" and out2[1] == "story one body text"
+
+
+def test_strip_boilerplate_join_parity(line_corpus):
+    for min_docs in (2, 3):
+        b = {r["pk"]: r["body"] for r in
+             textquality.strip_boilerplate(
+                 line_corpus, "body", min_docs=min_docs).collect()}
+        j = {r["pk"]: r["body"] for r in
+             textquality.strip_boilerplate(
+                 line_corpus, "body", min_docs=min_docs,
+                 strategy="join", id_col="pk").collect()}
+        assert b == j
+    with pytest.raises(ValueError, match="id_col"):
+        textquality.strip_boilerplate(line_corpus, "body",
+                                      strategy="join")
+    with pytest.raises(ValueError, match="strategy"):
+        textquality.strip_boilerplate(line_corpus, "body",
+                                      strategy="nope")
+
+
+def test_strip_boilerplate_frozen_set_and_out_col(spark, line_corpus):
+    """A boiler set frozen elsewhere applies to new batches (the
+    streaming-ready form), and out_col leaves the source column
+    intact."""
+    frozen = spark.createDataFrame([("story one body text",)], ["line"])
+    out = textquality.strip_boilerplate(line_corpus, "body",
+                                        boiler=frozen, out_col="clean")
+    assert out.columns == ["pk", "body", "clean"]
+    rows = {r["pk"]: r for r in out.collect()}
+    assert rows[1]["clean"] == ("Subscribe to our newsletter\n"
+                                "Share this article now")
+    assert rows[1]["body"].startswith("story one body text")
+    # doc 2's footer is NOT in the frozen set — the doc passes through
+    # (line endings still normalize to \n)
+    assert rows[2]["clean"] == ("story two body text\n"
+                                "Subscribe to our newsletter\n"
+                                "unique tail two")
+    with pytest.raises(ValueError, match="'line' column"):
+        textquality.strip_boilerplate(
+            line_corpus, "body",
+            boiler=frozen.withColumnRenamed("line", "l"))
+    with pytest.raises(ValueError, match="already exists"):
+        textquality.strip_boilerplate(line_corpus, "body",
+                                      out_col="pk")
+
+
+def test_strip_boilerplate_plan_corpus_never_shuffles(line_corpus):
+    """Broadcast strategy: ONE line-keyed exchange (the boiler count),
+    no corpus-keyed exchange — the removal composes into the scan."""
+    import re
+    plan = (textquality.strip_boilerplate(line_corpus, "body")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert len(re.findall(r"Exchange hashpartitioning\(line", plan)) == 1
+    assert "Exchange hashpartitioning(pk" not in plan
+
+
+def test_pii_scrub_values(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@ex-ample.co.uk or jo@ex.io today"),
+        (2, "server 10.0.255.7 and 8.8.8.8, call +44 20 7946 0958."),
+        (3, None),
+        (4, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "pk long, body string")
+    out = {r["pk"]: r for r in textquality.pii_scrub(df, "body").collect()}
+    assert out[1]["body"] == "mail me at <EMAIL> or <EMAIL> today"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (
+        2, 0, 0)
+    assert out[2]["body"] == "server <IPV4> and <IPV4>, call <PHONE>."
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (
+        0, 2, 1)
+    assert out[3]["body"] is None and out[3]["n_email"] is None
+    assert out[4]["body"] == "no pii here" and out[4]["n_ipv4"] == 0
+
+
+def test_pii_scrub_options(spark):
+    df = spark.createDataFrame([(1, "ssn 123-45-6789 x")],
+                               "pk long, body string")
+    out = textquality.pii_scrub(
+        df, "body", kinds=("ssn",),
+        patterns={"ssn": r"\d{3}-\d{2}-\d{4}"}, out_col="red").first()
+    assert out["red"] == "ssn <SSN> x" and out["n_ssn"] == 1
+    assert out["body"] == "ssn 123-45-6789 x"
+    with pytest.raises(ValueError, match="unknown PII kind"):
+        textquality.pii_scrub(df, "body", kinds=("dna",))
+    clash = df.withColumnRenamed("pk", "n_email")
+    with pytest.raises(ValueError, match="overwrite"):
+        textquality.pii_scrub(clash, "body")
+    bare = textquality.pii_scrub(clash, "body", with_counts=False)
+    assert bare.columns == ["n_email", "body"]
+
+
+def test_pii_scrub_zero_exchanges(spark):
+    df = spark.createDataFrame([(1, "x")], "pk long, body string")
+    plan = (textquality.pii_scrub(df, "body")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan

@@ -85,9 +85,11 @@ def main() -> int:
              .config("spark.driver.memory", "8g")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    from risjbot_spark.textquality import (decontaminate, mix_report,
-                                           quality_filter,
-                                           repetition_signals)
+    from risjbot_spark.textquality import (boilerplate_lines,
+                                           decontaminate, mix_report,
+                                           pii_scrub, quality_filter,
+                                           repetition_signals,
+                                           strip_boilerplate)
 
     docs = corpus(spark, n_docs)
     docs.write.mode("overwrite").parquet("/tmp/tq_scale_docs")
@@ -130,6 +132,47 @@ def main() -> int:
     t_mr = time.monotonic() - t0
     mr_plan = final_plan(mr)
 
+    # --- strip_boilerplate: 51 boiler lines (one per source + one
+    # global footer) over 10^6 multi-line docs; the unique tail line
+    # must survive. sum(length) forces the cleaned text of EVERY row —
+    # a bare count() would let Catalyst prune the removal expression.
+    mdocs = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"),
+            F.concat(F.lit("follow "), F.col("source"),
+                     F.lit(" on social media for updates")),
+            F.lit("Subscribe to our newsletter and never miss an update"),
+            F.concat(F.lit("story-id "), F.col("doc_id").cast("string"),
+                     F.lit(" unique trailing line"))).alias("text"))
+    sb = strip_boilerplate(mdocs, "text", min_docs=1000)
+    t0 = time.monotonic()
+    sb_agg = sb.agg(F.sum(F.length("text")).alias("chars"),
+                    F.count("*").alias("n")).first()
+    t_sb = time.monotonic() - t0
+    sb_plan = final_plan(sb)
+    n_boiler = boilerplate_lines(mdocs, "text", min_docs=1000).count()
+
+    # --- pii_scrub: email + IPv4 + intl phone appended to every doc;
+    # the sums force both the scrubbed text and all three count columns
+    pdocs = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or node 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +44 20 7946 0"),
+            (F.col("doc_id") % 100).cast("string")).alias("text"))
+    ps = pii_scrub(pdocs, "text")
+    t0 = time.monotonic()
+    ps_agg = ps.agg(F.sum(F.length("text")).alias("chars"),
+                    F.sum("n_email").alias("e"),
+                    F.sum("n_ipv4").alias("i"),
+                    F.sum("n_phone").alias("p")).first()
+    t_ps = time.monotonic() - t0
+    ps_plan = final_plan(ps)
+
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
     result = {
         "n_docs": n_docs,
@@ -166,6 +209,25 @@ def main() -> int:
             "n_groups": len(mr_rows),
             "plan_corpus_hash_exchanges":
                 mr_plan.count("Exchange hashpartitioning(source"),
+        },
+        "strip_boilerplate": {
+            "seconds": round(t_sb, 2),
+            "docs_per_sec": round(n_docs / t_sb),
+            "n_boiler_lines": n_boiler,
+            "out_chars": sb_agg["chars"],
+            "rows": sb_agg["n"],
+            "plan_line_hash_exchanges":
+                sb_plan.count("Exchange hashpartitioning(line"),
+            "plan_corpus_hash_exchanges":
+                sb_plan.count("Exchange hashpartitioning(doc_id"),
+        },
+        "pii_scrub": {
+            "seconds": round(t_ps, 2),
+            "docs_per_sec": round(n_docs / t_ps),
+            "n_email": ps_agg["e"], "n_ipv4": ps_agg["i"],
+            "n_phone": ps_agg["p"],
+            "plan_has_hash_exchange":
+                "Exchange hashpartitioning" in ps_plan,
         },
         "driver_rss_mb": round(rss_mb, 1),
     }

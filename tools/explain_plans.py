@@ -201,6 +201,29 @@ def main() -> None:
     check("mix_report", "partial_count" in p or "partial" in p.lower(),
           "map-side partial aggregation before the exchange")
 
+    # --- boilerplate_strip_docs: one line-keyed exchange to count the
+    # boiler set; the removal itself is a broadcast one-row-array
+    # expression, so the corpus never hash-exchanges
+    p = plan_of(QUERIES["boilerplate_strip_docs"](spark, SF))
+    sections.append(("boilerplate_strip_docs (line-level boilerplate "
+                     "removal, broadcast strategy)", p))
+    check("boilerplate_strip_docs",
+          len(re.findall(r"hashpartitioning\(line", p)) == 1,
+          "boiler count exchanges exactly once, keyed by the line")
+    check("boilerplate_strip_docs",
+          "hashpartitioning(doc_id" not in p,
+          "corpus side never hash-exchanges — removal is an expression "
+          "over the broadcast boiler array")
+
+    # --- pii_scrub_docs: pure per-row regexp expressions
+    p = plan_of(QUERIES["pii_scrub_docs"](spark, SF))
+    sections.append(("pii_scrub_docs (PII redaction)", p))
+    check("pii_scrub_docs", "hashpartitioning(" not in p,
+          "zero hash exchanges — scrub composes into the scan")
+    check("pii_scrub_docs",
+          "Join" not in p and "ArrowEvalPython" not in p,
+          "no join, no Python eval in the scrub")
+
     # --- crawl round: one Python stage, pages never shuffle
     pages_path = "/tmp/risjbot_plans_pages"
     if not os.path.exists(pages_path + "/_SUCCESS"):
