@@ -1729,28 +1729,36 @@ ORACLE_SQL = {
           -- means in exact integer arithmetic: (2s+c) // (2c) is
           -- round-half-up(s/c), engine- and order-independent (float
           -- avg() ties on exact decimal halves round differently in
-          -- Spark vs C-family engines; see the Spark side's comment)
+          -- Spark vs C-family engines; see the Spark side's comment).
+          -- The doubling/scaling multiplies widen to HUGEINT, the twin
+          -- of the Spark side's DECIMAL(38,0) (2*n_tokens*1e6 wraps a
+          -- BIGINT past ~4.6e12 group tokens)
           SELECT source, lang,
                  CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(sum(n) AS BIGINT) AS n_tokens,
                  CASE WHEN count(dtr) > 0 THEN CAST(
-                   (2 * sum(CAST(round(dtr * 1000000) AS BIGINT))
-                    + count(dtr)) // (2 * count(dtr)) AS DOUBLE)
-                   / 1000000.0 END AS mean_distinct_token_ratio,
+                   (2 * CAST(sum(CAST(round(dtr * 1000000) AS BIGINT))
+                             AS HUGEINT)
+                    + count(dtr)) // (2 * CAST(count(dtr) AS HUGEINT))
+                   AS DOUBLE) / 1000000.0 END
+                   AS mean_distinct_token_ratio,
                  CASE WHEN count(ttf) > 0 THEN CAST(
-                   (2 * sum(CAST(round(ttf * 1000000) AS BIGINT))
-                    + count(ttf)) // (2 * count(ttf)) AS DOUBLE)
-                   / 1000000.0 END AS mean_top_token_frac,
+                   (2 * CAST(sum(CAST(round(ttf * 1000000) AS BIGINT))
+                             AS HUGEINT)
+                    + count(ttf)) // (2 * CAST(count(ttf) AS HUGEINT))
+                   AS DOUBLE) / 1000000.0 END AS mean_top_token_frac,
                  CASE WHEN count(dnf) > 0 THEN CAST(
-                   (2 * sum(CAST(round(dnf * 1000000) AS BIGINT))
-                    + count(dnf)) // (2 * count(dnf)) AS DOUBLE)
-                   / 1000000.0 END AS mean_dup_ngram_frac
+                   (2 * CAST(sum(CAST(round(dnf * 1000000) AS BIGINT))
+                             AS HUGEINT)
+                    + count(dnf)) // (2 * CAST(count(dnf) AS HUGEINT))
+                   AS DOUBLE) / 1000000.0 END AS mean_dup_ngram_frac
           FROM sig GROUP BY source, lang)
         SELECT source, lang, n_docs, n_tokens,
                CASE WHEN sum(n_tokens) OVER () > 0 THEN CAST(
-                 (2 * n_tokens * 1000000 + sum(n_tokens) OVER ())
-                 // (2 * sum(n_tokens) OVER ()) AS DOUBLE)
-                 / 1000000.0 END AS token_share,
+                 (2 * CAST(n_tokens AS HUGEINT) * 1000000
+                  + sum(n_tokens) OVER ())
+                 // (2 * CAST(sum(n_tokens) OVER () AS HUGEINT))
+                 AS DOUBLE) / 1000000.0 END AS token_share,
                mean_distinct_token_ratio, mean_top_token_frac,
                mean_dup_ngram_frac
         FROM agg ORDER BY source, lang""",

@@ -145,7 +145,11 @@ def repetition_exprs(toks, *, ngram: int = 2,
     frac = (
         lambda num, den: F.when(den > 0, F.round(num / den, round_dp)))
     return {
-        "n_tokens": n.cast("long"),
+        # explicit NULL for NULL text: under spark.sql.legacy.sizeOfNull
+        # size(NULL) is -1, which would silently UNDERCOUNT any sum over
+        # this column (mix_report's n_tokens) instead of being skipped
+        "n_tokens": F.when(F.isnull(toks), F.lit(None).cast("long"))
+                     .otherwise(n.cast("long")),
         "distinct_token_ratio": frac(F.size(distinct_toks), n),
         "top_token_frac": frac(top_cnt, n),
         "dup_ngram_frac": frac(n_grams - F.size(F.array_distinct(grams)),
@@ -268,18 +272,25 @@ def mix_report(df: DataFrame, group_cols, text_col: str,
             F.sum(_k(sig[name])).alias(f"__tq_s_{out}"),
             F.count(sig[name]).alias(f"__tq_c_{out}"))])
 
+    # the half-up numerators are widened to DECIMAL(38,0) before the
+    # doubling/scaling multiplies: 2*n_tokens*scale wraps a BIGINT
+    # silently (non-ANSI Spark) once a group passes ~4.6e12 tokens —
+    # well inside the advertised 100 TB scale. The SUMs themselves stay
+    # long (they saturate ~36 PB of tokens); only the multiply widens.
     def _mean(out):
         s, c = f"__tq_s_{out}", f"__tq_c_{out}"
         return F.expr(
             f"CASE WHEN {c} > 0 THEN "
-            f"CAST((2 * {s} + {c}) div (2 * {c}) AS DOUBLE) "
+            f"CAST((2 * CAST({s} AS DECIMAL(38,0)) + {c}) "
+            f"div (2 * CAST({c} AS DECIMAL(38,0))) AS DOUBLE) "
             f"/ {float(scale)} END")
 
     total = F.sum("n_tokens").over(Window.partitionBy())
     share = F.expr(  # same integer half-up as the means
         f"CASE WHEN __tq_total > 0 THEN "
-        f"CAST((2 * n_tokens * {scale} + __tq_total) "
-        f"div (2 * __tq_total) AS DOUBLE) / {float(scale)} END")
+        f"CAST((2 * CAST(n_tokens AS DECIMAL(38,0)) * {scale} "
+        f"+ __tq_total) div (2 * CAST(__tq_total AS DECIMAL(38,0))) "
+        f"AS DOUBLE) / {float(scale)} END")
     return (
         agg.withColumn("__tq_total", total)
         .select(*group_cols, "n_docs", "n_tokens",
@@ -412,7 +423,10 @@ def strip_boilerplate(df: DataFrame, text_col: str,
     left-anti join on the trimmed line → re-aggregate by id → join
     back; three corpus-side exchanges, but the boilerplate set only
     ever streams through a shuffled join — right when the set itself
-    is too large to broadcast (min_docs=2 over a 10^10-page crawl)."""
+    is too large to broadcast (min_docs=2 over a 10^10-page crawl).
+    strategy="join" REQUIRES `id_col` values to be unique: rows sharing
+    an id would have their lines merged into one rebuilt text (the
+    broadcast strategy has no such constraint — it never regroups)."""
     if out_col is None:
         out_col = text_col
     elif out_col in df.columns:
@@ -509,6 +523,9 @@ def pii_scrub(df: DataFrame, text_col: str,
     if unknown:
         raise ValueError(f"unknown PII kind(s) {unknown}; known: "
                          f"{sorted(pats)} (extend via patterns=)")
+    if len(set(kinds)) != len(kinds):
+        raise ValueError(f"duplicate kinds {list(kinds)} would produce "
+                         "duplicate n_<kind> output columns")
     if out_col is None:
         out_col = text_col
     elif out_col in df.columns:
@@ -533,7 +550,11 @@ def pii_scrub(df: DataFrame, text_col: str,
                        F.lit(None).cast("long"))
                 .otherwise(F.size(F.regexp_extract_all(cur, pat, 0))
                            .cast("long")).alias(f"n_{k}"))
-        cur = F.regexp_replace(cur, pat, f"<{k.upper()}>")
+        # Java replacement strings treat $ and \ specially — quote them
+        # so a caller-extended kind name like "usd$" can't throw an
+        # Illegal group reference per row at execution time
+        repl = f"<{k.upper()}>".replace("\\", "\\\\").replace("$", "\\$")
+        cur = F.regexp_replace(cur, pat, repl)
     scrubbed = cur.alias(out_col)
     cols = [scrubbed if c == out_col else F.col(c) for c in df.columns]
     if out_col not in df.columns:

@@ -198,7 +198,7 @@ def main() -> None:
     check("mix_report",
           len(re.findall(r"hashpartitioning\(source", p)) == 1,
           "corpus exchanges exactly once, keyed by the group columns")
-    check("mix_report", "partial_count" in p or "partial" in p.lower(),
+    check("mix_report", "partial_count(" in p.lower(),
           "map-side partial aggregation before the exchange")
 
     # --- boilerplate_strip_docs: one line-keyed exchange to count the
