@@ -200,7 +200,7 @@ def main() -> None:
         "doc_fingerprint",
         "quality_score", "token_count",
         "repetition_signals", "decontaminate",
-        "quality_gate_docs", "mix_report",
+        "quality_gate_docs", "mix_report", "mix_sample_docs",
         "boilerplate_strip_docs", "pii_scrub_docs",
     ]
     for name in bench_queries:

@@ -767,6 +767,23 @@ def q_mix_report(spark, sf):
             .orderBy("source", "lang"))
 
 
+def q_mix_sample_docs(spark, sf):
+    """Data mix APPLIED: deterministically down-sample per language to
+    the weights en:3 de:2 fr:2 es:1 zh:1 (library:
+    textquality.mix_sample). The bucket is the Knuth multiplicative
+    hash (engine-portable, like stratified_sample) instead of the
+    library's default xxhash64 so DuckDB can replay the selection."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.coalesce("lang", F.lit("en")).alias("lang"))
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761),
+                    F.lit(1_000_000))
+    return (textquality.mix_sample(
+                d, "lang",
+                {"en": 3, "de": 2, "fr": 2, "es": 1, "zh": 1},
+                bucket=bucket)
+            .orderBy("doc_id"))
+
+
 def _boiler_mutant(spark, sf):
     """The synthetic corpus has no newlines, so the boilerplate queries
     build a deterministic multi-line mutant (same device as
@@ -1144,6 +1161,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "quality_gate_docs": q_quality_gate_docs,
     "mix_report": q_mix_report,
+    "mix_sample_docs": q_mix_sample_docs,
     "boilerplate_lines": q_boilerplate_lines,
     "boilerplate_strip_docs": q_boilerplate_strip_docs,
     "pii_scrub_docs": q_pii_scrub_docs,
@@ -1762,6 +1780,25 @@ ORACLE_SQL = {
                mean_distinct_token_ratio, mean_top_token_frac,
                mean_dup_ngram_frac
         FROM agg ORDER BY source, lang""",
+    # applied data mix: same integer threshold math as the library
+    # (k_g = w_g * M, M = min(c_g div w_g); thr widened past BIGINT),
+    # same Knuth-hash bucket as stratified_sample
+    "mix_sample_docs": """
+        WITH d AS (
+          SELECT doc_id, coalesce(lang, 'en') AS lang FROM documents),
+        c AS (SELECT lang, count(*) AS c FROM d GROUP BY lang),
+        w AS (SELECT * FROM (VALUES ('en', 3), ('de', 2), ('fr', 2),
+                                    ('es', 1), ('zh', 1)) AS t(lang, w)),
+        j AS (SELECT c.lang, c.c, w.w, min(c.c // w.w) OVER () AS m
+              FROM c JOIN w USING (lang)),
+        thr AS (SELECT lang,
+                       CAST((CAST(1000000 AS HUGEINT) * w * m) // c
+                            AS BIGINT) AS thr
+                FROM j)
+        SELECT d.doc_id, d.lang
+        FROM d JOIN thr USING (lang)
+        WHERE (d.doc_id * 2654435761) % 1000000 < thr.thr
+        ORDER BY doc_id""",
     # boilerplate-line discovery over the same deterministic multi-line
     # mutant the Spark query builds; within-doc list_distinct first, so
     # count(*) is a distinct-document count

@@ -44,6 +44,8 @@ __all__ = [
     "repetition_signals",
     "quality_filter",
     "mix_report",
+    "mix_sample_thresholds",
+    "mix_sample",
     "decontaminate",
     "boilerplate_lines",
     "strip_boilerplate",
@@ -296,6 +298,126 @@ def mix_report(df: DataFrame, group_cols, text_col: str,
         .select(*group_cols, "n_docs", "n_tokens",
                 share.alias("token_share"),
                 *(_mean(out).alias(out) for out, _ in sums)))
+
+
+def _as_group_list(group_cols) -> "list[str]":
+    return [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+
+def mix_sample_thresholds(df: DataFrame, group_cols,
+                          weights: "dict",
+                          *, by: str = "docs",
+                          text_col: "str | None" = None,
+                          resolution: int = 1_000_000) -> DataFrame:
+    """The audit table behind `mix_sample`: per group, its current size
+    `c` (documents, or tokens with by="tokens"), its target weight `w`,
+    and the keep threshold `thr` in [0, resolution] a row's hash bucket
+    is compared against. Exposed separately so a curation run can
+    record WHY each group was down-sampled to what it was.
+
+    The math is exact integer arithmetic (engine- and
+    order-independent, like mix_report's means): downsampling can only
+    shrink groups, so the largest achievable curated set keeps
+    k_g = w_g * M where M = min over groups of (c_g div w_g) — then
+    k_g <= c_g everywhere and the kept sizes sit in exactly the
+    requested ratio. thr_g = (resolution * w_g * M) div c_g, widened to
+    DECIMAL(38,0) before the multiply (a BIGINT wraps past ~9e12
+    group tokens at resolution 1e6).
+
+    Groups absent from `weights` are dropped entirely (weight 0);
+    weights must be positive integers. With by="docs" the realized doc
+    counts are ~exact in ratio; with by="tokens" the thresholds target
+    token mass, realized tokens vary with per-doc length (sampling is
+    by document either way)."""
+    gcols = _as_group_list(group_cols)
+    clash = [g for g in gcols if g in ("c", "w", "m", "thr")]
+    if clash:
+        raise ValueError(f"group column(s) {clash} collide with "
+                         "mix_sample_thresholds output columns")
+    if not weights:
+        raise ValueError("weights must be a non-empty dict of "
+                         "group -> positive integer weight")
+    rows = []
+    for key, w in weights.items():
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(f"weight for {key!r} must be a positive "
+                             f"integer, got {w!r}")
+        key = (key,) if not isinstance(key, tuple) else key
+        if len(key) != len(gcols):
+            raise ValueError(f"weights key {key!r} does not match "
+                             f"group_cols {gcols}")
+        rows.append((*key, w))
+    wdf = df.sparkSession.createDataFrame(rows, gcols + ["w"])
+    if by == "docs":
+        c = F.count("*")
+    elif by == "tokens":
+        if text_col is None:
+            raise ValueError("by='tokens' needs text_col")
+        c = F.sum(F.size(tokens_expr(F.col(text_col))))
+    else:
+        raise ValueError(f"unknown by {by!r}; expected 'docs' or "
+                         "'tokens'")
+    counts = (df.groupBy(*gcols).agg(c.cast("long").alias("c"))
+              .join(F.broadcast(wdf), gcols, "inner"))
+    # M as a window over the GROUPS-SIZED counts relation, not a
+    # separate counts.agg() branch: a second branch would duplicate the
+    # whole corpus-count subtree in the plan (two full corpus
+    # aggregations); the single-partition window only ever sees one row
+    # per group (mix_report's token_share device)
+    from pyspark.sql import Window
+    m = F.min(F.expr("c div w")).over(Window.partitionBy())
+    return (counts.withColumn("m", m)
+            .select(*gcols, "c", "w",
+                    F.expr(f"CAST((CAST({resolution} AS DECIMAL(38,0))"
+                           " * w * m) div c AS LONG)").alias("thr")))
+
+
+def mix_sample(df: DataFrame, group_cols, weights: "dict",
+               *, id_col: "str | None" = None,
+               by: str = "docs",
+               text_col: "str | None" = None,
+               bucket: "Column | None" = None,
+               thresholds: "DataFrame | None" = None,
+               resolution: int = 1_000_000) -> DataFrame:
+    """APPLY a data mix: deterministically down-sample each group so
+    the curated corpus' group sizes sit in the ratio of `weights` —
+    the step after `mix_report` told you the mix is wrong. Keeps the
+    largest corpus achievable by pure downsampling (the binding group
+    is kept whole). All caller columns survive.
+
+    Selection is a hash bucket, NOT an RNG: by default
+    pmod(xxhash64(id_col), resolution) — reproducible across runs and
+    partitionings, so the same call always curates the same corpus
+    (the auditability property a 100 TB training mix needs;
+    df.sample() draws differ per execution). Pass `bucket` to supply
+    your own [0, resolution) expression — e.g. a multiplicative hash
+    that is also reproducible across ENGINES for oracle checks.
+
+    Pass `thresholds` to reuse/pin a `mix_sample_thresholds` table
+    (e.g. frozen from a reference corpus, or audited before the run).
+
+    Plan shape at 100 TB: one map-side-combinable exchange to count
+    the groups (output is groups-sized), two tiny broadcast-joined
+    one-row/group-count stages for the thresholds, then the corpus
+    pass is scan → broadcast-hash-join → filter: the 100 TB side never
+    exchanges."""
+    gcols = _as_group_list(group_cols)
+    if "thr" in df.columns:
+        raise ValueError("input column 'thr' collides with "
+                         "mix_sample's internal threshold column")
+    if bucket is None:
+        if id_col is None:
+            raise ValueError("mix_sample needs id_col (for the default "
+                             "hash bucket) or an explicit bucket=")
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(resolution))
+    if thresholds is None:
+        thresholds = mix_sample_thresholds(
+            df, gcols, weights, by=by, text_col=text_col,
+            resolution=resolution)
+    thr = thresholds.select(*gcols, "thr")
+    return (df.join(F.broadcast(thr), gcols, "inner")
+            .filter(bucket < F.col("thr"))
+            .select(*df.columns))
 
 
 def decontaminate(train: DataFrame, eval_df: DataFrame,

@@ -413,3 +413,90 @@ def test_mix_report_share_survives_huge_groups(spark):
     plan = (textquality.mix_report(df, "src", "body")
             ._jdf.queryExecution().analyzed().toString())
     assert "decimal(38,0)" in plan.lower()
+
+
+@pytest.fixture(scope="module")
+def mix_sample_corpus(spark):
+    # 12 en docs (pk 0-11), 6 de (pk 100-105), 3 fr (pk 200-202)
+    rows = ([(i, "en", "w " * 4) for i in range(12)]
+            + [(100 + i, "de", "w " * 2) for i in range(6)]
+            + [(200 + i, "fr", "w") for i in range(3)])
+    return spark.createDataFrame(rows, "pk long, lg string, body string")
+
+
+def test_mix_sample_thresholds_math(mix_sample_corpus):
+    """weights en:2, de:2, fr:1 over c = (12, 6, 3): M = min(12//2,
+    6//2, 3//1) = 3, so targets k = (6, 6, 3) and thr = 1e6*k/c =
+    (500000, 1000000, 1000000) — the binding groups keep everything."""
+    t = {r["lg"]: r for r in textquality.mix_sample_thresholds(
+            mix_sample_corpus, "lg", {"en": 2, "de": 2, "fr": 1})
+         .collect()}
+    assert {(k, v["c"], v["w"], v["thr"]) for k, v in t.items()} == {
+        ("en", 12, 2, 500_000), ("de", 6, 2, 1_000_000),
+        ("fr", 3, 1, 1_000_000)}
+    # by tokens: c = (48, 12, 3); M = min(24, 6, 3) = 3 → k = (6, 6, 3)
+    tt = {r["lg"]: r["thr"] for r in textquality.mix_sample_thresholds(
+            mix_sample_corpus, "lg", {"en": 2, "de": 2, "fr": 1},
+            by="tokens", text_col="body").collect()}
+    assert tt == {"en": 125_000, "de": 500_000, "fr": 1_000_000}
+
+
+def test_mix_sample_exact_with_explicit_bucket(mix_sample_corpus):
+    """An explicit caller bucket makes the kept set fully predictable:
+    pk * 83333 % 1e6 spreads the 12 en docs across the bucket space so
+    the 500000 threshold provably splits them."""
+    out = textquality.mix_sample(
+        mix_sample_corpus, "lg", {"en": 2, "de": 2, "fr": 1},
+        bucket=(F.col("pk") * 83333) % 1_000_000)
+    kept = sorted(r["pk"] for r in out.collect())
+    # en: buckets pk*83333 for pk 0..11 = 0, 83333, ..., 916663;
+    # thr 500000 keeps pk 0-6 (6*83333 = 499998 < 500000 — hash
+    # sampling is ratio-approximate per group). de/fr thr 1e6: all.
+    assert kept == [0, 1, 2, 3, 4, 5, 6,
+                    100, 101, 102, 103, 104, 105, 200, 201, 202]
+    assert out.columns == ["pk", "lg", "body"]
+
+
+def test_mix_sample_default_bucket_deterministic(mix_sample_corpus):
+    a = sorted(r["pk"] for r in textquality.mix_sample(
+        mix_sample_corpus, "lg", {"en": 1, "de": 1, "fr": 1},
+        id_col="pk").collect())
+    b = sorted(r["pk"] for r in textquality.mix_sample(
+        mix_sample_corpus.repartition(7), "lg",
+        {"en": 1, "de": 1, "fr": 1}, id_col="pk").collect())
+    assert a == b
+    # weightless groups are dropped entirely
+    only_fr = textquality.mix_sample(mix_sample_corpus, "lg",
+                                     {"fr": 1}, id_col="pk")
+    assert {r["lg"] for r in only_fr.collect()} == {"fr"}
+
+
+def test_mix_sample_guards(mix_sample_corpus):
+    with pytest.raises(ValueError, match="positive integer"):
+        textquality.mix_sample_thresholds(mix_sample_corpus, "lg",
+                                          {"en": 0.5})
+    with pytest.raises(ValueError, match="does not match"):
+        textquality.mix_sample_thresholds(mix_sample_corpus, "lg",
+                                          {("en", "x"): 1})
+    with pytest.raises(ValueError, match="id_col"):
+        textquality.mix_sample(mix_sample_corpus, "lg", {"en": 1})
+    with pytest.raises(ValueError, match="needs text_col"):
+        textquality.mix_sample_thresholds(mix_sample_corpus, "lg",
+                                          {"en": 1}, by="tokens")
+    with pytest.raises(ValueError, match="collide"):
+        textquality.mix_sample_thresholds(
+            mix_sample_corpus.withColumnRenamed("lg", "thr"), "thr",
+            {"en": 1})
+
+
+def test_mix_sample_plan_corpus_broadcast_join(mix_sample_corpus):
+    """The corpus-side pass is scan → broadcast join → filter: the only
+    corpus-keyed hash exchange is the groups count aggregation."""
+    import re
+    plan = (textquality.mix_sample(
+                mix_sample_corpus, "lg", {"en": 1, "de": 1, "fr": 1},
+                id_col="pk")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning\(lg", plan)) == 1

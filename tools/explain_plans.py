@@ -201,6 +201,19 @@ def main() -> None:
     check("mix_report", "partial_count(" in p.lower(),
           "map-side partial aggregation before the exchange")
 
+    # --- mix_sample_docs: corpus counts aggregate ONCE (the thresholds'
+    # global-min is a window over the groups-sized relation, not a
+    # second counts branch); the apply pass is a broadcast join
+    p = plan_of(QUERIES["mix_sample_docs"](spark, SF))
+    sections.append(("mix_sample_docs (applied data mix)", p))
+    check("mix_sample_docs",
+          len(re.findall(r"hashpartitioning\(lang", p)) == 1,
+          "corpus counts exchange exactly once (no duplicated branch)")
+    check("mix_sample_docs",
+          "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+          "apply pass broadcast-joins the thresholds — corpus side "
+          "never exchanges")
+
     # --- boilerplate_strip_docs: one line-keyed exchange to count the
     # boiler set; the removal itself is a broadcast one-row-array
     # expression, so the corpus never hash-exchanges
