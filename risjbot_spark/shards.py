@@ -1,0 +1,94 @@
+"""Training-shard writer — the last step of the curation pipeline
+(dedup → quality gate → decontaminate → mix_sample → SHARD): write a
+curated corpus as a fixed set of deterministically-shuffled shards a
+training loader can stream.
+
+Design for 100 TB:
+
+  * ONE exchange total: rows are repartitioned by their shard id (a
+    hash of the document id — NOT an RNG, so the same corpus always
+    shards identically; re-running a failed job reproduces byte-equal
+    shards) and sorted within partitions, so the writer streams each
+    shard's rows in deterministic order without a global sort. A
+    global ORDER BY would range-exchange the whole corpus AND serialize
+    tail skew into the last writer; hash sharding is what training
+    loaders actually need (any fixed pseudo-random order).
+  * Exactly one file per non-empty shard: each output partition holds
+    whole shards (`repartition(n_shards, shard)`), and
+    `partitionBy("shard")` splits a task's rows into one file per shard
+    directory.
+  * The manifest comes from parquet FOOTERS, read driver-side — zero
+    extra Spark jobs after the write (the engine's zero-job lineage
+    device, `store/snapshots.py`).
+
+Reference parity: RISJbot's only sink is per-crawl JSONLines
+(`/root/reference/RISJbot/pipelines.py` JsonLinesExportPipeline
+analogue in `sinks.py`); sharded training output is part of the
+LLM-pipeline surface the brief adds.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["write_training_shards"]
+
+_SHARD = "shard"
+
+
+def write_training_shards(df: DataFrame, path: str, *,
+                          n_shards: int,
+                          id_col: str,
+                          fmt: str = "parquet",
+                          mode: str = "error") -> dict:
+    """Write `df` as `n_shards` deterministic shards under `path`
+    (directories `shard=0/ ... shard=N-1/`, one file each; a shard left
+    empty by hashing writes no directory — only possible when the
+    corpus is not much larger than n_shards).
+
+    Shard assignment is pmod(xxhash64(id_col), n_shards) and rows
+    within a shard are ordered by (xxhash64(id), id) — both pure
+    functions of the data, so the output is reproducible across runs,
+    cluster sizes, and input partitionings, and any single shard is a
+    fixed pseudo-random sample of the corpus (loaders can train on a
+    prefix of shards).
+
+    fmt is "parquet" (default) or "json" (JSON-lines, one object per
+    line). Returns a manifest dict: n_shards, format, per-shard row
+    counts (parquet only — read from file footers driver-side, no
+    Spark job) and file paths."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"unknown fmt {fmt!r}; expected 'parquet' or "
+                         "'json'")
+    if _SHARD in df.columns:
+        raise ValueError(f"input column {_SHARD!r} collides with the "
+                         "shard partition column")
+    h = F.xxhash64(F.col(id_col))
+    sharded = (
+        df.withColumn(_SHARD, F.pmod(h, F.lit(n_shards)).cast("int"))
+        .repartition(n_shards, F.col(_SHARD))
+        .sortWithinPartitions(F.col(_SHARD), F.pmod(h, F.lit(1 << 32)),
+                              F.col(id_col)))
+    (sharded.write.mode(mode).partitionBy(_SHARD).format(fmt)
+     .save(path))
+    files = {}
+    pattern = "*.parquet" if fmt == "parquet" else "part-*"
+    for d in sorted(glob.glob(os.path.join(path, f"{_SHARD}=*"))):
+        sid = int(d.rsplit("=", 1)[1])
+        parts = [p for p in sorted(glob.glob(os.path.join(d, pattern)))
+                 if not p.endswith(".crc")]
+        files[sid] = parts
+    manifest = {"n_shards": n_shards, "format": fmt,
+                "path": path, "files": files}
+    if fmt == "parquet":
+        import pyarrow.parquet as pq
+        manifest["rows"] = {
+            sid: sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+            for sid, parts in files.items()}
+    return manifest
