@@ -29,15 +29,43 @@ LLM-pipeline surface the brief adds.
 
 from __future__ import annotations
 
-import glob
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["write_training_shards"]
 
 _SHARD = "shard"
+
+
+def _glob_status(spark, pattern: str) -> "list":
+    """List paths matching `pattern` through Hadoop's FileSystem — the
+    same layer Spark wrote through, so it works for ANY scheme the
+    cluster can reach (hdfs://, s3a://, file:), unlike driver-side
+    glob.glob, which silently returns [] for every non-local URI."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(pattern)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jpath.getFileSystem(conf)
+    statuses = fs.globStatus(jpath)
+    if statuses is None:
+        return []
+    return [st.getPath().toString() for st in statuses]
+
+
+def _parquet_rows(spark, file_path: str) -> int:
+    """Row count from the parquet FOOTER via the JVM's parquet-hadoop
+    reader (already on Spark's classpath): zero Spark jobs, any
+    filesystem scheme."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(file_path)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jpath, conf)
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        return int(reader.getRecordCount())
+    finally:
+        reader.close()
 
 
 def write_training_shards(df: DataFrame, path: str, *,
@@ -77,18 +105,18 @@ def write_training_shards(df: DataFrame, path: str, *,
                               F.col(id_col)))
     (sharded.write.mode(mode).partitionBy(_SHARD).format(fmt)
      .save(path))
-    files = {}
+    spark = df.sparkSession
+    files: "dict[int, list[str]]" = {}
     pattern = "*.parquet" if fmt == "parquet" else "part-*"
-    for d in sorted(glob.glob(os.path.join(path, f"{_SHARD}=*"))):
+    for d in sorted(_glob_status(spark, f"{path}/{_SHARD}=*")):
         sid = int(d.rsplit("=", 1)[1])
-        parts = [p for p in sorted(glob.glob(os.path.join(d, pattern)))
+        parts = [p for p in sorted(_glob_status(spark, f"{d}/{pattern}"))
                  if not p.endswith(".crc")]
         files[sid] = parts
     manifest = {"n_shards": n_shards, "format": fmt,
                 "path": path, "files": files}
     if fmt == "parquet":
-        import pyarrow.parquet as pq
         manifest["rows"] = {
-            sid: sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+            sid: sum(_parquet_rows(spark, p) for p in parts)
             for sid, parts in files.items()}
     return manifest

@@ -62,6 +62,11 @@ _HIT = "__tq_hit"
 _BSET = "__tq_boiler"
 _POS = "__tq_pos"
 _LINE = "__tq_line"
+_THR = "__tq_thr"
+
+
+def _as_group_list(group_cols) -> "list[str]":
+    return [group_cols] if isinstance(group_cols, str) else list(group_cols)
 
 # Line split for boilerplate removal: regex so \r\n corpora work; the
 # reassembled text always uses plain \n (documented normalization).
@@ -233,8 +238,7 @@ def mix_report(df: DataFrame, group_cols, text_col: str,
     put on the corpus never appears."""
     from pyspark.sql import Window
 
-    if isinstance(group_cols, str):
-        group_cols = [group_cols]
+    group_cols = _as_group_list(group_cols)
     out_names = ("n_docs", "n_tokens", "token_share",
                  "mean_distinct_token_ratio", "mean_top_token_frac",
                  "mean_dup_ngram_frac")
@@ -300,10 +304,6 @@ def mix_report(df: DataFrame, group_cols, text_col: str,
                 *(_mean(out).alias(out) for out, _ in sums)))
 
 
-def _as_group_list(group_cols) -> "list[str]":
-    return [group_cols] if isinstance(group_cols, str) else list(group_cols)
-
-
 def mix_sample_thresholds(df: DataFrame, group_cols,
                           weights: "dict",
                           *, by: str = "docs",
@@ -328,7 +328,15 @@ def mix_sample_thresholds(df: DataFrame, group_cols,
     weights must be positive integers. With by="docs" the realized doc
     counts are ~exact in ratio; with by="tokens" the thresholds target
     token mass, realized tokens vary with per-doc length (sampling is
-    by document either way)."""
+    by document either way).
+
+    Degenerate configs fail LOUDLY at execution time instead of
+    curating an empty corpus: a weighted group whose size is smaller
+    than its weight (including size 0 — group absent from the corpus,
+    or all-NULL/empty texts under by="tokens") makes the exact ratio
+    unachievable by pure downsampling (M = min(c div w) = 0 would zero
+    every threshold), so the threshold expression raises naming the
+    offending group."""
     gcols = _as_group_list(group_cols)
     clash = [g for g in gcols if g in ("c", "w", "m", "thr")]
     if clash:
@@ -353,12 +361,23 @@ def mix_sample_thresholds(df: DataFrame, group_cols,
     elif by == "tokens":
         if text_col is None:
             raise ValueError("by='tokens' needs text_col")
-        c = F.sum(F.size(tokens_expr(F.col(text_col))))
+        # NULL text must contribute 0 tokens, not size(NULL) = -1
+        # (spark.sql.legacy.sizeOfNull default) — the same undercount
+        # hazard repetition_exprs guards n_tokens against above
+        c = F.sum(F.when(F.col(text_col).isNotNull(),
+                         F.size(tokens_expr(F.col(text_col)))))
     else:
         raise ValueError(f"unknown by {by!r}; expected 'docs' or "
                          "'tokens'")
-    counts = (df.groupBy(*gcols).agg(c.cast("long").alias("c"))
-              .join(F.broadcast(wdf), gcols, "inner"))
+    # wdf-preserving outer join (not inner): a weighted group MISSING
+    # from the corpus must surface as c=0 and fail the guard below, not
+    # silently vanish from the min. The counts agg (groups-sized) is
+    # the broadcast build side so the only corpus-keyed hash exchange
+    # stays the aggregation itself.
+    counts = (wdf.join(
+        F.broadcast(df.groupBy(*gcols).agg(c.cast("long").alias("c"))),
+        gcols, "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0))))
     # M as a window over the GROUPS-SIZED counts relation, not a
     # separate counts.agg() branch: a second branch would duplicate the
     # whole corpus-count subtree in the plan (two full corpus
@@ -366,13 +385,32 @@ def mix_sample_thresholds(df: DataFrame, group_cols,
     # per group (mix_report's token_share device)
     from pyspark.sql import Window
     m = F.min(F.expr("c div w")).over(Window.partitionBy())
+    # the raise guard rides the same window device as m, carrying ONE
+    # offending group's fully-named error message to EVERY row: any row
+    # that gets evaluated raises it, so the error is loud and names the
+    # offender even when the offending row itself was pruned by a
+    # downstream join before projection
+    gdesc = F.concat_ws("/", *[F.col(g).cast("string") for g in gcols])
+    err = F.concat(
+        F.lit("mix_sample_thresholds: group "), gdesc,
+        F.lit(" has size c="), F.col("c").cast("string"),
+        F.lit(" < weight w="), F.col("w").cast("string"),
+        F.lit(" (c div w = 0), so the requested ratio is unachievable"
+              " by pure downsampling; lower this group's weight, drop"
+              " it from weights, or pin thresholds="))
+    offender = F.min(F.when(F.expr("c div w < 1"), err)).over(
+        Window.partitionBy())
+    thr = (F.when(offender.isNotNull(),
+                  F.raise_error(offender).cast("long"))
+           .otherwise(F.expr(
+               f"CAST((CAST({resolution} AS DECIMAL(38,0))"
+               " * w * m) div c AS LONG)")))
     return (counts.withColumn("m", m)
-            .select(*gcols, "c", "w",
-                    F.expr(f"CAST((CAST({resolution} AS DECIMAL(38,0))"
-                           " * w * m) div c AS LONG)").alias("thr")))
+            .select(*gcols, "c", "w", thr.alias("thr")))
 
 
-def mix_sample(df: DataFrame, group_cols, weights: "dict",
+def mix_sample(df: DataFrame, group_cols,
+               weights: "dict | None" = None,
                *, id_col: "str | None" = None,
                by: str = "docs",
                text_col: "str | None" = None,
@@ -394,7 +432,10 @@ def mix_sample(df: DataFrame, group_cols, weights: "dict",
     that is also reproducible across ENGINES for oracle checks.
 
     Pass `thresholds` to reuse/pin a `mix_sample_thresholds` table
-    (e.g. frozen from a reference corpus, or audited before the run).
+    (e.g. frozen from a reference corpus, or audited before the run) —
+    INSTEAD of `weights`, never alongside: a weights dict next to a
+    pinned table could silently disagree with it, so passing both (or
+    neither) raises.
 
     Plan shape at 100 TB: one map-side-combinable exchange to count
     the groups (output is groups-sized), two tiny broadcast-joined
@@ -402,9 +443,16 @@ def mix_sample(df: DataFrame, group_cols, weights: "dict",
     pass is scan → broadcast-hash-join → filter: the 100 TB side never
     exchanges."""
     gcols = _as_group_list(group_cols)
-    if "thr" in df.columns:
-        raise ValueError("input column 'thr' collides with "
+    if _THR in df.columns:
+        raise ValueError(f"input column {_THR!r} collides with "
                          "mix_sample's internal threshold column")
+    if (weights is None) == (thresholds is None):
+        raise ValueError("mix_sample takes exactly one of weights= "
+                         "(build thresholds from this corpus) or "
+                         "thresholds= (a pinned mix_sample_thresholds "
+                         "table); got both" if thresholds is not None
+                         else "mix_sample takes exactly one of "
+                         "weights= or thresholds=; got neither")
     if bucket is None:
         if id_col is None:
             raise ValueError("mix_sample needs id_col (for the default "
@@ -414,9 +462,9 @@ def mix_sample(df: DataFrame, group_cols, weights: "dict",
         thresholds = mix_sample_thresholds(
             df, gcols, weights, by=by, text_col=text_col,
             resolution=resolution)
-    thr = thresholds.select(*gcols, "thr")
+    thr = thresholds.select(*gcols, F.col("thr").alias(_THR))
     return (df.join(F.broadcast(thr), gcols, "inner")
-            .filter(bucket < F.col("thr"))
+            .filter(bucket < F.col(_THR))
             .select(*df.columns))
 
 

@@ -105,3 +105,17 @@ def test_shards_manifest_costs_zero_extra_jobs(spark, corpus, tmp_path):
     n_again = jobs_of("shards-b", lambda: shards.write_training_shards(
         corpus, str(tmp_path / "zb"), n_shards=4, id_col="doc_id"))
     assert n_again == n_write
+
+
+def test_manifest_via_hadoop_fs_uri(spark, corpus, tmp_path):
+    """The manifest listing/footers go through Hadoop's FileSystem, so
+    scheme-qualified URIs (the review's hdfs://-silently-empty finding)
+    list correctly — a file: URI is the in-container proxy for that;
+    driver-side glob.glob would return [] for it."""
+    path = "file://" + str(tmp_path / "uri_shards")
+    man = shards.write_training_shards(corpus, path, n_shards=4,
+                                       id_col="doc_id")
+    assert sorted(man["files"]) == list(range(4))
+    assert sum(man["rows"].values()) == 200
+    assert all(p.startswith("file:") for parts in man["files"].values()
+               for p in parts)

@@ -500,3 +500,65 @@ def test_mix_sample_plan_corpus_broadcast_join(mix_sample_corpus):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"Exchange hashpartitioning\(lg", plan)) == 1
+
+
+def test_mix_sample_thresholds_null_text_tokens(spark):
+    """NULL texts contribute 0 tokens to a group's size c, not
+    size(NULL) = -1 (the legacy.sizeOfNull undercount the review
+    caught): en has 4 docs of 2 tokens + 2 NULL docs → c = 8, not 6."""
+    df = spark.createDataFrame(
+        [(i, "en", "a b") for i in range(4)]
+        + [(10, "en", None), (11, "en", None)]
+        + [(20, "de", "a b c d")],
+        "pk long, lg string, body string")
+    t = {r["lg"]: r["c"] for r in textquality.mix_sample_thresholds(
+            df, "lg", {"en": 2, "de": 1}, by="tokens",
+            text_col="body").collect()}
+    assert t == {"en": 8, "de": 4}
+
+
+def test_mix_sample_degenerate_weights_raise(spark, mix_sample_corpus):
+    """A weighted group smaller than its weight (M = 0) must fail
+    loudly naming the group — never silently curate an empty corpus."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    # fr has 3 docs < weight 100
+    with pytest.raises((Py4JJavaError, PySparkException),
+                       match="group fr has size c=3 < weight w=100"):
+        textquality.mix_sample(mix_sample_corpus, "lg",
+                               {"en": 1, "fr": 100},
+                               id_col="pk").collect()
+    # a weighted group entirely absent from the corpus surfaces as
+    # c=0 and raises too (it used to vanish via the inner join and
+    # NOT bind the min — inconsistent with the one-doc case)
+    with pytest.raises((Py4JJavaError, PySparkException),
+                       match="group xx has size c=0 < weight w=1"):
+        textquality.mix_sample_thresholds(
+            mix_sample_corpus, "lg", {"en": 1, "xx": 1}).collect()
+
+
+def test_mix_sample_weights_xor_thresholds(mix_sample_corpus):
+    thr = textquality.mix_sample_thresholds(
+        mix_sample_corpus, "lg", {"en": 2, "de": 2, "fr": 1})
+    # pinned thresholds: weights must be omitted
+    out = textquality.mix_sample(mix_sample_corpus, "lg",
+                                 thresholds=thr, id_col="pk")
+    assert out.count() > 0
+    with pytest.raises(ValueError, match="got both"):
+        textquality.mix_sample(mix_sample_corpus, "lg", {"en": 1},
+                               thresholds=thr, id_col="pk")
+    with pytest.raises(ValueError, match="got neither"):
+        textquality.mix_sample(mix_sample_corpus, "lg", id_col="pk")
+
+
+def test_mix_sample_caller_thr_column_ok(spark):
+    """A caller column named 'thr' must survive mix_sample untouched —
+    the internal threshold column is __tq_ prefixed per the module's
+    arbitrary-schema contract (review finding)."""
+    df = spark.createDataFrame(
+        [(i, "en", "x", 0.5) for i in range(4)],
+        "pk long, lg string, body string, thr double")
+    out = textquality.mix_sample(df, "lg", {"en": 1}, id_col="pk")
+    assert out.columns == ["pk", "lg", "body", "thr"]
+    assert out.count() == 4
