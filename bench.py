@@ -193,8 +193,8 @@ def main() -> None:
         "tpch_pricing", "region_revenue", "brand_supplier_revenue",
         "politeness_window", "customer_top_order", "sessionize",
         "exact_dedup", "minhash_signature", "lsh_dup_pairs",
-        "ngram_jaccard_pairs", "dedup_clusters", "simhash_dup_pairs",
-        "embedding_near_dup",
+        "ngram_jaccard_pairs", "dedup_clusters", "incremental_dedup",
+        "simhash_dup_pairs", "embedding_near_dup",
         "ann_cosine_topk", "ivf_assign", "ivf_search", "ivf_kmeans",
         "ivf_kmeans_search", "ivf_batch_search", "lang_id",
         "doc_fingerprint",

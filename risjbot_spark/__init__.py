@@ -24,6 +24,9 @@ Layout:
   dedup.py   training-data dedup library over arbitrary DataFrames
              (exact / MinHash+LSH / SimHash / embedding near-dup,
              connected-components clustering, survivor selection)
+  dedup_store.py  incremental cross-batch dedup: persisted MinHash
+             signature store (bucketed base + delta/compaction LSM),
+             new batches dedup vs the curated corpus in O(batch)
   ann.py     similarity-search library (brute cosine, sign-LSH,
              Lloyd k-means IVF build/search, kNN vote)
 """

@@ -49,6 +49,8 @@ __all__ = [
     "exact_dup_groups",
     "shingle_rows",
     "distinct_shingles",
+    "minhash_mins",
+    "bands_from_mins",
     "minhash_signatures",
     "banded_candidate_pairs",
     "shingle_arrays",
@@ -151,26 +153,40 @@ def distinct_shingles(df: DataFrame, id_col: str, text_col: str,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(shingles: DataFrame, id_col: str,
-                       *, num_bands: int = 2,
-                       rows_per_band: int = 3) -> DataFrame:
-    """MinHash signature table (id, band1..band{num_bands}) from a
-    distinct-shingle table: num_bands × rows_per_band permutations via
-    md5(seed||shingle) min-hashes, each band the md5 of its
-    rows_per_band concatenated mins. One map-side-combinable groupBy —
-    linear in total shingles. Band VALUES are md5 strings (2^128
-    cardinality), so per-band buckets stay tiny at any corpus size."""
-    k = num_bands * rows_per_band
-    sig = shingles.groupBy(id_col).agg(*[
+def minhash_mins(shingles: DataFrame, id_col: str, *, k: int) -> DataFrame:
+    """Per-doc MinHash minima (id, m0..m{k-1}): min(md5(seed||shingle))
+    per permutation, one map-side-combinable groupBy — linear in total
+    shingles. The shared core of minhash_signatures and the incremental
+    store's estimate-verify (the fraction of agreeing minima estimates
+    Jaccard without touching either document's text)."""
+    return shingles.groupBy(id_col).agg(*[
         F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"m{j}")
         for j in range(k)
     ])
-    return sig.select(
+
+
+def bands_from_mins(mins: DataFrame, id_col: str,
+                    *, num_bands: int, rows_per_band: int) -> DataFrame:
+    """LSH band columns from a minima table: band_b = md5 of its
+    rows_per_band concatenated mins. Band VALUES are md5 strings (2^128
+    cardinality), so per-band buckets stay tiny at any corpus size."""
+    return mins.select(
         id_col,
         *[F.md5(F.concat_ws("", *[
             f"m{b * rows_per_band + r}" for r in range(rows_per_band)
         ])).alias(f"band{b + 1}") for b in range(num_bands)],
     )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str,
+                       *, num_bands: int = 2,
+                       rows_per_band: int = 3) -> DataFrame:
+    """MinHash signature table (id, band1..band{num_bands}) from a
+    distinct-shingle table: num_bands × rows_per_band permutations via
+    md5(seed||shingle) min-hashes, banded by `bands_from_mins`."""
+    k = num_bands * rows_per_band
+    return bands_from_mins(minhash_mins(shingles, id_col, k=k), id_col,
+                           num_bands=num_bands, rows_per_band=rows_per_band)
 
 
 def banded_candidate_pairs(sig: DataFrame, id_col: str,
@@ -205,21 +221,29 @@ def shingle_arrays(shingles: DataFrame, id_col: str) -> DataFrame:
 def jaccard_verify(cands: DataFrame, shingles: Optional[DataFrame],
                    id_col: str,
                    *, threshold: float = 0.5, round_to: int = 6,
-                   arrays: Optional[DataFrame] = None) -> DataFrame:
+                   arrays: Optional[DataFrame] = None,
+                   arrays_b: Optional[DataFrame] = None) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (id_a, id_b) — the
     verify stage. Joins two per-doc distinct-shingle ARRAYS (collected
     once, reused for both sides — pass a persisted `arrays` to avoid
     recomputing the collect for each side); |∩| via array_intersect.
     Verifies candidates only — the unrestricted shingle self-join is
     the quadratic trap (measured 16.7 s vs 3 s at sf0.1; impossible at
-    10^10 docs). Pass EXACTLY ONE of `shingles` / `arrays`."""
+    10^10 docs). Pass EXACTLY ONE of `shingles` / `arrays`.
+
+    `arrays_b`: optional separate arrays table for the id_b side —
+    for cross-corpus pairs (e.g. the incremental store's new-vs-old
+    verify) where the two sides' shingles come from different
+    tables."""
     if (shingles is None) == (arrays is None):
         raise ValueError(
             "jaccard_verify takes exactly one of shingles= or arrays=")
     sh_arr = arrays if arrays is not None else shingle_arrays(
         shingles, id_col)
+    sh_arr_b = arrays_b if arrays_b is not None else sh_arr
     a = sh_arr.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
-    b = sh_arr.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
+    b = sh_arr_b.select(F.col(id_col).alias("id_b"),
+                        F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - inter
     return (

@@ -499,6 +499,35 @@ def q_dedup_survivor_docs(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_incremental_dedup(spark, sf):
+    """Incremental CROSS-BATCH dedup via dedup_store.MinHashStore — the
+    question a continuously-ingesting pipeline asks: which docs in a
+    NEW batch duplicate anything already curated, answered in O(batch)
+    (band probe against the store's bucketed signature base), never by
+    re-pairing the old corpus with itself. The mutants corpus splits
+    into an already-curated OLD set (doc_id % 3 != 0, indexed verbatim
+    into a fresh store under /tmp — leaked once per (session, sf), the
+    cached stage below reuses it) and a NEW batch (doc_id % 3 = 0)
+    added with exact verify. One decision row per new doc: kept,
+    dup_of = min matching stored id (store dups) or the component's min
+    id (within-batch losers)."""
+    def build():
+        import tempfile
+
+        from .dedup_store import MinHashStore
+        docs = _docs_with_mutants(spark, sf)
+        root = tempfile.mkdtemp(prefix="risjbot_mhstore_q_")
+        st = MinHashStore(spark, root)
+        st.index_corpus(docs.filter("doc_id % 3 != 0"),
+                        "doc_id", "text")
+        out = st.add_batch(docs.filter("doc_id % 3 = 0"),
+                           "doc_id", "text",
+                           corpus_df=docs.filter("doc_id % 3 != 0"))
+        return out["decisions"]
+    return _cached_stage(
+        spark, sf, "incremental_dedup", build).orderBy("doc_id")
+
+
 # SimHash geometry. 60 bits (15 md5 hex chars — parses into a SIGNED
 # 64-bit long identically in Spark and DuckDB, the engine-portability
 # constraint) in 4 bands of 15 bits → 32768 distinct values per band.
@@ -1148,6 +1177,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivor_docs": q_dedup_survivor_docs,
+    "incremental_dedup": q_incremental_dedup,
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1579,6 +1609,67 @@ ORACLE_SQL = {
         SELECT d.doc_id, length(d.text) AS text_len
         FROM docs d LEFT JOIN losers l ON d.doc_id = l.doc_id
         WHERE l.doc_id IS NULL ORDER BY d.doc_id""",
+    # incremental store policy, mirrored: (1) a new doc with a verified
+    # (j >= 0.5) pair to any OLD doc drops with dup_of = min old match;
+    # (2) CC over verified new-new edges among step-1 survivors, min id
+    # per component kept; (3) shingle-less new docs never appear in sig
+    # and stay kept. Same shingle/minima/band fragments as the batch
+    # family so geometry can never desynchronize.
+    "incremental_dedup": f"""
+        WITH RECURSIVE {_MUTANTS_CTE},
+        {_SHINGLE_CTE},
+        {_M_CTE},
+        sig AS ({_SIG_SELECT}),
+        bands AS (
+          SELECT doc_id, band1 AS band FROM sig
+          UNION ALL SELECT doc_id, band2 FROM sig),
+        nb AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+        ob AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+        dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+        cand_no AS (
+          SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+          FROM nb n JOIN ob o ON n.band = o.band),
+        v_no AS (
+          SELECT new_id, old_id
+          FROM cand_no
+          JOIN dsh a ON a.doc_id = new_id
+          JOIN dsh b ON b.doc_id = old_id
+          WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh)
+                 - len(list_intersect(a.sh, b.sh))), 6) >= 0.5),
+        dup_old AS (
+          SELECT new_id AS doc_id, min(old_id) AS dup_of
+          FROM v_no GROUP BY new_id),
+        cand_nn AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM nb x JOIN nb y
+            ON x.band = y.band AND x.doc_id < y.doc_id),
+        v_nn AS (
+          SELECT doc_a, doc_b
+          FROM cand_nn
+          JOIN dsh a ON a.doc_id = doc_a
+          JOIN dsh b ON b.doc_id = doc_b
+          WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh)
+                 - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+            AND doc_a NOT IN (SELECT doc_id FROM dup_old)
+            AND doc_b NOT IN (SELECT doc_id FROM dup_old)),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM v_nn
+              UNION SELECT doc_b, doc_a FROM v_nn),
+        reach AS (
+          SELECT a AS src, b AS dst FROM e
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a),
+        losers AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS dup_of
+          FROM reach GROUP BY src
+          HAVING least(src, min(dst)) <> src),
+        dropped AS (SELECT * FROM dup_old
+                    UNION ALL SELECT * FROM losers),
+        newdocs AS (SELECT doc_id FROM docs WHERE doc_id % 3 = 0)
+        SELECT n.doc_id, d.doc_id IS NULL AS kept, d.dup_of
+        FROM newdocs n LEFT JOIN dropped d ON n.doc_id = d.doc_id
+        ORDER BY n.doc_id""",
     # str.split() semantics like the Spark side (wordcount_expr): split
     # on PY_WS_RE runs and DROP empty tokens, so leading/trailing \n or
     # \t never count (trim() strips spaces only — the empty-token filter

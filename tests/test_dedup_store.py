@@ -1,0 +1,158 @@
+"""Incremental MinHash signature store: decision policy (new-old drop,
+new-new CC survivorship, shingle-less pass), store-only-holds-survivors
+invariant across batches, estimate-verify, geometry/id-type pinning,
+compaction cadence, and determinism across input partitionings."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from risjbot_spark.dedup_store import MinHashStore
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog every single day"),
+        (2, "completely different text about spark dataframes and "
+            "shuffles here"),
+        (3, "a third unrelated document concerning bloom filters at scale"),
+    ], "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def batch(spark):
+    return spark.createDataFrame([
+        # exact dup of stored 1
+        (10, "the quick brown fox jumps over the lazy dog every single "
+             "day"),
+        # near-dup of stored 1 (first word dropped)
+        (11, "quick brown fox jumps over the lazy dog every single day"),
+        # unique
+        (12, "a brand new document with entirely novel content and words"),
+        # near-dup of 12 — a new-new pair; 12 is the min-id survivor
+        (13, "a brand new document with entirely novel content and words "
+             "too"),
+        # shorter than the shingle size: no signature, always kept
+        (14, "tiny"),
+    ], "doc_id long, text string")
+
+
+def _decisions(out):
+    return {r["doc_id"]: (r["kept"], r["dup_of"])
+            for r in out["decisions"].collect()}
+
+
+def test_add_batch_policy(spark, corpus, batch, tmp_path):
+    st = MinHashStore(spark, str(tmp_path / "s"))
+    st.index_corpus(corpus, "doc_id", "text")
+    assert st.n_stored_docs() == 3
+    out = st.add_batch(batch, "doc_id", "text", corpus_df=corpus)
+    assert _decisions(out) == {
+        10: (False, 1), 11: (False, 1),          # dup vs store
+        12: (True, None),                         # survivor
+        13: (False, 12),                          # new-new loser
+        14: (True, None),                         # no shingles
+    }
+    assert sorted(r["doc_id"] for r in out["kept"].collect()) == [12, 14]
+    # store invariant: only survivors' signatures committed (14 has no
+    # shingles so contributes none)
+    assert st.n_stored_docs() == 4
+    st.close()
+
+
+def test_store_survivors_visible_to_later_batches(spark, corpus, batch,
+                                                  tmp_path):
+    st = MinHashStore(spark, str(tmp_path / "s"))
+    st.index_corpus(corpus, "doc_id", "text")
+    out1 = st.add_batch(batch, "doc_id", "text", corpus_df=corpus)
+    full = corpus.unionAll(out1["kept"])
+    b2 = spark.createDataFrame([
+        # dup of doc 12, which was KEPT from batch 1
+        (20, "a brand new document with entirely novel content and words"),
+        (21, "yet another entirely fresh piece of content nobody has "
+             "seen"),
+    ], "doc_id long, text string")
+    out2 = st.add_batch(b2, "doc_id", "text", corpus_df=full)
+    assert _decisions(out2) == {20: (False, 12), 21: (True, None)}
+    # estimate mode needs no corpus text and catches an exact dup of a
+    # doc stored two batches ago (all k minima agree → estimate 1.0)
+    b3 = spark.createDataFrame(
+        [(30, "yet another entirely fresh piece of content nobody has "
+              "seen")],
+        "doc_id long, text string")
+    out3 = st.add_batch(b3, "doc_id", "text", verify="estimate")
+    assert _decisions(out3) == {30: (False, 21)}
+    st.close()
+
+
+def test_compaction_cadence_and_bucketed_base(spark, corpus, tmp_path):
+    root = str(tmp_path / "s")
+    st = MinHashStore(spark, root, compact_every=2)
+    st.index_corpus(corpus, "doc_id", "text")  # bootstrap compacts
+    meta = json.load(open(os.path.join(root, "meta.json")))
+    assert meta["batches_since_compact"] == 0
+    # the base is a BUCKETED snapshot (catalog table, band buckets)
+    man = st._base.manifest()
+    assert any("bucket_table" in e
+               for e in man.get("file_meta", {}).values())
+    b = spark.createDataFrame(
+        [(40, "some wholly original sentence for the first delta batch")],
+        "doc_id long, text string")
+    st.add_batch(b, "doc_id", "text", corpus_df=corpus)
+    assert json.load(open(os.path.join(root, "meta.json")))[
+        "batches_since_compact"] == 1
+    b2 = spark.createDataFrame(
+        [(41, "another wholly original sentence for the second batch")],
+        "doc_id long, text string")
+    st.add_batch(b2, "doc_id", "text", corpus_df=corpus)
+    # cadence hit: deltas folded into the base, counter reset
+    assert json.load(open(os.path.join(root, "meta.json")))[
+        "batches_since_compact"] == 0
+    base, delta = st.stored_bands()
+    assert delta.count() == 0
+    # post-compaction probe still finds a dup of a delta-era doc
+    b3 = spark.createDataFrame(
+        [(42, "some wholly original sentence for the first delta batch")],
+        "doc_id long, text string")
+    out = st.add_batch(b3, "doc_id", "text",
+                       corpus_df=corpus.unionAll(b).unionAll(b2))
+    assert _decisions(out) == {42: (False, 40)}
+    st.close()
+
+
+def test_geometry_and_id_type_pinning(spark, corpus, tmp_path):
+    root = str(tmp_path / "s")
+    st = MinHashStore(spark, root, ngram=3)
+    st.index_corpus(corpus, "doc_id", "text")
+    # reopen with no args: adopts stored geometry
+    st2 = MinHashStore(spark, root)
+    assert st2.ngram == 3 and st2.num_bands == 2
+    with pytest.raises(ValueError, match="geometry is pinned"):
+        MinHashStore(spark, root, ngram=5)
+    sdf = spark.createDataFrame([("a", "text irrelevant here")],
+                                "doc_id string, text string")
+    with pytest.raises(ValueError, match="pinned id type"):
+        st2.add_batch(sdf, "doc_id", "text", verify="estimate")
+    with pytest.raises(ValueError, match="needs corpus_df"):
+        st2.add_batch(corpus, "doc_id", "text", verify="exact",
+                      corpus_df=None)
+    with pytest.raises(ValueError, match="unknown verify"):
+        st2.add_batch(corpus, "doc_id", "text", verify="bogus")
+    st.close()
+
+
+def test_decisions_deterministic_across_partitionings(spark, corpus,
+                                                      batch, tmp_path):
+    d1 = MinHashStore(spark, str(tmp_path / "a"))
+    d1.index_corpus(corpus, "doc_id", "text")
+    r1 = _decisions(d1.add_batch(batch, "doc_id", "text",
+                                 corpus_df=corpus))
+    d2 = MinHashStore(spark, str(tmp_path / "b"))
+    d2.index_corpus(corpus.repartition(7), "doc_id", "text")
+    r2 = _decisions(d2.add_batch(batch.repartition(5), "doc_id", "text",
+                                 corpus_df=corpus))
+    assert r1 == r2
+    d1.close(); d2.close()

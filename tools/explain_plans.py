@@ -237,6 +237,38 @@ def main() -> None:
           "Join" not in p and "ArrowEvalPython" not in p,
           "no join, no Python eval in the scrub")
 
+    # --- incremental dedup store probe: the compacted bands base is a
+    # BUCKETED catalog table (bucketBy(band) + sortBy, the seen-gate
+    # device), so a new batch's band probe exchanges ONLY the batch
+    # side. The merge hint pins SMJ so the plan exhibits the alignment
+    # (a tiny batch would otherwise broadcast — also store-side-free,
+    # but then the bucket claim would go unexercised).
+    from risjbot_spark.dedup_store import MinHashStore
+    _mroot = tempfile.mkdtemp(prefix="plans_mhstore_")
+    _mst = MinHashStore(spark, _mroot)
+    _mst.index_corpus(
+        spark.createDataFrame(
+            [(i, f"stored document number {i} has plenty of distinct "
+                 "words for shingling") for i in range(50)],
+            "doc_id long, text string"),
+        "doc_id", "text")
+    _mbase, _ = _mst.stored_bands()
+    _, _, _msig, _mbands = _mst._sig_parts(
+        spark.createDataFrame(
+            [(100, "a probe document carrying some words to shingle")],
+            "doc_id long, text string"),
+        "doc_id", "text")
+    p = plan_of(_mbands.hint("merge").join(
+        _mbase.select("band", F.col("doc_id").alias("old_id")), "band"))
+    sections.append(("incremental_store_probe (new batch × bucketed "
+                     "signature base)", p))
+    check("incremental_store_probe", "Bucketed: true" in p,
+          "bands base scanned with its bucket spec (catalog table)")
+    check("incremental_store_probe",
+          len(re.findall(r"hashpartitioning\(band", p)) == 1,
+          "probe exchanges the BATCH side only — store side in place")
+    _mst.close()
+
     # --- crawl round: one Python stage, pages never shuffle
     pages_path = "/tmp/risjbot_plans_pages"
     if not os.path.exists(pages_path + "/_SUCCESS"):
