@@ -86,6 +86,14 @@ class MinHashStore:
     ...                       corpus_df=curated_df)
     >>> out["kept"]        # new rows that survived, ready to append
     >>> out["decisions"]   # (doc_id, kept, dup_of) for every new doc
+
+    Id contract: doc ids are caller-managed and must be unique across
+    the store's whole lifetime (e.g. a url_hash) — re-indexing a corpus
+    or re-adding an already-stored id appends a SECOND signature row
+    for that id (the store does not scan itself per batch to police
+    this; at 10^10 stored docs that check would cost a full store scan
+    per add). An exact re-add is normally caught anyway — it verifies
+    as a duplicate of its stored self and is dropped.
     """
 
     def __init__(self, spark, root: str, *,
@@ -130,6 +138,8 @@ class MinHashStore:
         self._delta = SnapshotTable(spark, root, "bands_delta")
         self._mins = SnapshotTable(spark, root, "mins")
         self._cached: "list[DataFrame]" = []
+        self._pinned: "list[DataFrame]" = []
+        self._heal_tables()
 
     # -- persistence helpers ------------------------------------------------
 
@@ -150,17 +160,63 @@ class MinHashStore:
                 f"pinned id type {self._meta['id_type']}")
         return idt
 
+    def _record_table_state(self) -> None:
+        """Record the three tables' current snapshot ids in meta, LAST
+        in every multi-table commit sequence — the cross-table
+        consistency marker `_heal_tables` checks on open."""
+        self._meta["table_state"] = {
+            t.name: t.current_snapshot_id()
+            for t in (self._base, self._delta, self._mins)}
+        self._save_meta()
+
+    def _heal_tables(self) -> None:
+        """A batch commit touches up to three SnapshotTables; each swap
+        is atomic but the SEQUENCE is not — a crash mid-sequence leaves
+        e.g. bands without matching mins, which silently breaks
+        estimate-verify (the candidate join just loses the pair). On
+        open, roll every table back to the state meta recorded after
+        the last COMPLETE sequence: a half-committed batch is treated
+        as never-happened (the caller re-adds it), which is the only
+        consistent interpretation."""
+        recorded = self._meta.get("table_state") or {}
+        for t in (self._base, self._delta, self._mins):
+            want, have = recorded.get(t.name), t.current_snapshot_id()
+            if have != want:
+                t.rollback(want)
+
+    def _id_type(self) -> str:
+        # placeholder for a store no write has pinned yet: there are no
+        # rows, so the type only has to parse (stored_bands() on a
+        # fresh store returns a typed empty frame instead of crashing
+        # on 'doc_id None')
+        return self._meta["id_type"] or "string"
+
     def _bands_schema(self) -> str:
-        return f"band string, doc_id {self._meta['id_type']}"
+        return f"band string, doc_id {self._id_type()}"
 
     def _mins_schema(self) -> str:
         cols = ", ".join(f"m{j} string" for j in range(self.k))
-        return f"doc_id {self._meta['id_type']}, {cols}"
+        return f"doc_id {self._id_type()}, {cols}"
 
     def _cache(self, df: DataFrame) -> DataFrame:
         df = df.cache()
         self._cached.append(df)
         return df
+
+    def _release_batch_intermediates(self) -> None:
+        """Unpersist the PREVIOUS batch's plain caches (they recompute
+        from the caller's inputs if ever referenced again) but keep the
+        truncated evidence checkpoints pinned: their lineage is cut, so
+        unpersisting them would break the decisions/kept DataFrames
+        returned to the caller. Checkpoints are pair-list-sized, so the
+        pinned set grows with evidence, not with corpus — close()
+        releases those too."""
+        for df in self._cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._cached = []
 
     def _truncate(self, df: DataFrame) -> DataFrame:
         """Materialize a TINY evidence table and cut its lineage (the
@@ -179,19 +235,20 @@ class MinHashStore:
             out = df.checkpoint(eager=True)
         else:
             out = df.localCheckpoint(eager=True)
-        self._cached.append(out)
+        self._pinned.append(out)
         return out
 
     def close(self) -> None:
         """Unpersist every intermediate this store cached or
         checkpointed. DataFrames returned by earlier add_batch calls
         may recompute or become invalid afterwards."""
-        for df in self._cached:
+        self._release_batch_intermediates()
+        for df in self._pinned:
             try:
                 df.unpersist()
             except Exception:
                 pass
-        self._cached = []
+        self._pinned = []
 
     # -- signature pipeline (shared with the batch family) -------------------
 
@@ -250,7 +307,7 @@ class MinHashStore:
                 mode="replace")
         self._mins.commit(mins, mode="append")
         self._meta["batches_since_compact"] = 0
-        self._save_meta()
+        self._record_table_state()
 
     # -- the incremental step --------------------------------------------------
 
@@ -291,6 +348,11 @@ class MinHashStore:
                              "stored docs' text); use verify='estimate'"
                              " to run from stored signatures alone")
         self._pin_id_type(df, id_col)
+        # release the PREVIOUS batch's plain caches (finding: a
+        # long-lived per-round store otherwise pins ~7 intermediates
+        # per batch forever); truncated evidence stays pinned — see
+        # _release_batch_intermediates
+        self._release_batch_intermediates()
         ids = self._cache(
             df.select(F.col(id_col).alias("doc_id")).distinct())
         sh, mins, sig, bands_new = self._sig_parts(df, id_col, text_col)
@@ -313,7 +375,10 @@ class MinHashStore:
                             F.col("doc_id").alias("old_id"))
             c = n.join(o, "band").select("new_id", "old_id")
             cands_no = c if cands_no is None else cands_no.unionAll(c)
-        cands_no = cands_no.distinct()
+        # cached: in exact mode the probe is referenced twice (the pair
+        # list AND the old_ids feeding the corpus semi-join) — uncached
+        # the band join + distinct would execute twice per batch
+        cands_no = self._cache(cands_no.distinct())
 
         if verify == "exact":
             old_ids = cands_no.select(
@@ -324,7 +389,24 @@ class MinHashStore:
                        .join(old_ids, "doc_id", "left_semi"))
             sh_old = dedup.distinct_shingles(old_sub, "doc_id", "text",
                                              ngram=self.ngram)
-            arr_old = dedup.shingle_arrays(sh_old, "doc_id")
+            # a candidate stored doc MISSING from corpus_df (stale or
+            # filtered corpus, or its text shrank below the shingle
+            # size) must fail loudly: jaccard_verify's inner join would
+            # silently drop the pair and ADMIT the duplicate
+            missing_err = F.concat(
+                F.lit("MinHashStore exact verify: candidate stored doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" is missing from corpus_df (stale/filtered "
+                      "corpus, or text now shorter than the shingle "
+                      "size) — pass the corpus the store was built "
+                      "from, or use verify='estimate'"))
+            arr_old = (old_ids.join(
+                dedup.shingle_arrays(sh_old, "doc_id"), "doc_id", "left")
+                .select("doc_id",
+                        F.when(F.col("sh").isNull(),
+                               F.raise_error(missing_err)
+                               .cast("array<string>"))
+                        .otherwise(F.col("sh")).alias("sh")))
             v_no = dedup.jaccard_verify(
                 cands_no.select(F.col("new_id").alias("id_a"),
                                 F.col("old_id").alias("id_b")),
@@ -391,7 +473,7 @@ class MinHashStore:
             self._delta.commit(bands_kept, mode="append")
             self._mins.commit(mins_kept, mode="append")
             self._meta["batches_since_compact"] += 1
-            self._save_meta()
+            self._record_table_state()
             if self._meta["batches_since_compact"] >= self.compact_every:
                 self._compact()
 
@@ -416,4 +498,4 @@ class MinHashStore:
         self._mins.commit(self._mins.read(schema=self._mins_schema()),
                           mode="replace")
         self._meta["batches_since_compact"] = 0
-        self._save_meta()
+        self._record_table_state()

@@ -263,11 +263,19 @@ class SnapshotTable:
             {"id": m["id"], "lineage": m["lineage"]} for m in self.snapshots()
         ]
 
-    def rollback(self, snapshot_id: int) -> None:
+    def rollback(self, snapshot_id: "int | None") -> None:
         """Point CURRENT at an earlier snapshot (Iceberg
         `rollback_to_snapshot`). Data files and manifests are immutable,
         so this is just the atomic catalog swap; later snapshots remain
-        readable until expired."""
+        readable until expired. snapshot_id=None rolls back to the
+        never-committed state (CURRENT marker removed) — the heal path
+        for a crash during a table's very first commit sequence."""
+        if snapshot_id is None:
+            try:
+                os.remove(self._current_path())
+            except FileNotFoundError:
+                pass
+            return
         # manifest() raises ValueError for an unknown/expired explicit id
         self.manifest(snapshot_id)
         tmp = self._current_path() + ".tmp"

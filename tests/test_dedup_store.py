@@ -107,7 +107,10 @@ def test_compaction_cadence_and_bucketed_base(spark, corpus, tmp_path):
     b2 = spark.createDataFrame(
         [(41, "another wholly original sentence for the second batch")],
         "doc_id long, text string")
-    st.add_batch(b2, "doc_id", "text", corpus_df=corpus)
+    # corpus_df must cover everything stored so far: 41's text band-
+    # collides with 40's, and the stale-corpus guard (rightly) refuses
+    # to verify against a corpus that lacks the candidate
+    st.add_batch(b2, "doc_id", "text", corpus_df=corpus.unionAll(b))
     # cadence hit: deltas folded into the base, counter reset
     assert json.load(open(os.path.join(root, "meta.json")))[
         "batches_since_compact"] == 0
@@ -156,3 +159,78 @@ def test_decisions_deterministic_across_partitionings(spark, corpus,
                                  corpus_df=corpus))
     assert r1 == r2
     d1.close(); d2.close()
+
+
+def test_fresh_store_reads_empty(spark, tmp_path):
+    """stored_bands()/n_stored_docs() on a never-written store return
+    typed empties instead of crashing on a None id type (review
+    finding)."""
+    st = MinHashStore(spark, str(tmp_path / "s"))
+    assert st.n_stored_docs() == 0
+    base, delta = st.stored_bands()
+    assert base.columns == ["band", "doc_id"] and base.count() == 0
+    assert delta.count() == 0
+
+
+def test_exact_verify_raises_on_stale_corpus(spark, corpus, batch,
+                                             tmp_path):
+    """A candidate stored doc missing from corpus_df must fail LOUDLY —
+    the old inner join silently dropped the pair and admitted the
+    duplicate (review finding)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    st = MinHashStore(spark, str(tmp_path / "s"))
+    st.index_corpus(corpus, "doc_id", "text")
+    stale = corpus.filter("doc_id <> 1")  # doc 1 is batch 10/11's dup
+    # the raise can surface as a raw Py4JJavaError when it fires inside
+    # the evidence localCheckpoint action rather than a SQL collect
+    with pytest.raises((Py4JJavaError, PySparkException),
+                       match="candidate stored doc 1 is missing"):
+        st.add_batch(batch, "doc_id", "text",
+                     corpus_df=stale)["decisions"].collect()
+    st.close()
+
+
+def test_crash_window_heals_on_open(spark, corpus, tmp_path):
+    """A crash between the bands and mins commits leaves the tables
+    inconsistent (bands without minima silently lose estimate-verify
+    pairs); reopening rolls every table back to the last COMPLETE
+    commit sequence recorded in meta (review finding)."""
+    root = str(tmp_path / "s")
+    st = MinHashStore(spark, root)
+    st.index_corpus(corpus, "doc_id", "text")
+    good_delta_sid = st._delta.current_snapshot_id()
+    # simulate the torn commit: bands written, mins + meta never were
+    orphan = spark.createDataFrame([("deadbeef" * 4, 999)],
+                                   "band string, doc_id long")
+    st._delta.commit(orphan, mode="append")
+    assert st._delta.current_snapshot_id() != good_delta_sid
+    st2 = MinHashStore(spark, root)
+    assert st2._delta.current_snapshot_id() == good_delta_sid
+    _, delta = st2.stored_bands()
+    assert delta.filter("doc_id = 999").count() == 0
+    st.close(); st2.close()
+
+
+def test_batch_caches_released_and_prior_results_usable(spark, corpus,
+                                                        batch, tmp_path):
+    """add_batch releases the previous batch's plain caches (a
+    long-lived store must not pin intermediates forever) while earlier
+    batches' returned decisions stay collectable (they recompute or
+    read pinned evidence)."""
+    st = MinHashStore(spark, str(tmp_path / "s"))
+    st.index_corpus(corpus, "doc_id", "text")
+    out1 = st.add_batch(batch, "doc_id", "text", corpus_df=corpus)
+    n_cached_after_1 = len(st._cached)
+    b2 = spark.createDataFrame(
+        [(50, "wholly fresh words never before seen in this corpus")],
+        "doc_id long, text string")
+    out2 = st.add_batch(b2, "doc_id", "text",
+                        corpus_df=corpus.unionAll(out1["kept"]))
+    # previous batch's caches were dropped, this batch's took their place
+    assert len(st._cached) <= n_cached_after_1
+    assert _decisions(out2) == {50: (True, None)}
+    # batch-1 results still collectable after the release
+    assert _decisions(out1)[10] == (False, 1)
+    st.close()
