@@ -92,8 +92,11 @@ class MinHashStore:
     or re-adding an already-stored id appends a SECOND signature row
     for that id (the store does not scan itself per batch to police
     this; at 10^10 stored docs that check would cost a full store scan
-    per add). An exact re-add is normally caught anyway — it verifies
-    as a duplicate of its stored self and is dropped.
+    per add). Self-pairs (a new doc band-matching its own stored id)
+    are EXCLUDED from the evidence: the same id is the same document,
+    not a duplicate — which also makes a replayed add_batch reproduce
+    identical decisions, the property the streaming sink's exactly-once
+    contract rests on (see `stream_batch_id`).
     """
 
     def __init__(self, spark, root: str, *,
@@ -315,7 +318,8 @@ class MinHashStore:
                   corpus_df: Optional[DataFrame] = None,
                   verify: str = "exact",
                   threshold: Optional[float] = None,
-                  commit: bool = True) -> dict:
+                  commit: bool = True,
+                  stream_batch_id: Optional[int] = None) -> dict:
         """Dedup a new batch against the store AND itself, then commit
         the kept docs' signatures.
 
@@ -333,6 +337,15 @@ class MinHashStore:
         Batch ids must be unique: duplicate ids would merge their
         shingle sets into one frankendocument signature (run
         exact_dup_groups first if ids can repeat).
+
+        stream_batch_id (for foreachBatch sinks): the micro-batch id,
+        recorded in meta atomically with the commit's table state. A
+        REPLAYED batch (id <= the recorded one — Structured Streaming
+        batch ids are monotonic per query; run ONE query per store)
+        skips the commit but still computes decisions, and because
+        self-pairs are excluded those decisions are identical to the
+        original run's — add_batch is replay-idempotent, which is what
+        lets the streaming sink claim exactly-once output.
 
         Returns {"decisions": (doc_id, kept, dup_of) for every distinct
         batch id, "kept": the surviving batch rows, "pairs_new_old",
@@ -375,10 +388,21 @@ class MinHashStore:
                             F.col("doc_id").alias("old_id"))
             c = n.join(o, "band").select("new_id", "old_id")
             cands_no = c if cands_no is None else cands_no.unionAll(c)
-        # cached: in exact mode the probe is referenced twice (the pair
-        # list AND the old_ids feeding the corpus semi-join) — uncached
-        # the band join + distinct would execute twice per batch
-        cands_no = self._cache(cands_no.distinct())
+        # candidates whose stored side is a CURRENT-batch id are
+        # excluded: a self-pair is the same document (id contract), and
+        # a batch-mate's signature in the store only happens when a
+        # crashed run of THIS batch already committed — either way the
+        # pair belongs to the new-new path, and excluding it here is
+        # what makes a REPLAYED batch reproduce identical decisions
+        # (and keeps exact mode's stale-corpus guard from demanding
+        # batch docs in corpus_df on replay). cached: in exact mode the
+        # probe is referenced twice (the pair list AND the old_ids
+        # feeding the corpus semi-join) — uncached the band join +
+        # distinct would execute twice per batch
+        cands_no = self._cache(
+            cands_no.join(ids.select(F.col("doc_id").alias("old_id")),
+                          "old_id", "left_anti")
+            .distinct())
 
         if verify == "exact":
             old_ids = cands_no.select(
@@ -465,7 +489,11 @@ class MinHashStore:
             dropped.select(F.col("doc_id").alias(id_col)),
             id_col, "left_anti")
 
-        if commit:
+        replay = (stream_batch_id is not None
+                  and self._meta.get("last_stream_batch_id") is not None
+                  and stream_batch_id
+                  <= self._meta["last_stream_batch_id"])
+        if commit and not replay:
             keep_key = dropped.select("doc_id")
             bands_kept = self._unpivot(
                 sig.join(keep_key, "doc_id", "left_anti"))
@@ -473,6 +501,8 @@ class MinHashStore:
             self._delta.commit(bands_kept, mode="append")
             self._mins.commit(mins_kept, mode="append")
             self._meta["batches_since_compact"] += 1
+            if stream_batch_id is not None:
+                self._meta["last_stream_batch_id"] = stream_batch_id
             self._record_table_state()
             if self._meta["batches_since_compact"] >= self.compact_every:
                 self._compact()

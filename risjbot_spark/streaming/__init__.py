@@ -6,6 +6,7 @@ from .ops import (
     stream_exact_text_dedup,
     stream_quality_gate,
     stream_extract_articles,
+    incremental_dedup_sink,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "stream_exact_text_dedup",
     "stream_quality_gate",
     "stream_extract_articles",
+    "incremental_dedup_sink",
 ]

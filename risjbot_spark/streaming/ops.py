@@ -360,3 +360,44 @@ def fetch_rate_metrics(articles: DataFrame, window: str = "1 hour",
              F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("extracted"))
         .select(F.col("w.start").alias("win_start"), "host", "fetched", "extracted")
     )
+
+
+def incremental_dedup_sink(store, id_col: str, text_col: str, *,
+                           kept_path: str,
+                           verify: str = "estimate",
+                           corpus_df: "DataFrame | None" = None,
+                           threshold: "float | None" = None):
+    """foreachBatch sink running the incremental MinHash store per
+    micro-batch — the continuous-ingest form of cross-batch dedup
+    (dedup_store.MinHashStore): each arriving batch is dedup'd against
+    everything ever kept, survivors land under
+    `kept_path/batch=<micro-batch id>/` and their signatures are
+    committed to the store, so later batches see them.
+
+    Exactly-once: the kept output is written per-batch-directory with
+    OVERWRITE (idempotent), the store commit records the micro-batch id
+    atomically with its table state and skips replays, and add_batch's
+    decisions are replay-stable (self-pairs excluded — see the store's
+    docstring). A crashed batch therefore reproduces byte-identical
+    output and store state when Structured Streaming replays it. Run
+    ONE streaming query per store (batch ids are monotonic per query).
+
+    verify defaults to "estimate" (stored-minima agreement): a stream
+    has no authoritative old-corpus DataFrame at hand; pass corpus_df
+    (and verify="exact") when one exists. Returns the function to pass
+    to `writeStream.foreachBatch(...)`.
+
+    Usage:
+        q = (docs_stream.writeStream
+             .foreachBatch(incremental_dedup_sink(
+                 store, "doc_id", "text", kept_path="/data/kept"))
+             .option("checkpointLocation", ckpt).start())
+    """
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        out = store.add_batch(batch_df, id_col, text_col,
+                              corpus_df=corpus_df, verify=verify,
+                              threshold=threshold,
+                              stream_batch_id=int(batch_id))
+        (out["kept"].write.mode("overwrite")
+         .parquet(f"{kept_path}/batch={int(batch_id)}"))
+    return run

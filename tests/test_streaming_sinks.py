@@ -433,3 +433,69 @@ def test_stream_quality_gate(spark, tmp_path):
     assert out[1]["eval_hit_frac"] == 0.0
     assert out[1]["n_tokens"] == 20
     assert out[6]["eval_hit_frac"] is None       # unjudgeable → passes
+
+
+def test_incremental_dedup_sink_stream(spark, tmp_path):
+    """Streaming twin of the incremental MinHash store: docs arrive as
+    file micro-batches (maxFilesPerTrigger=1 forces several), each is
+    dedup'd vs everything ever kept via foreachBatch, survivors land in
+    per-batch dirs. Then exactly-once: replaying a committed batch
+    (same batch_id) reproduces byte-identical kept output and leaves
+    the store untouched."""
+    import glob
+
+    from risjbot_spark.dedup_store import MinHashStore
+    from risjbot_spark.streaming import incremental_dedup_sink
+
+    src = str(tmp_path / "docs_src")
+    # file 0: two docs; file 1 (later batch): one dup of doc 1 + one new
+    f0 = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog every day"),
+        (2, "completely different text about spark and shuffles here"),
+    ], "doc_id long, text string")
+    f1 = spark.createDataFrame([
+        (10, "the quick brown fox jumps over the lazy dog every day"),
+        (11, "a wholly new document with fresh words nobody wrote yet"),
+    ], "doc_id long, text string")
+    f0.coalesce(1).write.mode("overwrite").parquet(src + "/f0")
+    f1.coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+    # one flat dir of files so the file source sees them as one table
+    flat = str(tmp_path / "flat")
+    import os as _os
+    import shutil as _sh
+    _os.makedirs(flat)
+    for i, d in enumerate(("f0", "f1")):
+        part = [p for p in glob.glob(f"{src}/{d}/part-*")
+                if not p.endswith(".crc")][0]
+        _sh.copy(part, f"{flat}/{i:02d}.parquet")
+
+    store = MinHashStore(spark, str(tmp_path / "store"))
+    kept_path = str(tmp_path / "kept")
+    sink = incremental_dedup_sink(store, "doc_id", "text",
+                                  kept_path=kept_path)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    _run_stream(q)
+
+    kept = spark.read.parquet(kept_path + "/batch=*")
+    got = sorted(r["doc_id"] for r in kept.collect())
+    # doc 10 is a dup of doc 1 (kept in an earlier micro-batch)
+    assert got == [1, 2, 11]
+    assert store.n_stored_docs() == 3
+    meta_last = store._meta["last_stream_batch_id"]
+
+    # replay the LAST batch verbatim (crash-after-commit scenario):
+    # identical kept output, store unchanged, no new snapshots
+    delta_sid = store._delta.current_snapshot_id()
+    last_file = sorted(glob.glob(flat + "/*.parquet"))[-1]
+    sink(spark.read.parquet(last_file), meta_last)
+    assert store._delta.current_snapshot_id() == delta_sid
+    assert store.n_stored_docs() == 3
+    kept2 = sorted(r["doc_id"]
+                   for r in spark.read.parquet(kept_path + "/batch=*")
+                   .collect())
+    assert kept2 == [1, 2, 11]
+    store.close()
