@@ -196,7 +196,8 @@ def main() -> None:
         "ngram_jaccard_pairs", "dedup_clusters", "incremental_dedup",
         "simhash_dup_pairs", "embedding_near_dup",
         "ann_cosine_topk", "ivf_assign", "ivf_search", "ivf_kmeans",
-        "ivf_kmeans_search", "ivf_batch_search", "lang_id",
+        "ivf_kmeans_search", "ivf_batch_search", "ivf_store_search",
+        "lang_id",
         "doc_fingerprint",
         "quality_score", "token_count",
         "repetition_signals", "decontaminate",

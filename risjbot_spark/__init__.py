@@ -29,6 +29,9 @@ Layout:
              new batches dedup vs the curated corpus in O(batch)
   ann.py     similarity-search library (brute cosine, sign-LSH,
              Lloyd k-means IVF build/search, kNN vote)
+  ann_store.py  incremental IVF vector store: persisted k-means index,
+             assignment-only adds, partition-pruned probe scans,
+             imbalance-driven rebuild
 """
 
 __version__ = "0.1.0"

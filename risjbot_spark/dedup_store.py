@@ -59,8 +59,6 @@ engine's own snapshot-store machinery.
 
 from __future__ import annotations
 
-import json
-import os
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -68,6 +66,7 @@ from pyspark.sql import functions as F
 
 from . import dedup
 from .store import SnapshotTable
+from .store.pinned import PinnedStore
 
 __all__ = ["MinHashStore"]
 
@@ -77,7 +76,7 @@ _DEFAULTS = {"ngram": 3, "num_bands": 2, "rows_per_band": 3,
              "n_buckets": 32, "threshold": 0.5, "compact_every": 4}
 
 
-class MinHashStore:
+class MinHashStore(PinnedStore):
     """Persisted MinHash signature store for incremental dedup.
 
     >>> store = MinHashStore(spark, "/data/minhash_store")
@@ -99,6 +98,9 @@ class MinHashStore:
     contract rests on (see `stream_batch_id`).
     """
 
+    GEOMETRY = _GEOMETRY
+    DEFAULTS = _DEFAULTS
+
     def __init__(self, spark, root: str, *,
                  ngram: Optional[int] = None,
                  num_bands: Optional[int] = None,
@@ -108,91 +110,26 @@ class MinHashStore:
                  compact_every: Optional[int] = None,
                  max_cc_iters: int = 12,
                  checkpoint_dir: Optional[str] = None):
-        self.spark = spark
-        self.root = root
-        os.makedirs(root, exist_ok=True)
-        self._meta_path = os.path.join(root, "meta.json")
-        passed = {"ngram": ngram, "num_bands": num_bands,
-                  "rows_per_band": rows_per_band, "n_buckets": n_buckets,
-                  "threshold": threshold, "compact_every": compact_every}
-        if os.path.exists(self._meta_path):
-            with open(self._meta_path) as f:
-                self._meta = json.load(f)
-            clash = {p: (v, self._meta[p]) for p, v in passed.items()
-                     if v is not None and v != self._meta[p]}
-            if clash:
-                raise ValueError(
-                    "MinHashStore geometry is pinned at creation; "
-                    f"reopening {root} with conflicting arguments "
-                    f"{clash} (passed, stored) would silently mix "
-                    "incompatible signatures")
-        else:
-            self._meta = {p: (v if v is not None else _DEFAULTS[p])
-                          for p, v in passed.items()}
-            self._meta.update(
-                {"id_type": None, "batches_since_compact": 0})
+        super().__init__(
+            spark, root,
+            {"ngram": ngram, "num_bands": num_bands,
+             "rows_per_band": rows_per_band, "n_buckets": n_buckets,
+             "threshold": threshold, "compact_every": compact_every},
+            checkpoint_dir=checkpoint_dir)
+        if "batches_since_compact" not in self._meta:
+            self._meta["batches_since_compact"] = 0
             self._save_meta()
-        for p in _GEOMETRY:
-            setattr(self, p, self._meta[p])
         self.k = self.num_bands * self.rows_per_band
         self.max_cc_iters = max_cc_iters
-        self.checkpoint_dir = checkpoint_dir
         self._base = SnapshotTable(spark, root, "bands_base")
         self._delta = SnapshotTable(spark, root, "bands_delta")
         self._mins = SnapshotTable(spark, root, "mins")
-        self._cached: "list[DataFrame]" = []
-        self._pinned: "list[DataFrame]" = []
-        self._heal_tables()
+        # rollback-on-open heal: a crash between the bands and mins
+        # commits would otherwise leave band rows whose estimate-verify
+        # minima are missing (the candidate join silently loses pairs)
+        self._register_tables(self._base, self._delta, self._mins)
 
-    # -- persistence helpers ------------------------------------------------
-
-    def _save_meta(self) -> None:
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._meta, f, indent=1)
-        os.replace(tmp, self._meta_path)
-
-    def _pin_id_type(self, df: DataFrame, id_col: str) -> str:
-        idt = df.schema[id_col].dataType.simpleString()
-        if self._meta["id_type"] is None:
-            self._meta["id_type"] = idt
-            self._save_meta()
-        elif self._meta["id_type"] != idt:
-            raise ValueError(
-                f"id column type {idt} does not match the store's "
-                f"pinned id type {self._meta['id_type']}")
-        return idt
-
-    def _record_table_state(self) -> None:
-        """Record the three tables' current snapshot ids in meta, LAST
-        in every multi-table commit sequence — the cross-table
-        consistency marker `_heal_tables` checks on open."""
-        self._meta["table_state"] = {
-            t.name: t.current_snapshot_id()
-            for t in (self._base, self._delta, self._mins)}
-        self._save_meta()
-
-    def _heal_tables(self) -> None:
-        """A batch commit touches up to three SnapshotTables; each swap
-        is atomic but the SEQUENCE is not — a crash mid-sequence leaves
-        e.g. bands without matching mins, which silently breaks
-        estimate-verify (the candidate join just loses the pair). On
-        open, roll every table back to the state meta recorded after
-        the last COMPLETE sequence: a half-committed batch is treated
-        as never-happened (the caller re-adds it), which is the only
-        consistent interpretation."""
-        recorded = self._meta.get("table_state") or {}
-        for t in (self._base, self._delta, self._mins):
-            want, have = recorded.get(t.name), t.current_snapshot_id()
-            if have != want:
-                t.rollback(want)
-
-    def _id_type(self) -> str:
-        # placeholder for a store no write has pinned yet: there are no
-        # rows, so the type only has to parse (stored_bands() on a
-        # fresh store returns a typed empty frame instead of crashing
-        # on 'doc_id None')
-        return self._meta["id_type"] or "string"
+    # -- schemas ------------------------------------------------------------
 
     def _bands_schema(self) -> str:
         return f"band string, doc_id {self._id_type()}"
@@ -200,58 +137,6 @@ class MinHashStore:
     def _mins_schema(self) -> str:
         cols = ", ".join(f"m{j} string" for j in range(self.k))
         return f"doc_id {self._id_type()}, {cols}"
-
-    def _cache(self, df: DataFrame) -> DataFrame:
-        df = df.cache()
-        self._cached.append(df)
-        return df
-
-    def _release_batch_intermediates(self) -> None:
-        """Unpersist the PREVIOUS batch's plain caches (they recompute
-        from the caller's inputs if ever referenced again) but keep the
-        truncated evidence checkpoints pinned: their lineage is cut, so
-        unpersisting them would break the decisions/kept DataFrames
-        returned to the caller. Checkpoints are pair-list-sized, so the
-        pinned set grows with evidence, not with corpus — close()
-        releases those too."""
-        for df in self._cached:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
-        self._cached = []
-
-    def _truncate(self, df: DataFrame) -> DataFrame:
-        """Materialize a TINY evidence table and cut its lineage (the
-        connected_components device): pair/decision tables are a few
-        rows, but their logical plans embed the whole
-        shingle→band→probe→verify pipeline — and when a later batch's
-        corpus_df includes an earlier batch's `kept` output, plans
-        would COMPOUND across batches until the planner itself OOMs
-        (measured: a 2-doc second batch blew a 1 GiB driver heap).
-        Reliable `spark.checkpoint()` when checkpoint_dir is set
-        (cluster-durable); localCheckpoint otherwise (executor-
-        memory-resident, the single-node default)."""
-        if self.checkpoint_dir is not None:
-            df.sparkSession.sparkContext.setCheckpointDir(
-                self.checkpoint_dir)
-            out = df.checkpoint(eager=True)
-        else:
-            out = df.localCheckpoint(eager=True)
-        self._pinned.append(out)
-        return out
-
-    def close(self) -> None:
-        """Unpersist every intermediate this store cached or
-        checkpointed. DataFrames returned by earlier add_batch calls
-        may recompute or become invalid afterwards."""
-        self._release_batch_intermediates()
-        for df in self._pinned:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
-        self._pinned = []
 
     # -- signature pipeline (shared with the batch family) -------------------
 

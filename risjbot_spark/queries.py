@@ -1032,6 +1032,32 @@ def q_ivf_batch_search(spark, sf):
         _kmeans_cents(spark, sf), qs, nprobe=3, k=5)
 
 
+def q_ivf_store_search(spark, sf):
+    """Incremental IVF store applied end-to-end via ann_store.IVFStore:
+    the index is BUILT (Lloyd k-means) on vec_id % 3 != 0 only, the
+    remaining vectors are ADDED by assignment alone (broadcast argmin —
+    no rebuild, no shuffle of the vector side), then a top-10 nprobe=3
+    search for vec 0's embedding runs over everything stored. The
+    vector table is hive-partitioned by cluster id, so the probe scans
+    only the 3 probed clusters' files (partition pruning,
+    plan-asserted). Store lives in a fresh /tmp dir once per
+    (session, sf) via the stage cache."""
+    def build():
+        import tempfile
+
+        from .ann_store import IVFStore
+        e = _t(spark, sf, "embeddings")
+        st = IVFStore(
+            spark, tempfile.mkdtemp(prefix="risjbot_ivfstore_q_"))
+        st.build(e.filter("vec_id % 3 != 0"), "vec_id", "embedding")
+        st.add_batch(e.filter("vec_id % 3 = 0 and vec_id != 0"),
+                     "vec_id", "embedding")
+        q = (e.filter(F.col("vec_id") == 0)
+             .select(ann.as_double_vec("embedding").alias("qv")))
+        return st.search(q, nprobe=3, k=10)
+    return _cached_stage(spark, sf, "ivf_store_search", build)
+
+
 def q_ann_lsh_bucket(spark, sf):
     """LSH-bucketed ANN scale path: sign pattern over _EMB_LSH_BITS
     fixed hyperplanes (axis-aligned → deterministic and SQL-portable);
@@ -1203,6 +1229,7 @@ QUERIES = {
     "ivf_kmeans": q_ivf_kmeans,
     "ivf_kmeans_search": q_ivf_kmeans_search,
     "ivf_batch_search": q_ivf_batch_search,
+    "ivf_store_search": q_ivf_store_search,
     "knn_label_vote": q_knn_label_vote,
     "binary_meta": q_binary_meta,
 }
@@ -1355,6 +1382,44 @@ c{it} AS (
 
 
 _KMEANS_CTES, _KMEANS_FINAL = _kmeans_cte()
+
+
+def _kmeans_subset_cte(where: str) -> tuple[str, str]:
+    """Like _kmeans_cte, but Lloyd runs over the `where` subset of the
+    embeddings (the IVF store's BUILD corpus) — seeds are the k
+    smallest ids OF THE SUBSET with centroid index = rank among them,
+    mirroring ann.kmeans' row_number seeding when ids are not dense."""
+    parts = [f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+eb AS (SELECT * FROM e WHERE {where}),
+s0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid,
+         emb AS cvec
+  FROM (SELECT * FROM eb ORDER BY vec_id LIMIT {_KMEANS_K}))"""]
+    prev = "s0"
+    for it in range(1, _KMEANS_ITERS + 1):
+        parts.append(f"""sa{it} AS (
+  SELECT vec_id, emb, centroid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d ASC, centroid ASC) AS rn
+  FROM (SELECT eb.vec_id, eb.emb, c.centroid,
+               list_sum(list_transform(list_zip(eb.emb, c.cvec),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+        FROM eb CROSS JOIN {prev} c)),
+s{it} AS (
+  SELECT centroid, list(c ORDER BY pos) AS cvec FROM (
+    SELECT centroid, pos, round(avg(v), 6) AS c
+    FROM (SELECT centroid, unnest(emb) AS v,
+                 generate_subscripts(emb, 1) AS pos
+          FROM sa{it} WHERE rn = 1)
+    GROUP BY centroid, pos)
+  GROUP BY centroid)""")
+        prev = f"s{it}"
+    return ",\n".join(parts), prev
+
+
+_KMEANS_SUB_CTES, _KMEANS_SUB_FINAL = _kmeans_subset_cte("vec_id % 3 <> 0")
 
 
 def _emb_bucket_sql(col: str, bits: int = _EMB_LSH_BITS) -> str:
@@ -2128,6 +2193,39 @@ ORACLE_SQL = {
           ON e.vec_id = a.vec_id
         JOIN topc ON a.cluster = topc.cluster, q
         WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""",
+    # incremental IVF store mirrored: centroids from Lloyd over the
+    # BUILD subset only (vec_id % 3 <> 0, row_number seeding), every
+    # stored vector (build + assignment-only adds = all <> 0) assigned
+    # to those FINAL centroids, probe the 3 nearest the query, exact
+    # cosine top-10 within
+    "ivf_store_search": f"""
+        WITH {_KMEANS_SUB_CTES},
+        af AS (
+          SELECT vec_id, centroid AS cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d ASC, centroid ASC) AS rn
+          FROM (SELECT v.vec_id, c.centroid,
+                       list_sum(list_transform(list_zip(v.emb, c.cvec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+                FROM (SELECT * FROM e WHERE vec_id <> 0) v
+                CROSS JOIN {_KMEANS_SUB_FINAL} c)),
+        q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+        topc AS (
+          SELECT centroid AS cluster
+          FROM {_KMEANS_SUB_FINAL}, q
+          ORDER BY list_dot_product(cvec, qv)
+                   / (sqrt(list_dot_product(cvec, cvec))
+                      * sqrt(list_dot_product(qv, qv))) DESC, centroid ASC
+          LIMIT 3)
+        SELECT e.vec_id,
+               round(list_dot_product(emb, qv)
+                     / (sqrt(list_dot_product(emb, emb))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+        FROM e
+        JOIN (SELECT vec_id, cluster FROM af WHERE rn = 1) a
+          ON e.vec_id = a.vec_id
+        JOIN topc ON a.cluster = topc.cluster, q
         ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""",
     "ivf_batch_search": f"""
         WITH {_KMEANS_CTES},

@@ -1,0 +1,90 @@
+"""Incremental IVF vector store: build/add/search parity with the
+one-shot ann.ivf_search, assignment-only adds (counts + imbalance
+tracking), rebuild, geometry/id pinning via PinnedStore, and the
+partition-pruned probe scan."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from risjbot_spark import ann
+from risjbot_spark.ann_store import IVFStore
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def query(spark, emb):
+    return (emb.filter("vec_id = 0")
+            .select(ann.as_double_vec("embedding").alias("qv")))
+
+
+def test_build_add_search_matches_oneshot(spark, emb, query, tmp_path):
+    st = IVFStore(spark, str(tmp_path / "ivf"))
+    st.build(emb.filter("vec_id % 3 != 0"), "vec_id", "embedding")
+    n_built = st.n_stored_vectors()
+    out = st.add_batch(emb.filter("vec_id % 3 = 0 AND vec_id != 0"),
+                       "vec_id", "embedding")
+    assert st.n_stored_vectors() > n_built
+    assert out["imbalance"] >= 1.0 and not out["needs_rebuild"]
+    got = [tuple(r) for r in st.search(query, nprobe=3, k=10).collect()]
+    # parity: the store's partitioned probe == one-shot ivf_search over
+    # the same centroids and the same full vector set
+    ref = [tuple(r) for r in ann.ivf_search(
+        emb.filter("vec_id != 0"), "vec_id", "embedding",
+        st.centroids(), query, nprobe=3, k=10).collect()]
+    assert got == ref and len(got) == 10
+    st.close()
+
+
+def test_vectors_partitioned_by_cid(spark, emb, tmp_path):
+    root = str(tmp_path / "ivf")
+    st = IVFStore(spark, root)
+    st.build(emb.filter("vec_id % 3 != 0"), "vec_id", "embedding")
+    # hive layout: cid=<n> directories under the vectors snapshot dir
+    dirs = glob.glob(os.path.join(root, "vectors",
+                                  "snap-*", "cid=*"))
+    assert len(dirs) == st.k
+    st.close()
+
+
+def test_rebuild_after_drift(spark, emb, tmp_path):
+    st = IVFStore(spark, str(tmp_path / "ivf"), rebuild_imbalance=1.01)
+    st.build(emb.filter("vec_id < 60"), "vec_id", "embedding")
+    # pile everything else on: assignment-only adds drift the counts
+    out = st.add_batch(emb.filter("vec_id >= 60"), "vec_id",
+                       "embedding")
+    assert out["needs_rebuild"]
+    n = st.n_stored_vectors()
+    st.rebuild()
+    assert st.n_stored_vectors() == n
+    # counts were recomputed from the full reassignment
+    assert sum(st._meta["counts"].values()) == n
+    q = (emb.filter("vec_id = 0")
+         .select(ann.as_double_vec("embedding").alias("qv")))
+    assert st.search(q, k=5).count() == 5
+    st.close()
+
+
+def test_pinning_inherited(spark, emb, tmp_path):
+    root = str(tmp_path / "ivf")
+    st = IVFStore(spark, root, k=5)
+    st.build(emb.filter("vec_id % 3 != 0"), "vec_id", "embedding")
+    st2 = IVFStore(spark, root)
+    assert st2.k == 5
+    with pytest.raises(ValueError, match="geometry is pinned"):
+        IVFStore(spark, root, k=7)
+    sdf = spark.createDataFrame([("a", [0.1, 0.2])],
+                                "vec_id string, embedding array<double>")
+    with pytest.raises(ValueError, match="pinned id type"):
+        st2.add_batch(sdf, "vec_id", "embedding")
+    # fresh store reads typed empties
+    st3 = IVFStore(spark, str(tmp_path / "fresh"))
+    assert st3.n_stored_vectors() == 0
+    assert st3.vectors().count() == 0 and st3.centroids().count() == 0
+    st.close()

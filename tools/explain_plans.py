@@ -269,6 +269,29 @@ def main() -> None:
           "probe exchanges the BATCH side only — store side in place")
     _mst.close()
 
+    # --- IVF store search: the vector table is hive-partitioned by
+    # cluster id and the probe list is a literal IN filter, so the scan
+    # PRUNES to the probed clusters' partitions — the other K-nprobe
+    # clusters' files are never opened
+    from risjbot_spark import ann
+    from risjbot_spark.ann_store import IVFStore
+    _ivf = IVFStore(spark, tempfile.mkdtemp(prefix="plans_ivfstore_"))
+    _emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    _ivf.build(_emb.filter("vec_id % 3 != 0"), "vec_id", "embedding")
+    _ivf.add_batch(_emb.filter("vec_id % 3 = 0 AND vec_id != 0"),
+                   "vec_id", "embedding")
+    _q = (_emb.filter("vec_id = 0")
+          .select(ann.as_double_vec("embedding").alias("qv")))
+    p = plan_of(_ivf.search(_q, nprobe=3, k=10))
+    sections.append(("ivf_store_search (partition-pruned probe scan)",
+                     p))
+    check("ivf_store_search",
+          re.search(r"PartitionFilters: \[[^\]]*cid", p) is not None,
+          "probe is a PartitionFilters pruned scan on cid")
+    check("ivf_store_search", "hashpartitioning(vec_id" not in p,
+          "vectors never shuffle — assignment was the broadcast argmin")
+    _ivf.close()
+
     # --- crawl round: one Python stage, pages never shuffle
     pages_path = "/tmp/risjbot_plans_pages"
     if not os.path.exists(pages_path + "/_SUCCESS"):
