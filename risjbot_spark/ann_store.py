@@ -67,12 +67,13 @@ class IVFStore(PinnedStore):
                  quantize: Optional[int] = None,
                  nprobe: Optional[int] = None,
                  rebuild_imbalance: Optional[float] = None,
-                 checkpoint_dir: Optional[str] = None):
+                 checkpoint_dir: Optional[str] = None,
+                 adopt_tables: bool = False):
         super().__init__(
             spark, root,
             {"k": k, "iters": iters, "quantize": quantize,
              "nprobe": nprobe, "rebuild_imbalance": rebuild_imbalance},
-            checkpoint_dir=checkpoint_dir)
+            checkpoint_dir=checkpoint_dir, adopt_tables=adopt_tables)
         if "counts" not in self._meta:
             self._meta["counts"] = {}
             self._save_meta()
@@ -97,13 +98,18 @@ class IVFStore(PinnedStore):
     # -- index health ----------------------------------------------------------
 
     def imbalance(self) -> float:
-        """max/mean of the per-cluster counts (1.0 = perfectly even;
-        grows as assignment-only adds drift from the built
-        distribution)."""
-        counts = [n for n in self._meta["counts"].values() if n]
-        if not counts:
+        """max over per-cluster counts / (total / k) — 1.0 = perfectly
+        even; grows as assignment-only adds drift from the built
+        distribution. The mean divides by K, not by the number of
+        NON-EMPTY clusters: a degenerate build that left 9 of 10
+        clusters empty is the worst skew there is (search degrades to a
+        full scan of the one live cluster), and must read as 10.0, not
+        1.0."""
+        counts = list(self._meta["counts"].values())
+        total = sum(counts)
+        if not total:
             return 1.0
-        return max(counts) / (sum(counts) / len(counts))
+        return max(counts) / (total / self.k)
 
     def needs_rebuild(self) -> bool:
         return self.imbalance() > self.rebuild_imbalance
@@ -130,15 +136,19 @@ class IVFStore(PinnedStore):
         iteration — see ann.kmeans), then commit centroids + the
         cid-partitioned vector table. Replaces any existing index."""
         self._pin_id_type(df, id_col)
+        self._release_batch_intermediates()
         cents = ann.kmeans(df, id_col, vec_col, k=self.k,
                            iters=self.iters, quantize=self.quantize)
         assigned = self._cache(self._assigned(df, id_col, vec_col, cents))
-        self._cents.commit(cents, mode="replace")
-        self._vecs.commit(assigned, mode="replace",
-                          partition_by=["cid"])
-        self._meta["counts"] = {}
-        self._merge_counts(assigned)
-        self._record_table_state()
+
+        def commit():
+            self._cents.commit(cents, mode="replace")
+            self._vecs.commit(assigned, mode="replace",
+                              partition_by=["cid"])
+            self._meta["counts"] = {}
+            self._merge_counts(assigned)
+            self._record_table_state()
+        self._consistent_commit(commit)
 
     def add_batch(self, df: DataFrame, id_col: str,
                   vec_col: str) -> dict:
@@ -146,15 +156,30 @@ class IVFStore(PinnedStore):
         argmin expression — O(batch), zero shuffle of the vector side)
         and append them to their clusters' partitions. Returns
         {"assigned": ..., "imbalance": ..., "needs_rebuild": ...}."""
+        self._require_built("add_batch")
         self._pin_id_type(df, id_col)
         self._release_batch_intermediates()
         cents = self.centroids()
         assigned = self._cache(self._assigned(df, id_col, vec_col, cents))
-        self._vecs.commit(assigned, mode="append", partition_by=["cid"])
-        self._merge_counts(assigned)
-        self._record_table_state()
+
+        def commit():
+            self._vecs.commit(assigned, mode="append",
+                              partition_by=["cid"])
+            self._merge_counts(assigned)
+            self._record_table_state()
+        self._consistent_commit(commit)
         return {"assigned": assigned, "imbalance": self.imbalance(),
                 "needs_rebuild": self.needs_rebuild()}
+
+    def _require_built(self, op: str) -> None:
+        # without centroids, assign_nearest's argmin over an EMPTY
+        # broadcast array is null: every vector would land in a
+        # cid=null hive partition that no literal probe list ever
+        # selects — silently black-holed. Fail loudly instead.
+        if self._cents.current_snapshot_id() is None:
+            raise RuntimeError(
+                f"IVFStore.{op}: no index built yet — call build() "
+                "with the initial corpus first")
 
     def rebuild(self) -> None:
         """Re-run Lloyd over everything stored and reassign — the
@@ -174,6 +199,7 @@ class IVFStore(PinnedStore):
         cid filter is a literal IN list Spark can prune partitions
         with, which is the point of the inverted file: the other
         K-nprobe clusters' files are never opened."""
+        self._require_built("search")
         npr = self.nprobe if nprobe is None else nprobe
         q = query.select(F.col(query_vec_col).alias("qv"))
         probes = [

@@ -109,13 +109,14 @@ class MinHashStore(PinnedStore):
                  threshold: Optional[float] = None,
                  compact_every: Optional[int] = None,
                  max_cc_iters: int = 12,
-                 checkpoint_dir: Optional[str] = None):
+                 checkpoint_dir: Optional[str] = None,
+                 adopt_tables: bool = False):
         super().__init__(
             spark, root,
             {"ngram": ngram, "num_bands": num_bands,
              "rows_per_band": rows_per_band, "n_buckets": n_buckets,
              "threshold": threshold, "compact_every": compact_every},
-            checkpoint_dir=checkpoint_dir)
+            checkpoint_dir=checkpoint_dir, adopt_tables=adopt_tables)
         if "batches_since_compact" not in self._meta:
             self._meta["batches_since_compact"] = 0
             self._save_meta()
@@ -186,16 +187,20 @@ class MinHashStore(PinnedStore):
         self._pin_id_type(df, id_col)
         base, delta = self.stored_bands()
         _, mins, _, bands = self._sig_parts(df, id_col, text_col)
-        self._base.commit(base.unionAll(delta).unionAll(bands),
-                          mode="replace", bucket_by="band",
-                          n_buckets=self.n_buckets)
-        if self._delta.current_snapshot_id() is not None:
-            self._delta.commit(
-                self.spark.createDataFrame([], self._bands_schema()),
-                mode="replace")
-        self._mins.commit(mins, mode="append")
-        self._meta["batches_since_compact"] = 0
-        self._record_table_state()
+
+        def commit():
+            self._base.commit(base.unionAll(delta).unionAll(bands),
+                              mode="replace", bucket_by="band",
+                              n_buckets=self.n_buckets)
+            if self._delta.current_snapshot_id() is not None:
+                self._delta.commit(
+                    self.spark.createDataFrame(
+                        [], self._bands_schema()),
+                    mode="replace")
+            self._mins.commit(mins, mode="append")
+            self._meta["batches_since_compact"] = 0
+            self._record_table_state()
+        self._consistent_commit(commit)
 
     # -- the incremental step --------------------------------------------------
 
@@ -383,12 +388,20 @@ class MinHashStore(PinnedStore):
             bands_kept = self._unpivot(
                 sig.join(keep_key, "doc_id", "left_anti"))
             mins_kept = mins.join(keep_key, "doc_id", "left_anti")
-            self._delta.commit(bands_kept, mode="append")
-            self._mins.commit(mins_kept, mode="append")
-            self._meta["batches_since_compact"] += 1
-            if stream_batch_id is not None:
-                self._meta["last_stream_batch_id"] = stream_batch_id
-            self._record_table_state()
+
+            def do_commit():
+                self._delta.commit(bands_kept, mode="append")
+                self._mins.commit(mins_kept, mode="append")
+                self._meta["batches_since_compact"] += 1
+                if stream_batch_id is not None:
+                    self._meta["last_stream_batch_id"] = stream_batch_id
+                self._record_table_state()
+            # heal-on-failure: a caller keeping THIS object after a
+            # failed commit (a restarted streaming query holding the
+            # store in its closure) must not re-append on top of a
+            # half-committed batch — __init__'s heal only covers
+            # process restarts
+            self._consistent_commit(do_commit)
             if self._meta["batches_since_compact"] >= self.compact_every:
                 self._compact()
 
@@ -405,12 +418,17 @@ class MinHashStore(PinnedStore):
         file count. Snapshot data dirs are immutable, so read-then-
         replace is safe; failed compactions leave CURRENT untouched."""
         base, delta = self.stored_bands()
-        self._base.commit(base.unionAll(delta), mode="replace",
-                          bucket_by="band", n_buckets=self.n_buckets)
-        self._delta.commit(
-            self.spark.createDataFrame([], self._bands_schema()),
-            mode="replace")
-        self._mins.commit(self._mins.read(schema=self._mins_schema()),
-                          mode="replace")
-        self._meta["batches_since_compact"] = 0
-        self._record_table_state()
+
+        def commit():
+            self._base.commit(base.unionAll(delta), mode="replace",
+                              bucket_by="band",
+                              n_buckets=self.n_buckets)
+            self._delta.commit(
+                self.spark.createDataFrame([], self._bands_schema()),
+                mode="replace")
+            self._mins.commit(
+                self._mins.read(schema=self._mins_schema()),
+                mode="replace")
+            self._meta["batches_since_compact"] = 0
+            self._record_table_state()
+        self._consistent_commit(commit)

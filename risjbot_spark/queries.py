@@ -1349,39 +1349,7 @@ v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM th GROUP BY doc_id),
 fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM v)
 SELECT doc_id, simhash FROM fp ORDER BY doc_id"""
 
-def _kmeans_cte() -> tuple[str, str]:
-    """Unrolled Lloyd iterations as DuckDB CTEs — mechanically mirrors
-    _kmeans_cents (seeded init, argmin assignment with centroid-id tie
-    break, per-iteration round(avg, 6) quantization)."""
-    parts = [f"""e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-  FROM embeddings),
-c0 AS (
-  SELECT CAST(vec_id AS INT) AS centroid, emb AS cvec
-  FROM e WHERE vec_id < {_KMEANS_K})"""]
-    prev = "c0"
-    for it in range(1, _KMEANS_ITERS + 1):
-        parts.append(f"""a{it} AS (
-  SELECT vec_id, emb, centroid,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY d ASC, centroid ASC) AS rn
-  FROM (SELECT e.vec_id, e.emb, c.centroid,
-               list_sum(list_transform(list_zip(e.emb, c.cvec),
-                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-        FROM e CROSS JOIN {prev} c)),
-c{it} AS (
-  SELECT centroid, list(c ORDER BY pos) AS cvec FROM (
-    SELECT centroid, pos, round(avg(v), 6) AS c
-    FROM (SELECT centroid, unnest(emb) AS v,
-                 generate_subscripts(emb, 1) AS pos
-          FROM a{it} WHERE rn = 1)
-    GROUP BY centroid, pos)
-  GROUP BY centroid)""")
-        prev = f"c{it}"
-    return ",\n".join(parts), prev
 
-
-_KMEANS_CTES, _KMEANS_FINAL = _kmeans_cte()
 
 
 def _kmeans_subset_cte(where: str) -> tuple[str, str]:
@@ -1419,6 +1387,12 @@ s{it} AS (
     return ",\n".join(parts), prev
 
 
+# the full-corpus Lloyd CTEs are the subset builder with WHERE true —
+# one generator, so the oracle kmeans (quantization, tie-break,
+# seeding) can never drift between the full and subset variants. For
+# dense 0-based vec_ids the row_number seeding equals the old
+# vec_id < K seeding.
+_KMEANS_CTES, _KMEANS_FINAL = _kmeans_subset_cte("true")
 _KMEANS_SUB_CTES, _KMEANS_SUB_FINAL = _kmeans_subset_cte("vec_id % 3 <> 0")
 
 

@@ -38,10 +38,12 @@ class PinnedStore:
     DEFAULTS: "dict[str, object]" = {}
 
     def __init__(self, spark, root: str, passed: dict, *,
-                 checkpoint_dir: Optional[str] = None):
+                 checkpoint_dir: Optional[str] = None,
+                 adopt_tables: bool = False):
         self.spark = spark
         self.root = root
         self.checkpoint_dir = checkpoint_dir
+        self._adopt_tables = adopt_tables
         os.makedirs(root, exist_ok=True)
         self._meta_path = os.path.join(root, "meta.json")
         if os.path.exists(self._meta_path):
@@ -90,12 +92,54 @@ class PinnedStore:
         """Roll every table back to the last COMPLETE commit sequence
         recorded in meta: a half-committed batch is treated as
         never-happened (the caller re-adds it), the only consistent
-        interpretation of a crash between table commits."""
-        recorded = self._meta.get("table_state") or {}
+        interpretation of a crash between table commits.
+
+        A meta WITHOUT any table_state record but WITH live snapshots
+        is ambiguous — a torn very-first commit (roll back to empty),
+        or a store written before consistency records existed (rolling
+        back would silently DESTROY it). Refuse and make the operator
+        choose: delete the store dir to rebuild, or adopt the current
+        snapshots as consistent via `adopt_tables=True`."""
+        recorded = self._meta.get("table_state")
+        if recorded is None:
+            live = [t.name for t in self._tables
+                    if t.current_snapshot_id() is not None]
+            if not live:
+                return
+            if self._adopt_tables:
+                self._record_table_state()
+                return
+            raise RuntimeError(
+                f"store {self.root} has snapshots for {live} but meta "
+                "records no completed commit sequence — either a crash "
+                "during the very first commit (delete the store dir "
+                "and rebuild) or a store predating consistency records "
+                "(reopen once with adopt_tables=True to accept the "
+                "current snapshots as consistent)")
         for t in self._tables:
             want, have = recorded.get(t.name), t.current_snapshot_id()
             if have != want:
                 t.rollback(want)
+
+    def _consistent_commit(self, fn) -> None:
+        """Run a multi-table commit sequence; on ANY failure, heal the
+        tables back to the last recorded state before re-raising — so
+        a caller that keeps using the SAME store object after a failed
+        commit (e.g. a restarted streaming query holding the store in a
+        closure) never re-appends on top of a half-committed batch.
+        `fn` must end by updating meta and calling
+        _record_table_state()."""
+        try:
+            fn()
+        except BaseException:
+            # discard in-memory meta mutations from the failed
+            # sequence too — the on-disk meta is the last consistent
+            # record
+            if os.path.exists(self._meta_path):
+                with open(self._meta_path) as f:
+                    self._meta = json.load(f)
+            self._heal_tables()
+            raise
 
     # -- id pinning -------------------------------------------------------------
 

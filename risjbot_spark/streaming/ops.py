@@ -383,9 +383,14 @@ def incremental_dedup_sink(store, id_col: str, text_col: str, *,
     ONE streaming query per store (batch ids are monotonic per query).
 
     verify defaults to "estimate" (stored-minima agreement): a stream
-    has no authoritative old-corpus DataFrame at hand; pass corpus_df
-    (and verify="exact") when one exists. Returns the function to pass
-    to `writeStream.foreachBatch(...)`.
+    has no authoritative old-corpus DataFrame at hand. With
+    verify="exact", the corpus the store verifies against is
+    corpus_df (the pre-stream curated corpus, if any) UNIONED with
+    everything this sink already kept (read back from kept_path) —
+    without the kept side, the first new doc matching an
+    earlier-micro-batch survivor would trip the store's stale-corpus
+    guard and kill the query on every retry. Returns the function to
+    pass to `writeStream.foreachBatch(...)`.
 
     Usage:
         q = (docs_stream.writeStream
@@ -394,8 +399,22 @@ def incremental_dedup_sink(store, id_col: str, text_col: str, *,
              .option("checkpointLocation", ckpt).start())
     """
     def run(batch_df: DataFrame, batch_id: int) -> None:
+        corpus = corpus_df
+        if verify == "exact":
+            spark = batch_df.sparkSession
+            try:
+                kept_so_far = (spark.read
+                               .parquet(f"{kept_path}/batch=*")
+                               .select(id_col, text_col))
+            except Exception:     # first batch: nothing kept yet
+                kept_so_far = None
+            if kept_so_far is not None:
+                base = (corpus.select(id_col, text_col)
+                        if corpus is not None else None)
+                corpus = (base.unionAll(kept_so_far)
+                          if base is not None else kept_so_far)
         out = store.add_batch(batch_df, id_col, text_col,
-                              corpus_df=corpus_df, verify=verify,
+                              corpus_df=corpus, verify=verify,
                               threshold=threshold,
                               stream_batch_id=int(batch_id))
         (out["kept"].write.mode("overwrite")

@@ -88,3 +88,30 @@ def test_pinning_inherited(spark, emb, tmp_path):
     assert st3.n_stored_vectors() == 0
     assert st3.vectors().count() == 0 and st3.centroids().count() == 0
     st.close()
+
+
+def test_add_or_search_before_build_raises(spark, emb, tmp_path):
+    """Without centroids the argmin would be null and every vector
+    would land in a cid=null partition no probe list ever selects —
+    silently black-holed (review finding). Fail loudly instead."""
+    st = IVFStore(spark, str(tmp_path / "ivf"))
+    with pytest.raises(RuntimeError, match="no index built yet"):
+        st.add_batch(emb.limit(5), "vec_id", "embedding")
+    with pytest.raises(RuntimeError, match="no index built yet"):
+        st.search(emb.limit(1).select(
+            ann.as_double_vec("embedding").alias("qv")))
+
+
+def test_imbalance_counts_empty_clusters(spark, tmp_path):
+    """A degenerate build that leaves most clusters empty is the WORST
+    skew, not 'perfectly even' — the mean divides by K (review
+    finding)."""
+    st = IVFStore(spark, str(tmp_path / "ivf"), k=10,
+                  rebuild_imbalance=4.0)
+    # 30 near-identical vectors: Lloyd collapses to very few clusters
+    df = spark.createDataFrame(
+        [(i, [1.0, 1.0 + i * 1e-9]) for i in range(30)],
+        "vec_id long, embedding array<double>")
+    st.build(df, "vec_id", "embedding")
+    assert st.imbalance() > 4.0 and st.needs_rebuild()
+    st.close()

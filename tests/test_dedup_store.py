@@ -234,3 +234,52 @@ def test_batch_caches_released_and_prior_results_usable(spark, corpus,
     # batch-1 results still collectable after the release
     assert _decisions(out1)[10] == (False, 1)
     st.close()
+
+
+def test_unrecorded_snapshots_refuse_then_adopt(spark, corpus, tmp_path):
+    """A store with live snapshots but no table_state record is
+    ambiguous (torn first commit vs pre-consistency-record store):
+    opening must REFUSE — silently rolling back would destroy a
+    pre-upgrade store's data (review finding) — and adopt_tables=True
+    accepts the current snapshots as consistent."""
+    root = str(tmp_path / "s")
+    st = MinHashStore(spark, root)
+    st.index_corpus(corpus, "doc_id", "text")
+    # simulate a pre-upgrade meta: drop the consistency record
+    meta = json.load(open(os.path.join(root, "meta.json")))
+    del meta["table_state"]
+    json.dump(meta, open(os.path.join(root, "meta.json"), "w"))
+    with pytest.raises(RuntimeError, match="adopt_tables=True"):
+        MinHashStore(spark, root)
+    st2 = MinHashStore(spark, root, adopt_tables=True)
+    assert st2.n_stored_docs() == 3
+    # the adoption recorded state, so a plain reopen now works
+    assert MinHashStore(spark, root).n_stored_docs() == 3
+    st.close(); st2.close()
+
+
+def test_same_object_heals_after_failed_commit(spark, corpus, batch,
+                                               tmp_path):
+    """A failed commit sequence must roll back on the SAME store object
+    (a restarted streaming query keeps the store in its closure — it
+    never re-runs __init__'s heal), or the retry re-appends on top of
+    the half-committed batch (review finding)."""
+    st = MinHashStore(spark, str(tmp_path / "s"))
+    st.index_corpus(corpus, "doc_id", "text")
+    good_delta = st._delta.current_snapshot_id()
+    good_mins = st._mins.current_snapshot_id()
+    # make the SECOND table commit of the sequence explode
+    orig = st._mins.commit
+    st._mins.commit = lambda *a, **kw: (_ for _ in ()).throw(
+        RuntimeError("boom"))
+    with pytest.raises(RuntimeError, match="boom"):
+        st.add_batch(batch, "doc_id", "text", corpus_df=corpus)
+    st._mins.commit = orig
+    # the bands delta written before the failure was rolled back
+    assert st._delta.current_snapshot_id() == good_delta
+    assert st._mins.current_snapshot_id() == good_mins
+    # retry on the same object succeeds cleanly (no duplicate bands)
+    out = st.add_batch(batch, "doc_id", "text", corpus_df=corpus)
+    assert _decisions(out)[12] == (True, None)
+    assert st.n_stored_docs() == 4
+    st.close()

@@ -86,7 +86,7 @@ def main() -> None:
         st.index_corpus(corpus, "doc_id", "text")
         index_secs = round(time.monotonic() - t0, 2)
 
-        add_secs, dups = [], 0
+        add_secs, dups = [], []
         for b in range(2):
             # 1% planted dups: generator id reuses a stored doc's
             dup = (lambda doc_id, g:
@@ -100,8 +100,10 @@ def main() -> None:
             t0 = time.monotonic()
             out = st.add_batch(batch, "doc_id", "text",
                                corpus_df=corpus)
-            dups = out["decisions"].filter("NOT kept").count()
             add_secs.append(round(time.monotonic() - t0, 2))
+            # per-batch, not overwritten: the evidence must show the
+            # verify path found the planted dups during EVERY timed add
+            dups.append(out["decisions"].filter("NOT kept").count())
         t0 = time.monotonic()
         st._compact()
         compact_secs = round(time.monotonic() - t0, 2)
