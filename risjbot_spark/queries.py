@@ -1098,6 +1098,42 @@ def q_binary_meta(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_warc_roundtrip(spark, sf):
+    """WARC interchange round-trip, fully distributed: the documents
+    table is serialized into Common-Crawl-convention WARC files
+    (per-record gzip members, WET `conversion` records carrying the
+    language header) by sources.warc.records_df_to_warc_files — a
+    groupBy(file_id).applyInPandas, one task builds one file's bytes —
+    then parsed straight back by parse_records_df (mapInPandas, zero
+    shuffle).  The oracle projects the same (url, ts, lang, n_bytes,
+    md5) directly from documents, so a hash match proves the
+    writer/parser pair preserves every payload byte, timestamp, URL,
+    and language tag end-to-end."""
+    from .sources import warc as W
+    d = _t(spark, sf, "documents")
+    rows = d.select(
+        F.concat(F.lit("https://"), F.coalesce("lang", F.lit("en")),
+                 F.lit(".example.org/doc/"), F.col("doc_id"))
+         .alias("url"),
+        # 2026-01-01T00:00:00Z + doc_id seconds, deterministic
+        F.timestamp_seconds(F.lit(1767225600).cast("long")
+                            + F.col("doc_id")).alias("warc_ts"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.coalesce("lang", F.lit("en")).alias("lang"))
+    files = W.records_df_to_warc_files(rows, n_files=8,
+                                       rec_type="conversion")
+    rec = W.parse_records_df(files, data_col="data")
+    return rec.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        "lang",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("text_md5"),
+    ).orderBy("doc_id")
+
+
 def q_robots_gate(spark, sf):
     """F11 at scale, end to end through the DataFrame rules path: build
     a synthetic robots table over the docs hosts (each docs.<lang> host
@@ -1232,6 +1268,7 @@ QUERIES = {
     "ivf_store_search": q_ivf_store_search,
     "knn_label_vote": q_knn_label_vote,
     "binary_meta": q_binary_meta,
+    "warc_roundtrip": q_warc_roundtrip,
 }
 
 
@@ -2259,5 +2296,16 @@ ORACLE_SQL = {
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
                md5(text) AS content_md5
+        FROM documents ORDER BY doc_id""",
+    "warc_roundtrip": """
+        SELECT doc_id,
+               'https://' || coalesce(lang, 'en')
+                 || '.example.org/doc/' || doc_id AS url,
+               strftime(TIMESTAMP '2026-01-01 00:00:00'
+                          + to_seconds(doc_id),
+                        '%Y-%m-%dT%H:%M:%SZ') AS ts,
+               coalesce(lang, 'en') AS lang,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS text_md5
         FROM documents ORDER BY doc_id""",
 }

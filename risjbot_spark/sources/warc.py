@@ -1,0 +1,393 @@
+"""WARC / WET source and sink: Common Crawl's on-disk formats.
+
+The north-star corpus is "Common-Crawl-style web pages" (BASELINE.json
+input_hint) — at 100 TB that corpus does not arrive as parquet but as
+WARC segments (ISO 28500 / WARC/1.0/1.1: gzip, one member per record,
+~1 GB per file, ~100k files per crawl).  The reference crawls live HTTP
+(Scrapy engine, /root/reference/RISJbot/settings.py:45-48) and never
+reads archives; a Spark engine that replaces it needs a distributed
+WARC reader that lands the exact PAGES_SCHEMA table the rest of the
+pipeline consumes, plus a WARC writer so a crawl round can emit
+interchange-format output.
+
+Format knowledge used here is the public WARC spec only:
+  * a record = "WARC/1.0\\r\\n" + header lines + CRLF CRLF + Content-Length
+    payload bytes + CRLF CRLF;
+  * Common Crawl compresses each record as its own gzip member, so a
+    .warc.gz file is a concatenation of gzip streams — decodable
+    member-by-member with zlib's `unused_data` loop (also how warcio and
+    Hadoop's WARC readers resync);
+  * `response` records wrap the payload in an HTTP/1.1 envelope (status
+    line + headers + CRLF CRLF + body); `conversion` records (WET) carry
+    extracted plain text; `warcinfo` / `request` / `metadata` records are
+    bookkeeping.
+
+Scale shape: one task per WARC file (`binaryFile` source).  A file is
+parsed incrementally from its in-memory bytes; peak memory per task is
+one file (~1 GB by CC convention) plus one decompressed record.  At
+100 TB that is ~10^5 independent tasks with zero shuffle — the parse is
+a pure mapInPandas, filters on rec_type/url prune before anything wide
+runs, and the emitted DataFrame feeds the existing crawl/extract
+operators unchanged.  Files are the parallelism unit because per-record
+gzip members are not splittable without an external index; CC sizes
+files (~1 GB) for exactly this access pattern.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from datetime import datetime, timezone
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CRLF = b"\r\n"
+_GZ_MAGIC = b"\x1f\x8b"
+
+# Parsed-record rows (superset of PAGES_SCHEMA: rec_type/content_type
+# let callers keep request/metadata records when they want them).
+WARC_RECORD_SCHEMA = T.StructType([
+    T.StructField("file", T.StringType()),
+    T.StructField("rec_type", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("http_status", T.IntegerType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+WARC_MANIFEST_SCHEMA = T.StructType([
+    T.StructField("file", T.StringType()),
+    T.StructField("n_records", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+# ---------------------------------------------------------------------------
+# record building (driver- or executor-side; pure bytes -> bytes)
+# ---------------------------------------------------------------------------
+
+def _warc_date(ts: datetime) -> str:
+    """WARC-Date: UTC ISO-8601 with trailing Z (spec §5.4)."""
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _record_id(url: str, date: str) -> str:
+    """Deterministic WARC-Record-ID (spec requires a unique URI; a
+    name-based UUID over url+date keeps output byte-stable run-to-run
+    — same policy as the gzip mtime=0 raw-page sink, sinks.py)."""
+    import uuid
+    return f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, f'{url}|{date}')}>"
+
+
+def build_record(url: str, ts: datetime, payload: bytes, *,
+                 rec_type: str = "response",
+                 http_envelope: bool = True,
+                 http_status: int = 200,
+                 http_content_type: str = "text/html; charset=utf-8",
+                 lang: str | None = None) -> bytes:
+    """One uncompressed WARC record. `response` records get an HTTP/1.1
+    envelope (CC convention); `conversion` (WET) and others carry the
+    payload bare."""
+    date = _warc_date(ts)
+    if rec_type == "response" and http_envelope:
+        body = (f"HTTP/1.1 {http_status} OK\r\n"
+                f"Content-Type: {http_content_type}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+                ).encode("ascii") + payload
+        content_type = "application/http; msgtype=response"
+    else:
+        body = payload
+        content_type = ("text/plain" if rec_type == "conversion"
+                        else "application/octet-stream")
+    headers = [
+        b"WARC/1.0",
+        f"WARC-Type: {rec_type}".encode("ascii"),
+        f"WARC-Record-ID: {_record_id(url, date)}".encode("ascii"),
+        f"WARC-Date: {date}".encode("ascii"),
+        f"WARC-Target-URI: {url}".encode("ascii"),
+        f"Content-Type: {content_type}".encode("ascii"),
+        f"Content-Length: {len(body)}".encode("ascii"),
+    ]
+    if lang:
+        # WARC/1.1 extension header Common Crawl writes on WET records
+        headers.append(
+            f"WARC-Identified-Content-Language: {lang}".encode("ascii"))
+    return CRLF.join(headers) + CRLF + CRLF + body + CRLF + CRLF
+
+
+def gzip_member(record: bytes) -> bytes:
+    """Record -> its own gzip member (CC convention), mtime=0 so the
+    bytes are deterministic."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(record)
+    return buf.getvalue()
+
+
+def build_warc_bytes(records: Iterable[bytes], *,
+                     gzip_members: bool = True) -> bytes:
+    """Concatenate records into one .warc(.gz) file's bytes."""
+    if gzip_members:
+        return b"".join(gzip_member(r) for r in records)
+    return b"".join(records)
+
+
+# ---------------------------------------------------------------------------
+# parsing (pure bytes -> iterator of dicts)
+# ---------------------------------------------------------------------------
+
+def _iter_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a concatenated-gzip-member buffer one member at a
+    time (zlib unused_data resync); plain buffers pass through whole.
+    Tolerates a truncated trailing member (yields what decoded)."""
+    if not data.startswith(_GZ_MAGIC):
+        yield data
+        return
+    rest = data
+    while rest.startswith(_GZ_MAGIC):
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        try:
+            out = d.decompress(rest)
+        except zlib.error:
+            return
+        if out:
+            yield out
+        if not d.eof:           # truncated final member
+            return
+        rest = d.unused_data
+    # trailing non-gzip garbage is ignored (CC files never have any;
+    # resyncing mid-stream without an index is what members are for)
+
+
+def _parse_header_block(block: bytes) -> dict:
+    """WARC or HTTP header block -> {lowercased-name: value}."""
+    headers: dict = {}
+    for line in block.split(CRLF):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower().decode("latin-1")] = (
+                v.strip().decode("latin-1"))
+    return headers
+
+
+def _split_http_envelope(body: bytes) -> tuple[int | None, dict, bytes]:
+    """HTTP response envelope -> (status, headers, payload). Returns
+    (None, {}, body) when the body is not an HTTP message."""
+    if not body.startswith(b"HTTP/"):
+        return None, {}, body
+    head, sep, payload = body.partition(CRLF + CRLF)
+    if not sep:
+        return None, {}, body
+    lines = head.split(CRLF)
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        return None, {}, body
+    return status, _parse_header_block(CRLF.join(lines[1:])), payload
+
+
+def parse_warc_bytes(data: bytes, *, file: str = "") -> Iterator[dict]:
+    """One .warc(.gz) file's bytes -> dict per record (keys matching
+    WARC_RECORD_SCHEMA).  `response` payloads are the HTTP body with
+    the envelope stripped; malformed records stop the current member's
+    scan (per-record gzip members resync at the next member, so one bad
+    record cannot poison a file)."""
+    for member in _iter_members(data):
+        pos = 0
+        n = len(member)
+        while pos < n:
+            # skip inter-record CRLFs
+            while member.startswith(CRLF, pos):
+                pos += 2
+            if pos >= n:
+                break
+            if not member.startswith(b"WARC/", pos):
+                break  # lost sync inside this member
+            end = member.find(CRLF + CRLF, pos)
+            if end < 0:
+                break
+            headers = _parse_header_block(member[pos:end])
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                break
+            body = member[end + 4:end + 4 + length]
+            if len(body) < length:
+                break  # truncated record
+            pos = end + 4 + length
+            rec_type = headers.get("warc-type", "")
+            url = headers.get("warc-target-uri")
+            raw_date = headers.get("warc-date")
+            ts = None
+            if raw_date:
+                try:
+                    ts = datetime.strptime(
+                        raw_date, "%Y-%m-%dT%H:%M:%SZ")
+                except ValueError:
+                    try:
+                        ts = datetime.fromisoformat(
+                            raw_date.replace("Z", "+00:00")
+                        ).astimezone(timezone.utc).replace(tzinfo=None)
+                    except ValueError:
+                        ts = None
+            content_type = headers.get("content-type", "")
+            status = None
+            payload = body
+            if content_type.startswith("application/http"):
+                status, _http_headers, payload = _split_http_envelope(body)
+            yield {
+                "file": file,
+                "rec_type": rec_type,
+                "url": url,
+                "warc_ts": ts,
+                "content_type": content_type,
+                "http_status": status,
+                "lang": headers.get("warc-identified-content-language"),
+                "payload": payload,
+            }
+
+
+# ---------------------------------------------------------------------------
+# Spark source
+# ---------------------------------------------------------------------------
+
+def parse_records_df(files: DataFrame, *, data_col: str = "content",
+                     name_col: str | None = None) -> DataFrame:
+    """(data_col binary[, name_col]) rows -> one WARC_RECORD_SCHEMA row
+    per record.  Pure mapInPandas — no shuffle; each task parses its
+    files' bytes incrementally."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                name = str(row[name_col]) if name_col else ""
+                rows = list(parse_warc_bytes(
+                    bytes(row[data_col]), file=name))
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(_parse, schema=WARC_RECORD_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str, *,
+              glob: str | None = None) -> DataFrame:
+    """Distributed WARC reader: one task per file, zero shuffle.
+
+    `binaryFile` hands each task (path, content) — whole-file because
+    per-record gzip members are not splittable without a side index;
+    CC sizes files (~1 GB) for exactly this.  Column pruning applies
+    downstream: select only url/warc_ts and the payload bytes never
+    cross an exchange."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
+    return parse_records_df(files, data_col="content", name_col="path")
+
+
+def pages_from_warc(spark: SparkSession, path: str, *,
+                    glob: str | None = None) -> DataFrame:
+    """WARC segments -> the engine's input table (PAGES_SCHEMA:
+    url, warc_ts, html, text, lang).
+
+    `response` records land their HTTP body in `html`; `conversion`
+    (WET) records land their UTF-8 text in `text`.  A crawl that has
+    both joins them by url downstream; most runs read one kind."""
+    rec = read_warc(spark, path, glob=glob)
+    keep = rec.filter(
+        F.col("rec_type").isin("response", "conversion")
+        & F.col("url").isNotNull())
+    return keep.select(
+        "url",
+        "warc_ts",
+        F.when(F.col("rec_type") == "response", F.col("payload"))
+         .alias("html"),
+        F.when(F.col("rec_type") == "conversion",
+               F.decode(F.col("payload"), "UTF-8")).alias("text"),
+        "lang",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark sink
+# ---------------------------------------------------------------------------
+
+def records_df_to_warc_files(df: DataFrame, *, n_files: int,
+                             rec_type: str = "response",
+                             gzip_members: bool = True) -> DataFrame:
+    """(url, warc_ts, payload[, lang]) rows -> (file_id, data) rows, one
+    per WARC file, records routed by a deterministic url hash so the
+    file layout is partitioning-independent.  Within a file, records
+    are ordered by (url, warc_ts) — determinism again, and the sort is
+    per-group (applyInPandas already shuffled by file_id; no extra
+    exchange).  Each task materializes one output file's bytes —
+    callers size n_files so a file is ~1 GB (CC convention)."""
+    cols = df.columns
+    lang_col = F.col("lang") if "lang" in cols else F.lit(None).cast("string")
+    routed = df.select(
+        "url", "warc_ts", "payload", lang_col.alias("lang"),
+        F.pmod(F.xxhash64("url"), F.lit(n_files)).cast("int")
+         .alias("file_id"))
+
+    def _build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["url", "warc_ts"], kind="mergesort")
+        recs = []
+        for _, r in pdf.iterrows():
+            ts = r["warc_ts"]
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            recs.append(build_record(
+                r["url"], ts, bytes(r["payload"]), rec_type=rec_type,
+                lang=(r["lang"] if isinstance(r["lang"], str) else None)))
+        data = build_warc_bytes(recs, gzip_members=gzip_members)
+        return pd.DataFrame({"file_id": [int(key[0])], "data": [data],
+                             "n_records": [len(recs)]})
+
+    out_schema = T.StructType([
+        T.StructField("file_id", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("n_records", T.LongType()),
+    ])
+    return routed.groupBy("file_id").applyInPandas(_build, schema=out_schema)
+
+
+def write_warc(df: DataFrame, out_dir: str, *, n_files: int,
+               rec_type: str = "response",
+               gzip_members: bool = True) -> DataFrame:
+    """Write (url, warc_ts, payload[, lang]) rows as .warc.gz files under
+    out_dir and return the manifest (file, n_records, n_bytes).
+
+    Executor-side file writes (foreachPartition) so the driver never
+    holds file bytes; local-mode tests and a real cluster with a shared
+    filesystem behave identically.  Deterministic: gzip mtime=0,
+    hash-routed membership, per-file (url, ts) order."""
+    import os
+    files = records_df_to_warc_files(
+        df, n_files=n_files, rec_type=rec_type, gzip_members=gzip_members)
+    suffix = ".warc.gz" if gzip_members else ".warc"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(rows):
+        for r in rows:
+            name = os.path.join(out_dir, f"part-{r['file_id']:05d}{suffix}")
+            tmp = name + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(bytes(r["data"]))
+            os.replace(tmp, name)
+
+    files.foreachPartition(_write)
+    spark = df.sparkSession
+    manifest = read_warc(spark, out_dir, glob=f"*{suffix}")
+    return (manifest
+            .groupBy("file")
+            .agg(F.count("*").alias("n_records"),
+                 F.sum(F.octet_length("payload")).alias("n_bytes")))

@@ -1,0 +1,184 @@
+"""WARC/WET source + sink (sources/warc.py).
+
+Format coverage: per-record gzip members (CC convention), plain
+uncompressed WARC, HTTP-envelope stripping, WET conversion records,
+warcinfo/request records, language header, truncated members,
+lost-sync resync at member boundaries, round-trip byte identity.
+"""
+import gzip
+from datetime import datetime
+
+import pytest
+
+from risjbot_spark.sources import warc as W
+
+
+def _ts(i: int) -> datetime:
+    return datetime(2026, 1, 1, 0, 0, 0).replace(second=i % 60,
+                                                 minute=(i // 60) % 60)
+
+
+def _mk_pages(n=6):
+    return [
+        (f"https://ex{i % 3}.org/p/{i}", _ts(i),
+         f"<html><body>doc {i} body</body></html>".encode())
+        for i in range(n)
+    ]
+
+
+def test_record_roundtrip_plain():
+    url, ts, body = "https://a.org/x", _ts(1), b"<html>hi</html>"
+    rec = W.build_record(url, ts, body)
+    rows = list(W.parse_warc_bytes(rec))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["url"] == url
+    assert r["rec_type"] == "response"
+    assert r["warc_ts"] == ts
+    assert r["http_status"] == 200
+    assert r["payload"] == body  # HTTP envelope stripped exactly
+
+
+def test_record_is_deterministic():
+    a = W.build_record("https://a.org/x", _ts(1), b"abc")
+    b = W.build_record("https://a.org/x", _ts(1), b"abc")
+    assert a == b
+    assert W.gzip_member(a) == W.gzip_member(b)  # mtime=0
+
+
+def test_gzip_members_parse_individually():
+    pages = _mk_pages(4)
+    data = W.build_warc_bytes(
+        [W.build_record(u, t, b) for u, t, b in pages])
+    # file is a concatenation of gzip streams, not one stream
+    assert data.count(b"\x1f\x8b\x08") >= 4
+    rows = list(W.parse_warc_bytes(data))
+    assert [r["url"] for r in rows] == [u for u, _, _ in pages]
+    assert [r["payload"] for r in rows] == [b for _, _, b in pages]
+
+
+def test_plain_warc_multi_record():
+    pages = _mk_pages(3)
+    data = W.build_warc_bytes(
+        [W.build_record(u, t, b) for u, t, b in pages],
+        gzip_members=False)
+    rows = list(W.parse_warc_bytes(data))
+    assert len(rows) == 3
+
+
+def test_wet_conversion_record_with_lang():
+    rec = W.build_record("https://a.org/x", _ts(2), "päge text".encode(),
+                         rec_type="conversion", lang="de")
+    rows = list(W.parse_warc_bytes(W.gzip_member(rec)))
+    r = rows[0]
+    assert r["rec_type"] == "conversion"
+    assert r["lang"] == "de"
+    assert r["http_status"] is None
+    assert r["payload"].decode() == "päge text"
+
+
+def test_warcinfo_and_request_records_kept_with_type():
+    info = W.build_record("https://a.org", _ts(0), b"software: test",
+                          rec_type="warcinfo")
+    req = W.build_record("https://a.org/x", _ts(1), b"GET /x HTTP/1.1",
+                         rec_type="request")
+    resp = W.build_record("https://a.org/x", _ts(1), b"<html/>")
+    rows = list(W.parse_warc_bytes(W.build_warc_bytes([info, req, resp])))
+    assert [r["rec_type"] for r in rows] == ["warcinfo", "request",
+                                            "response"]
+
+
+def test_truncated_trailing_member_yields_prefix():
+    pages = _mk_pages(3)
+    members = [W.gzip_member(W.build_record(u, t, b)) for u, t, b in pages]
+    data = members[0] + members[1] + members[2][:20]
+    rows = list(W.parse_warc_bytes(data))
+    assert [r["url"] for r in rows] == [pages[0][0], pages[1][0]]
+
+
+def test_bad_record_resyncs_at_next_member():
+    good = W.gzip_member(W.build_record("https://a.org/1", _ts(1), b"x"))
+    junk = W.gzip_member(b"NOT A WARC RECORD AT ALL")
+    good2 = W.gzip_member(W.build_record("https://a.org/2", _ts(2), b"y"))
+    rows = list(W.parse_warc_bytes(good + junk + good2))
+    assert [r["url"] for r in rows] == ["https://a.org/1", "https://a.org/2"]
+
+
+def test_payload_binary_safe():
+    body = bytes(range(256)) * 4 + b"\r\n\r\nWARC/1.0\r\n"  # hostile bytes
+    rec = W.build_record("https://a.org/bin", _ts(3), body,
+                         http_envelope=False)
+    # content-length framing must carry it through untouched
+    rows = list(W.parse_warc_bytes(rec))
+    assert rows[0]["payload"] == body
+
+
+def test_spark_read_and_pages(spark, tmp_path):
+    pages = _mk_pages(6)
+    wet = [W.build_record(u, t, f"text {u}".encode(),
+                          rec_type="conversion", lang="en")
+           for u, t, _ in pages[:2]]
+    (tmp_path / "seg-0.warc.gz").write_bytes(W.build_warc_bytes(
+        [W.build_record(u, t, b) for u, t, b in pages[:3]]))
+    (tmp_path / "seg-1.warc.gz").write_bytes(W.build_warc_bytes(
+        [W.build_record(u, t, b) for u, t, b in pages[3:]] + wet))
+
+    rec = W.read_warc(spark, str(tmp_path), glob="*.warc.gz")
+    got = rec.orderBy("url", "rec_type").collect()
+    assert len(got) == 8
+    assert {r["rec_type"] for r in got} == {"response", "conversion"}
+
+    p = W.pages_from_warc(spark, str(tmp_path), glob="*.warc.gz")
+    assert [f.name for f in p.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang"]
+    pr = p.orderBy("url").collect()
+    resp = [r for r in pr if r["html"] is not None]
+    conv = [r for r in pr if r["text"] is not None]
+    assert len(resp) == 6 and len(conv) == 2
+    by_url = {(u, True): b for u, _, b in pages}
+    for r in resp:
+        assert bytes(r["html"]) == by_url[(r["url"], True)]
+    for r in conv:
+        assert r["text"] == f"text {r['url']}"
+        assert r["lang"] == "en"
+
+
+def test_spark_write_then_read_roundtrip(spark, tmp_path):
+    pages = _mk_pages(10)
+    df = spark.createDataFrame(
+        [(u, t, b) for u, t, b in pages],
+        "url string, warc_ts timestamp, payload binary")
+    out = str(tmp_path / "out")
+    manifest = W.write_warc(df, out, n_files=3).collect()
+    assert sum(m["n_records"] for m in manifest) == 10
+    assert len(manifest) <= 3
+
+    back = W.pages_from_warc(spark, out, glob="*.warc.gz")
+    got = {r["url"]: bytes(r["html"]) for r in back.collect()}
+    assert got == {u: b for u, t, b in pages}
+
+    # determinism: a second write of the same rows is byte-identical
+    out2 = str(tmp_path / "out2")
+    W.write_warc(df, out2, n_files=3).collect()
+    import pathlib
+    b1 = {p.name: p.read_bytes()
+          for p in pathlib.Path(out).glob("*.warc.gz")}
+    b2 = {p.name: p.read_bytes()
+          for p in pathlib.Path(out2).glob("*.warc.gz")}
+    assert b1 == b2
+
+
+def test_write_warc_routing_is_partitioning_independent(spark, tmp_path):
+    pages = _mk_pages(8)
+    rows = [(u, t, b) for u, t, b in pages]
+    a = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload binary").coalesce(1)
+    b = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload binary").repartition(7)
+    fa = {r["file_id"]: r["n_records"] for r in
+          W.records_df_to_warc_files(a, n_files=4)
+          .select("file_id", "n_records").collect()}
+    fb = {r["file_id"]: r["n_records"] for r in
+          W.records_df_to_warc_files(b, n_files=4)
+          .select("file_id", "n_records").collect()}
+    assert fa == fb
