@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .schema import PY_WS_RE
@@ -66,6 +66,9 @@ __all__ = [
     "cluster_assignments",
     "survivor_docs",
     "cluster_and_survivors",
+    "raw_tokens_expr",
+    "duplicate_span_occurrences",
+    "strip_duplicate_spans",
 ]
 
 
@@ -522,3 +525,100 @@ def cluster_and_survivors(df: DataFrame, id_col: str, pairs: DataFrame,
                                   checkpoint_dir=checkpoint_dir)
     clusters = cluster_assignments(labels, id_col)
     return clusters, survivor_docs(df, id_col, clusters)
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span removal (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better": remove every repeated >=k-token
+# span, keeping the corpus-wide first occurrence)
+# ---------------------------------------------------------------------------
+
+def raw_tokens_expr(text_col) -> Column:
+    """Original-case tokens, Python str.split() semantics — span removal
+    rebuilds documents from surviving tokens, so case must be kept
+    (gram MATCHING still lowercases; see duplicate_span_occurrences)."""
+    return F.filter(F.split(F.trim(text_col), PY_WS_RE),
+                    lambda x: x != "")
+
+
+def duplicate_span_occurrences(df: DataFrame, id_col: str, text_col: str,
+                               *, k: int = 8) -> DataFrame:
+    """All (id, token-position) starts of k-grams that occur more than
+    once corpus-wide AND are not the global first occurrence of their
+    gram (first = min (id, pos), so for numeric ids the earliest doc
+    wins, matching survivor selection elsewhere in this module).
+
+    Scale shape: one row per token position flows into a single
+    window-over-gram-hash exchange (count + min in one pass — no
+    second join-back shuffle); everything after operates on FLAGGED
+    rows only, i.e. the duplicated-span volume, not the corpus. Gram
+    hashing is md5 over the lowercased token window — JVM expressions
+    throughout, same cost class as the MinHash shingle stage."""
+    toks = raw_tokens_expr(F.col(text_col))
+    t = df.select(F.col(id_col).alias("_sid"), toks.alias("_toks"))
+    t = t.filter(F.size("_toks") >= k)
+    gh = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - k),
+        lambda p: F.md5(F.concat_ws(
+            " ", F.transform(F.slice("_toks", p + 1, k), F.lower))))
+    occ = t.select("_sid", F.posexplode(gh).alias("_p", "_gh"))
+    w = Window.partitionBy("_gh")
+    occ = occ.select(
+        "_sid", "_p", "_gh",
+        F.count("*").over(w).alias("_cnt"),
+        F.min(F.struct("_sid", "_p")).over(w).alias("_first"))
+    return (occ.filter(
+                (F.col("_cnt") > 1)
+                & ~((F.col("_sid") == F.col("_first._sid"))
+                    & (F.col("_p") == F.col("_first._p"))))
+            .select(F.col("_sid").alias(id_col),
+                    F.col("_p").alias("pos"),
+                    F.col("_gh").alias("gram_hash")))
+
+
+def strip_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                          *, k: int = 8, out_col: str | None = None,
+                          with_stats: bool = False) -> DataFrame:
+    """APPLY span removal: every token covered by a redundant k-gram
+    occurrence is dropped and the survivors are rejoined with single
+    spaces (positions are token-level, so output whitespace is
+    normalized; case and token bytes are preserved). Documents shorter
+    than k tokens pass through untouched — below the span threshold,
+    exactly Lee et al.'s semantics. All caller columns survive; the
+    cleaned text replaces text_col unless out_col names a new column;
+    with_stats adds n_tokens / n_dropped_tokens.
+
+    The corpus-side cost after flagging is ONE join against the per-doc
+    drop-position arrays — a table with one row per document that
+    contains any duplicated span (tiny right side; AQE broadcasts it
+    below the threshold, and at 10^10 pages it degrades to a hash join
+    keyed on id, never a token-level shuffle of the corpus)."""
+    if out_col is None:
+        out_col = text_col
+    elif out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the "
+                         "input; pick a fresh name")
+    for c in ("_drop", "_sid", "_toks"):
+        if c in df.columns:
+            raise ValueError(f"input column {c!r} collides with an "
+                             "internal column of strip_duplicate_spans")
+    flagged = duplicate_span_occurrences(df, id_col, text_col, k=k)
+    cover = (flagged
+             .select(id_col,
+                     F.explode(F.sequence(
+                         "pos", F.col("pos") + (k - 1))).alias("_dp"))
+             .groupBy(id_col)
+             .agg(F.collect_set("_dp").alias("_drop")))
+    joined = df.join(cover, id_col, "left")
+    toks = raw_tokens_expr(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.coalesce(
+            F.array_contains(F.col("_drop"), i), F.lit(False)))
+    out = joined.withColumn(out_col, F.concat_ws(" ", kept))
+    if with_stats:
+        out = (out
+               .withColumn("n_tokens", F.size(toks))
+               .withColumn("n_dropped_tokens",
+                           F.coalesce(F.size("_drop"), F.lit(0))))
+    return out.drop("_drop")

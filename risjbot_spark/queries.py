@@ -1098,6 +1098,26 @@ def q_binary_meta(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_dup_span_strip(spark, sf):
+    """Exact duplicated-span removal (Lee et al. 2021) over the mutant
+    corpus: every 8-token gram occurring more than once corpus-wide is
+    dropped wherever it is not the global first occurrence, and the
+    surviving tokens are rejoined (dedup.strip_duplicate_spans). The
+    +200000 exact copies lose their whole body; the +100000 first-
+    word-dropped mutants lose their shared suffix but keep the tokens
+    no longer covered by any duplicated gram. Output: per-doc token
+    count, dropped-token count, md5 of the cleaned text."""
+    out = dedup.strip_duplicate_spans(
+        _docs_with_mutants(spark, sf), "doc_id", "text",
+        k=8, out_col="clean_text", with_stats=True)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_dropped_tokens").cast("long").alias("n_dropped"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def q_warc_roundtrip(spark, sf):
     """WARC interchange round-trip, fully distributed: the documents
     table is serialized into Common-Crawl-convention WARC files
@@ -1269,6 +1289,7 @@ QUERIES = {
     "knn_label_vote": q_knn_label_vote,
     "binary_meta": q_binary_meta,
     "warc_roundtrip": q_warc_roundtrip,
+    "dup_span_strip": q_dup_span_strip,
 }
 
 
@@ -2297,6 +2318,46 @@ ORACLE_SQL = {
                octet_length(encode(text)) AS n_bytes,
                md5(text) AS content_md5
         FROM documents ORDER BY doc_id""",
+    "dup_span_strip": f"""
+        WITH {_MUTANTS_CTE},
+        tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '{PY_WS_RE}'),
+                             x -> x <> '') AS toks
+          FROM docs),
+        g AS (
+          SELECT doc_id, i - 1 AS p,
+                 md5(array_to_string(
+                       list_transform(toks[i:i+7], t -> lower(t)),
+                       ' ')) AS gh
+          FROM tok, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+          WHERE len(toks) >= 8),
+        f AS (
+          SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+                   count(*) OVER (PARTITION BY gh) AS cnt,
+                   min(doc_id * 1048576 + p) OVER (PARTITION BY gh)
+                     AS firstk
+            FROM g)
+          WHERE cnt > 1 AND doc_id * 1048576 + p <> firstk),
+        cover AS (
+          SELECT DISTINCT doc_id, u.dp
+          FROM f, unnest(generate_series(p, p + 7)) AS u(dp)),
+        cl AS (
+          SELECT doc_id, list(dp) AS drops FROM cover GROUP BY doc_id)
+        SELECT t.doc_id,
+               len(toks) AS n_tokens,
+               coalesce(len(drops), 0) AS n_dropped,
+               -- array_to_string([]) is NULL in DuckDB, not ''
+               md5(coalesce(array_to_string(
+                 list_transform(
+                   list_filter(generate_series(1, len(toks)),
+                               i -> drops IS NULL
+                                    OR NOT list_contains(drops, i - 1)),
+                   i -> toks[i]),
+                 ' '), '')) AS clean_md5
+        FROM tok t LEFT JOIN cl USING (doc_id)
+        ORDER BY doc_id""",
     "warc_roundtrip": """
         SELECT doc_id,
                'https://' || coalesce(lang, 'en')
