@@ -1118,6 +1118,24 @@ def q_dup_span_strip(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_pack_sequences(spark, sf):
+    """Sequence-packing plan (shards.pack_sequences): documents routed
+    to 8 shards by the cross-engine multiplicative hash, token streams
+    concatenated in doc_id order per shard, seq_len=256 windows. The
+    per-shard window cumsum is the only exchange; seq ids are pure
+    arithmetic on the running offset."""
+    from .shards import pack_sequences
+    d = (_t(spark, sf, "documents")
+         .withColumn("shard8",
+                     F.pmod(F.col("doc_id") * F.lit(2654435761),
+                            F.lit(8)).cast("long")))
+    return (pack_sequences(d, "doc_id", seq_len=256,
+                           text_col="text", shard_col="shard8")
+            .select("doc_id", "shard", "n_tok", "start_tok", "end_tok",
+                    "seq_first", "seq_last")
+            .orderBy("doc_id"))
+
+
 def q_warc_roundtrip(spark, sf):
     """WARC interchange round-trip, fully distributed: the documents
     table is serialized into Common-Crawl-convention WARC files
@@ -1290,6 +1308,7 @@ QUERIES = {
     "binary_meta": q_binary_meta,
     "warc_roundtrip": q_warc_roundtrip,
     "dup_span_strip": q_dup_span_strip,
+    "pack_sequences": q_pack_sequences,
 }
 
 
@@ -2358,6 +2377,28 @@ ORACLE_SQL = {
                  ' '), '')) AS clean_md5
         FROM tok t LEFT JOIN cl USING (doc_id)
         ORDER BY doc_id""",
+    "pack_sequences": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 (doc_id * 2654435761) % 8 AS shard,
+                 len(list_filter(
+                       string_split_regex(trim(text), '{PY_WS_RE}'),
+                       x -> x <> '')) AS n_tok
+          FROM documents),
+        o AS (
+          SELECT doc_id, shard, n_tok,
+                 coalesce(sum(n_tok) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS start_tok
+          FROM t)
+        SELECT doc_id, shard, n_tok, start_tok,
+               start_tok + n_tok AS end_tok,
+               CASE WHEN n_tok > 0
+                    THEN start_tok // 256 END AS seq_first,
+               CASE WHEN n_tok > 0
+                    THEN (start_tok + n_tok - 1) // 256 END AS seq_last
+        FROM o ORDER BY doc_id""",
     "warc_roundtrip": """
         SELECT doc_id,
                'https://' || coalesce(lang, 'en')

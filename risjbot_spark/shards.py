@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["write_training_shards"]
+__all__ = ["write_training_shards", "pack_sequences"]
 
 _SHARD = "shard"
 
@@ -120,3 +120,67 @@ def write_training_shards(df: DataFrame, path: str, *,
             sid: sum(_parquet_rows(spark, p) for p in parts)
             for sid, parts in files.items()}
     return manifest
+
+
+def pack_sequences(df: DataFrame, id_col: str, *,
+                   seq_len: int,
+                   token_count_col: str | None = None,
+                   text_col: str | None = None,
+                   shard_col: str | None = None,
+                   n_shards: int = 32) -> DataFrame:
+    """Concat-and-chunk sequence-packing PLAN (GPT-style): within each
+    shard, documents are laid out in deterministic (id) order, token
+    streams concatenated, and training sequences are the consecutive
+    seq_len-token windows of that stream — documents straddle sequence
+    boundaries instead of wasting pad tokens. Returns one row per
+    document: shard, n_tok, start_tok/end_tok (offsets into the shard's
+    token stream) and seq_first/seq_last (the sequence ids the document
+    lands in; NULL for zero-token documents, which occupy no window).
+    A loader materializes sequence s of shard h from the rows with
+    seq_first <= s <= seq_last — an equi-lookup on (shard, seq range).
+
+    Token counts come from token_count_col if given, else are computed
+    from text_col with Python str.split() semantics (the engine's
+    token surface, schema.PY_WS_RE).
+
+    Scale shape: ONE exchange (repartition-by-shard implied by the
+    window); the running offset is a per-shard window cumsum — no
+    global ORDER BY ever touches the corpus, and shard count is the
+    parallelism knob (10^5 shards at 100 TB keeps each window's sort
+    task-sized). Shard assignment defaults to pmod(xxhash64(id)) —
+    a pure function of the data, so the same corpus always packs
+    identically (re-runs, cluster sizes, and input partitionings all
+    reproduce byte-equal plans); pass shard_col to pack along an
+    existing layout (e.g. write_training_shards output)."""
+    from pyspark.sql import Window
+
+    from .schema import PY_WS_RE
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if (token_count_col is None) == (text_col is None):
+        raise ValueError("pass exactly one of token_count_col / text_col")
+    if token_count_col is not None:
+        n_tok = F.col(token_count_col).cast("long")
+    else:
+        n_tok = F.size(F.filter(
+            F.split(F.trim(F.col(text_col)), PY_WS_RE),
+            lambda x: x != "")).cast("long")
+    if shard_col is not None:
+        shard = F.col(shard_col).cast("long")
+    else:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    t = df.select(F.col(id_col), shard.alias("shard"),
+                  n_tok.alias("n_tok"))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    t = t.withColumn("start_tok", start)
+    t = t.withColumn("end_tok", F.col("start_tok") + F.col("n_tok"))
+    has = F.col("n_tok") > 0
+    return (t
+            .withColumn("seq_first",
+                        F.when(has, F.floor(F.col("start_tok") / seq_len)))
+            .withColumn("seq_last",
+                        F.when(has, F.floor((F.col("end_tok") - 1)
+                                            / seq_len))))

@@ -119,3 +119,81 @@ def test_manifest_via_hadoop_fs_uri(spark, corpus, tmp_path):
     assert sum(man["rows"].values()) == 200
     assert all(p.startswith("file:") for parts in man["files"].values()
                for p in parts)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+def _plan(df, **kw):
+    rows = shards.pack_sequences(df, "pk", **kw).collect()
+    return {r["pk"]: r for r in rows}
+
+
+def test_pack_layout_contiguous_per_shard(spark):
+    df = spark.createDataFrame(
+        [("a", 5, 0), ("b", 7, 0), ("c", 4, 0), ("d", 3, 1)],
+        "pk string, ntok int, sh int")
+    got = _plan(df, seq_len=8, token_count_col="ntok", shard_col="sh")
+    # shard 0 stream: a[0,5) b[5,12) c[12,16); shard 1: d[0,3)
+    assert (got["a"]["start_tok"], got["a"]["end_tok"]) == (0, 5)
+    assert (got["b"]["start_tok"], got["b"]["end_tok"]) == (5, 12)
+    assert (got["c"]["start_tok"], got["c"]["end_tok"]) == (12, 16)
+    assert (got["d"]["start_tok"], got["d"]["end_tok"]) == (0, 3)
+    # seq ids: seq_len=8 -> a in seq 0, b straddles 0-1, c in 1
+    assert (got["a"]["seq_first"], got["a"]["seq_last"]) == (0, 0)
+    assert (got["b"]["seq_first"], got["b"]["seq_last"]) == (0, 1)
+    assert (got["c"]["seq_first"], got["c"]["seq_last"]) == (1, 1)
+    assert (got["d"]["seq_first"], got["d"]["seq_last"]) == (0, 0)
+
+
+def test_pack_zero_token_docs_get_null_seqs(spark):
+    df = spark.createDataFrame(
+        [("a", 4, 0), ("empty", 0, 0), ("b", 4, 0)],
+        "pk string, ntok int, sh int")
+    got = _plan(df, seq_len=4, token_count_col="ntok", shard_col="sh")
+    assert got["empty"]["seq_first"] is None
+    assert got["empty"]["seq_last"] is None
+    # and it occupies no stream space: b starts right after a... after
+    # 'empty' contributes 0 tokens at its (id-ordered) slot
+    assert got["b"]["start_tok"] == 4
+
+
+def test_pack_text_col_token_counting(spark):
+    df = spark.createDataFrame(
+        [("a", "one two  three", 0), ("b", "  ", 0)],
+        "pk string, body string, sh int")
+    got = _plan(df, seq_len=2, text_col="body", shard_col="sh")
+    assert got["a"]["n_tok"] == 3
+    assert got["b"]["n_tok"] == 0
+
+
+def test_pack_deterministic_across_partitionings(spark):
+    rows = [(f"p{i:03d}", (i * 7) % 23 + 1) for i in range(100)]
+    df1 = spark.createDataFrame(rows, "pk string, ntok int").coalesce(1)
+    df2 = spark.createDataFrame(rows, "pk string, ntok int").repartition(13)
+    a = _plan(df1, seq_len=16, token_count_col="ntok", n_shards=4)
+    b = _plan(df2, seq_len=16, token_count_col="ntok", n_shards=4)
+    assert {k: tuple(v) for k, v in a.items()} == \
+           {k: tuple(v) for k, v in b.items()}
+    # stream coverage: within a shard, offsets tile [0, total) exactly
+    by_shard = {}
+    for v in a.values():
+        by_shard.setdefault(v["shard"], []).append(v)
+    for docs in by_shard.values():
+        docs.sort(key=lambda v: v["start_tok"])
+        pos = 0
+        for v in docs:
+            assert v["start_tok"] == pos
+            pos = v["end_tok"]
+
+
+def test_pack_validation(spark):
+    df = spark.createDataFrame([("a", 1)], "pk string, ntok int")
+    with pytest.raises(ValueError):
+        shards.pack_sequences(df, "pk", seq_len=0, token_count_col="ntok")
+    with pytest.raises(ValueError):
+        shards.pack_sequences(df, "pk", seq_len=4)
+    with pytest.raises(ValueError):
+        shards.pack_sequences(df, "pk", seq_len=4,
+                              token_count_col="ntok", text_col="pk")
