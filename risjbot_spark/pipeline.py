@@ -1,0 +1,187 @@
+"""End-to-end curation pipeline: corpus DataFrame → training-ready corpus.
+
+One call composes the library's stages in the canonical order a
+training-data run uses them:
+
+    text repair     boilerplate strip → PII scrub → duplicated-span strip
+    row filters     quality gate → near-dup survivors → decontamination
+    corpus shaping  data-mix downsample → train/val/test split
+
+Everything stays ONE declarative plan (the row filters are pure
+filters/anti-joins, so Catalyst fuses them into the corpus scan);
+per-stage lineage counts ride `Observation` nodes at each boundary —
+the engine's zero-extra-job counter device (crawl.py uses the same
+pattern for round lineage) — so a single downstream action (the
+caller's write, or `CurationResult.report()`'s count) yields every
+stage's surviving-row count.
+
+Eagerness caveat: the near-dedup stage runs connected components,
+which iterates with its own Spark actions — so `curate()` with
+`near_dedup=` does work at call time (everything else is lazy until
+the caller acts).
+
+Reference parity: RISJbot has no corpus-curation surface (its pipeline
+ends at per-article NewsItems); this module is the LLM-training-data
+composition the brief adds, built entirely from the library ops that
+are each oracle-gated on their own.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from . import dedup as _dedup
+from . import textquality as _tq
+
+__all__ = ["holdout_split", "curate", "CurationResult"]
+
+
+def holdout_split(df: DataFrame, id_col: str, *,
+                  val_permille: int = 10,
+                  test_permille: int = 10,
+                  bucket=None,
+                  resolution: int = 1000,
+                  out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: a hash bucket of the
+    document id (NOT an RNG — the same corpus always splits
+    identically, across runs, partitionings, and cluster sizes, and a
+    re-crawled document lands in the same split so eval never leaks
+    into train on refresh). Buckets [0, val) → 'val', [val, val+test)
+    → 'test', rest → 'train'. Pure projection: zero exchanges, composes
+    into the corpus scan.
+
+    Default bucket is pmod(xxhash64(id), resolution); pass `bucket` for
+    a custom [0, resolution) expression (e.g. a multiplicative hash
+    reproducible across engines for oracle checks, or a hash of a
+    GROUP key so whole sites/domains split together — the right unit
+    when near-duplicates cluster within a site)."""
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the "
+                         "input; pick a fresh name")
+    if val_permille < 0 or test_permille < 0 \
+            or val_permille + test_permille > 1000:
+        raise ValueError("val_permille/test_permille must be >= 0 and "
+                         "sum to <= 1000")
+    if bucket is None:
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(resolution))
+    val_hi = val_permille * resolution // 1000
+    test_hi = val_hi + test_permille * resolution // 1000
+    split = (F.when(bucket < val_hi, F.lit("val"))
+             .when(bucket < test_hi, F.lit("test"))
+             .otherwise(F.lit("train")))
+    return df.withColumn(out_col, split)
+
+
+@dataclass
+class CurationResult:
+    """`docs` is the curated corpus (lazy); `observations` maps stage
+    names to their Observation counters."""
+    docs: DataFrame
+    stages: "list[str]" = field(default_factory=list)
+    observations: "dict[str, Observation]" = field(default_factory=dict)
+
+    def report(self, *, run: bool = True) -> "dict[str, int]":
+        """Per-stage surviving-row counts. With run=True (default) a
+        single count() materializes the plan so every Observation
+        fires; pass run=False if you already ran an action on `docs`
+        (a write, a count) — the counters kept that first action's
+        values and this just reads them."""
+        if run:
+            self.docs.count()
+        return {name: int(o.get["rows"])
+                for name, o in self.observations.items()}
+
+
+def curate(df: DataFrame, id_col: str, text_col: str, *,
+           boilerplate: "dict | None" = None,
+           pii: "dict | None" = None,
+           span_dedup: "dict | None" = None,
+           quality: "dict | None" = None,
+           near_dedup: "dict | None" = None,
+           decontam_eval: "DataFrame | None" = None,
+           decontam: "dict | None" = None,
+           mix: "dict | None" = None,
+           split: "dict | None" = None,
+           observe: bool = True) -> CurationResult:
+    """Compose the curation stages; every kwarg is None (stage skipped)
+    or a kwargs dict forwarded to the stage's library function:
+
+      boilerplate → textquality.strip_boilerplate
+      pii         → textquality.pii_scrub (with_counts defaults False)
+      span_dedup  → dedup.strip_duplicate_spans
+      quality     → textquality.quality_filter
+      near_dedup  → dedup.minhash_dedup geometry, plus optional
+                    max_iters / checkpoint_dir for the component step;
+                    survivors keep the smallest id per cluster
+      decontam    → textquality.decontaminate options + max_hit_frac
+                    (docs with hit_frac ABOVE it are dropped; requires
+                    decontam_eval, the evaluation-set DataFrame with
+                    the same text_col)
+      mix         → textquality.mix_sample: group_cols (required),
+                    weights, and any of its keyword options
+      split       → holdout_split options
+
+    Returns CurationResult(docs, stages, observations)."""
+    if decontam is not None and decontam_eval is None:
+        raise ValueError("decontam options given without decontam_eval")
+    d = df
+    stages: "list[str]" = []
+    obs: "dict[str, Observation]" = {}
+
+    def _mark(name: str) -> None:
+        nonlocal d
+        stages.append(name)
+        if observe:
+            o = Observation()
+            d = d.observe(o, F.count(F.lit(1)).alias("rows"))
+            obs[name] = o
+
+    _mark("input")
+    if boilerplate is not None:
+        d = _tq.strip_boilerplate(d, text_col, **boilerplate)
+        stages.append("boilerplate_strip")
+    if pii is not None:
+        d = _tq.pii_scrub(d, text_col, **{"with_counts": False, **pii})
+        stages.append("pii_scrub")
+    if span_dedup is not None:
+        d = _dedup.strip_duplicate_spans(d, id_col, text_col,
+                                         **span_dedup)
+        stages.append("span_dedup")
+    if quality is not None:
+        d = _tq.quality_filter(d, text_col, **quality)
+        _mark("after_quality")
+    if near_dedup is not None:
+        nd = dict(near_dedup)
+        cc = {k: nd.pop(k) for k in ("max_iters", "checkpoint_dir")
+              if k in nd}
+        pairs = _dedup.minhash_dedup(d, id_col, text_col, **nd)
+        _clusters, d = _dedup.cluster_and_survivors(d, id_col, pairs,
+                                                    **cc)
+        _mark("after_near_dedup")
+    if decontam_eval is not None:
+        dc = dict(decontam or {})
+        max_hit = dc.pop("max_hit_frac", 0.0)
+        ev = decontam_eval
+        if id_col not in ev.columns:
+            # decontaminate shingles the eval side per-row then drops
+            # the id, so any unique value serves
+            ev = ev.withColumn(id_col, F.monotonically_increasing_id())
+        hits = _tq.decontaminate(d, ev, id_col, text_col, **dc)
+        bad = hits.filter(F.col("hit_frac") > max_hit).select(id_col)
+        d = d.join(bad, id_col, "left_anti")
+        _mark("after_decontam")
+    if mix is not None:
+        mx = dict(mix)
+        group_cols = mx.pop("group_cols")
+        weights = mx.pop("weights", None)
+        d = _tq.mix_sample(d, group_cols, weights,
+                           **{"id_col": id_col, **mx})
+        _mark("after_mix")
+    if split is not None:
+        d = holdout_split(d, id_col, **split)
+        stages.append("split")
+    _mark("output")
+    return CurationResult(docs=d, stages=stages, observations=obs)

@@ -1136,6 +1136,49 @@ def q_pack_sequences(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_holdout_split(spark, sf):
+    """Deterministic train/val/test assignment (pipeline.holdout_split)
+    with the cross-engine multiplicative bucket — 10%/10% holdout."""
+    from .pipeline import holdout_split
+    d = _t(spark, sf, "documents").select("doc_id")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000))
+    return (holdout_split(d, "doc_id", val_permille=100,
+                          test_permille=100, bucket=bucket)
+            .orderBy("doc_id"))
+
+
+def q_curate_docs(spark, sf):
+    """END-TO-END curation (pipeline.curate) over the mutant corpus:
+    quality gate (Gopher thresholds 0.08/0.15/0.35, 2-grams) →
+    MinHash near-dedup survivors (3-gram shingles, 2×3 bands, Jaccard
+    ≥ 0.5, CC min-id survivor) → decontamination vs the near-mutant
+    eval set (5-gram shingles, drop hit_frac > 0.2) → holdout split
+    (10%/10%, cross-engine bucket). The oracle chains the SAME shared
+    SQL fragments the per-stage oracles use, so a hash match pins the
+    full composition, not just each stage alone."""
+    from .pipeline import curate
+    raw = _docs_with_mutants(spark, sf)
+    ev = (_t(spark, sf, "documents")
+          .filter(F.col("doc_id") % 10 == 0)
+          .select(F.expr("substring(text, instr(text, ' ') + 1)")
+                  .alias("text")))
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000))
+    res = curate(
+        raw, "doc_id", "text",
+        quality={"max_dup_ngram_frac": 0.08, "max_top_token_frac": 0.15,
+                 "min_distinct_ratio": 0.35},
+        near_dedup={"ngram": 3, "num_bands": 2, "rows_per_band": 3,
+                    "threshold": 0.5},
+        decontam_eval=ev,
+        decontam={"ngram": 5, "max_hit_frac": 0.2},
+        split={"val_permille": 100, "test_permille": 100,
+               "bucket": bucket},
+        observe=False)
+    return (res.docs
+            .select("doc_id", "split", F.md5("text").alias("text_md5"))
+            .orderBy("doc_id"))
+
+
 def q_warc_roundtrip(spark, sf):
     """WARC interchange round-trip, fully distributed: the documents
     table is serialized into Common-Crawl-convention WARC files
@@ -1309,11 +1352,18 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "dup_span_strip": q_dup_span_strip,
     "pack_sequences": q_pack_sequences,
+    "holdout_split": q_holdout_split,
+    "curate_docs": q_curate_docs,
 }
 
 
-_MUTANTS_CTE = """
-docs AS (
+def _mutants_cte(name: str = "docs") -> str:
+    """The mutant-corpus CTE under a caller-chosen name — the curate
+    oracle needs the raw mutants under `raw` so `docs` can be its
+    quality-filtered subset while the shingle/band/CC fragments (which
+    read FROM docs) apply verbatim."""
+    return f"""
+{name} AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000,
@@ -1322,6 +1372,9 @@ docs AS (
   UNION ALL
   SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0
 )"""
+
+
+_MUTANTS_CTE = _mutants_cte()
 
 _SHINGLE_CTE = f"""
 tok AS (
@@ -2377,6 +2430,103 @@ ORACLE_SQL = {
                  ' '), '')) AS clean_md5
         FROM tok t LEFT JOIN cl USING (doc_id)
         ORDER BY doc_id""",
+    "holdout_split": """
+        SELECT doc_id,
+               CASE WHEN (doc_id * 2654435761) % 1000 < 100 THEN 'val'
+                    WHEN (doc_id * 2654435761) % 1000 < 200 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents ORDER BY doc_id""",
+    "curate_docs": f"""
+        WITH RECURSIVE {_mutants_cte('raw')},
+        qtok AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(trim(text)),
+                                                '{PY_WS_RE}'),
+                             x -> x <> '') AS toks
+          FROM raw WHERE text IS NOT NULL),
+        qg AS (
+          SELECT doc_id, text, toks, len(toks) AS n,
+                 CASE WHEN toks IS NULL THEN NULL
+                      WHEN len(toks) >= 2 THEN list_transform(
+                        generate_series(1, len(toks) - 1),
+                        i -> concat_ws(' ', toks[i], toks[i+1]))
+                      ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM qtok),
+        qsig AS (
+          SELECT doc_id, text,
+                 CASE WHEN n > 0
+                      THEN round(len(list_distinct(toks)) / n, 6)
+                 END AS dtr,
+                 CASE WHEN n > 0
+                      THEN round(list_max(list_transform(
+                             list_distinct(toks),
+                             t -> len(list_filter(toks, w -> w = t))))
+                             / n, 6)
+                 END AS ttf,
+                 CASE WHEN len(grams) > 0
+                      THEN round((len(grams) - len(list_distinct(grams)))
+                                 / len(grams), 6)
+                 END AS dnf
+          FROM qg),
+        docs AS (
+          SELECT doc_id, text FROM qsig
+          WHERE coalesce(dnf <= 0.08, TRUE)
+            AND coalesce(ttf <= 0.15, TRUE)
+            AND coalesce(dtr >= 0.35, TRUE)),
+        {_SHINGLE_CTE},
+        {_M_CTE},
+        sig AS ({_SIG_SELECT}),
+        {_VERIFIED_CTE},
+        {_CC_CTE},
+        losers AS (
+          SELECT src AS doc_id FROM reach
+          GROUP BY src HAVING least(src, min(dst)) <> src),
+        surv AS (
+          SELECT d.doc_id, d.text
+          FROM docs d LEFT JOIN losers l ON d.doc_id = l.doc_id
+          WHERE l.doc_id IS NULL),
+        ev0 AS (
+          SELECT substring(text, instr(text, ' ') + 1) AS text
+          FROM documents WHERE doc_id % 10 = 0),
+        etok AS (
+          SELECT list_filter(string_split_regex(lower(trim(text)),
+                                                '{PY_WS_RE}'),
+                             x -> x <> '') AS toks
+          FROM ev0),
+        esh AS (
+          SELECT DISTINCT unnest(list_transform(
+                   generate_series(1, len(toks) - 4),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                  toks[i+3], toks[i+4]))) AS s
+          FROM etok WHERE len(toks) >= 5),
+        ttok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)),
+                                                '{PY_WS_RE}'),
+                             x -> x <> '') AS toks
+          FROM surv),
+        tsh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(toks) - 4),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                  toks[i+3], toks[i+4]))) AS s
+          FROM ttok WHERE len(toks) >= 5),
+        hits AS (
+          SELECT t.doc_id,
+                 round(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END)
+                       / count(*), 6) AS hit_frac
+          FROM tsh t LEFT JOIN esh e ON t.s = e.s
+          GROUP BY t.doc_id),
+        bad AS (SELECT doc_id FROM hits WHERE hit_frac > 0.2)
+        SELECT s.doc_id,
+               CASE WHEN (s.doc_id * 2654435761) % 1000 < 100 THEN 'val'
+                    WHEN (s.doc_id * 2654435761) % 1000 < 200 THEN 'test'
+                    ELSE 'train' END AS split,
+               md5(s.text) AS text_md5
+        FROM surv s LEFT JOIN bad b ON s.doc_id = b.doc_id
+        WHERE b.doc_id IS NULL
+        ORDER BY s.doc_id""",
     "pack_sequences": f"""
         WITH t AS (
           SELECT doc_id,

@@ -1,0 +1,137 @@
+"""End-to-end curation orchestrator (pipeline.curate / holdout_split)."""
+import pytest
+from pyspark.sql import functions as F
+
+from risjbot_spark import pipeline
+
+BODY = ("the quick brown fox jumps over the lazy dog while the calm "
+        "river flows past the old stone bridge near town")
+
+
+def _corpus(spark):
+    rows = [
+        # normal docs, each with a distinct vocabulary
+        ("d01", "mountain peaks rise sharply above quiet alpine meadows "
+                "where marmots whistle under a pale morning sky", "en"),
+        ("d02", "the market stalls sell ripe oranges sweet dates and "
+                "warm flatbread to travellers passing through the old "
+                "square", "en"),
+        ("d03", "completely different text about ships and harbors "
+                "sailing beyond the far horizon at dawn light", "de"),
+        # near-dup pair: d05 = d04 minus first two words
+        ("d04", f"unique lead {BODY} gamma three", "en"),
+        ("d05", f"lead {BODY} gamma three", "en"),
+        # repetitive junk (fails the quality gate)
+        ("d06", "spam " * 40, "en"),
+        # contaminated: quotes the eval set verbatim
+        ("d07", "prefix words here benchmark question about rivers "
+                "and bridges answer key suffix trailing", "en"),
+        # NULL text (dropped by the quality gate)
+        ("d08", None, "de"),
+    ]
+    return spark.createDataFrame(rows, "pk string, body string, lg string")
+
+
+def _eval_df(spark):
+    return spark.createDataFrame(
+        [("benchmark question about rivers and bridges answer key",)],
+        "body string")
+
+
+def test_curate_full_chain(spark):
+    res = pipeline.curate(
+        _corpus(spark), "pk", "body",
+        pii={},
+        quality={"max_dup_ngram_frac": 0.2, "max_top_token_frac": 0.3,
+                 "min_distinct_ratio": 0.3},
+        near_dedup={"ngram": 3, "threshold": 0.5},
+        decontam_eval=_eval_df(spark),
+        decontam={"ngram": 5, "max_hit_frac": 0.05},
+        split={"val_permille": 200, "test_permille": 200},
+    )
+    rows = {r["pk"]: r for r in res.docs.collect()}
+    # d06 (junk) and d08 (null) fail quality; d05 loses to d04; d07
+    # is contaminated
+    assert sorted(rows) == ["d01", "d02", "d03", "d04"]
+    assert set(r["split"] for r in rows.values()) <= {
+        "train", "val", "test"}
+    rep = res.report(run=False)  # collect() above already materialized
+    assert rep["input"] == 8
+    assert rep["after_quality"] == 6
+    assert rep["after_near_dedup"] == 5
+    assert rep["after_decontam"] == 4
+    assert rep["output"] == 4
+    assert res.stages == ["input", "pii_scrub", "after_quality",
+                          "after_near_dedup", "after_decontam",
+                          "split", "output"]
+
+
+def test_curate_transform_stages_apply(spark):
+    corpus = spark.createDataFrame(
+        [("a", "contact me at bob@example.com for the details "
+               "of the meeting", "en")],
+        "pk string, body string, lg string")
+    res = pipeline.curate(corpus, "pk", "body", pii={})
+    out = res.docs.collect()[0]["body"]
+    assert "<EMAIL>" in out and "bob@example.com" not in out
+
+
+def test_curate_mix_stage(spark):
+    rows = [(f"e{i:02d}", f"english document number {i} with several "
+             f"more words to pass through {i}", "en") for i in range(8)]
+    rows += [(f"g{i:02d}", f"german document number {i} with several "
+              f"more words to pass through {i}", "de") for i in range(2)]
+    corpus = spark.createDataFrame(rows, "pk string, body string, lg string")
+    res = pipeline.curate(
+        corpus, "pk", "body",
+        mix={"group_cols": ["lg"], "weights": {"en": 1, "de": 1}})
+    counts = {r["lg"]: r["n"] for r in
+              res.docs.groupBy("lg").agg(F.count("*").alias("n"))
+              .collect()}
+    # 1:1 target from 8:2 -> en downsampled toward de's size
+    assert counts.get("de", 0) >= 1
+    assert counts["en"] <= 4
+
+
+def test_curate_validation(spark):
+    corpus = _corpus(spark)
+    with pytest.raises(ValueError):
+        pipeline.curate(corpus, "pk", "body",
+                        decontam={"max_hit_frac": 0.1})
+
+
+def test_holdout_split_deterministic_and_complete(spark):
+    rows = [(f"k{i:04d}",) for i in range(500)]
+    df1 = spark.createDataFrame(rows, "pk string").coalesce(1)
+    df2 = spark.createDataFrame(rows, "pk string").repartition(9)
+    a = {r["pk"]: r["split"] for r in
+         pipeline.holdout_split(df1, "pk").collect()}
+    b = {r["pk"]: r["split"] for r in
+         pipeline.holdout_split(df2, "pk").collect()}
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    frac_val = sum(1 for v in a.values() if v == "val") / len(a)
+    assert 0.002 <= frac_val <= 0.05          # ~1% target, hash noise
+
+
+def test_holdout_split_guards(spark):
+    df = spark.createDataFrame([("a", 1)], "pk string, split int")
+    with pytest.raises(ValueError):
+        pipeline.holdout_split(df, "pk")
+    df2 = spark.createDataFrame([("a",)], "pk string")
+    with pytest.raises(ValueError):
+        pipeline.holdout_split(df2, "pk", val_permille=600,
+                               test_permille=600)
+
+
+def test_holdout_split_custom_bucket_groups_stick_together(spark):
+    # bucket by site so a whole site lands in one split
+    rows = [(f"u{i}", f"site{i % 5}") for i in range(50)]
+    df = spark.createDataFrame(rows, "pk string, site string")
+    out = pipeline.holdout_split(
+        df, "pk",
+        bucket=F.pmod(F.xxhash64("site"), F.lit(1000)),
+        val_permille=300, test_permille=300)
+    per_site = (out.groupBy("site")
+                .agg(F.countDistinct("split").alias("n")).collect())
+    assert all(r["n"] == 1 for r in per_site)
