@@ -237,6 +237,68 @@ def main() -> None:
           "Join" not in p and "ArrowEvalPython" not in p,
           "no join, no Python eval in the scrub")
 
+    # --- dup_span_strip: the whole corpus token stream exchanges ONCE
+    # (the window over the gram hash computes count + argmin in a
+    # single pass — no groupBy-then-join-back second exchange of the
+    # gram stream); the later doc_id-keyed exchanges operate on FLAGGED
+    # rows only (duplicated-span volume, not corpus)
+    p = plan_of(QUERIES["dup_span_strip"](spark, SF))
+    sections.append(("dup_span_strip (exact duplicated-span removal)", p))
+    check("dup_span_strip",
+          len(re.findall(r"hashpartitioning\(_gh", p)) == 1,
+          "gram stream exchanges exactly once (window count+argmin)")
+    check("dup_span_strip",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "all-JVM expressions (no Python eval)")
+    check("dup_span_strip", "CartesianProduct" not in p,
+          "no cartesian anywhere in the span pipeline")
+
+    # --- pack_sequences: ONE shard-keyed exchange (the per-shard
+    # window); no join, no Python, no global sort of the corpus
+    p = plan_of(QUERIES["pack_sequences"](spark, SF))
+    sections.append(("pack_sequences (concat-and-chunk packing plan)", p))
+    check("pack_sequences",
+          len(re.findall(r"hashpartitioning\(shard", p)) == 1,
+          "exactly one shard-keyed exchange (the packing window)")
+    check("pack_sequences",
+          "Join" not in p and "ArrowEvalPython" not in p,
+          "no join, no Python eval in the packing plan")
+
+    # --- holdout_split: pure projection — zero hash exchanges
+    p = plan_of(QUERIES["holdout_split"](spark, SF))
+    sections.append(("holdout_split (train/val/test assignment)", p))
+    check("holdout_split", "hashpartitioning(" not in p,
+          "zero hash exchanges — split composes into the scan")
+    check("holdout_split", "Join" not in p, "no join in the split")
+
+    # --- warc_roundtrip: build+parse are Python format codecs by
+    # design (applyInPandas/mapInPandas); the ONLY exchange routes
+    # records to their file builder
+    p = plan_of(QUERIES["warc_roundtrip"](spark, SF))
+    sections.append(("warc_roundtrip (WARC build+parse round trip)", p))
+    check("warc_roundtrip",
+          len(re.findall(r"hashpartitioning\(", p)) == 1,
+          "exactly one exchange (record→file routing); the parse adds "
+          "none")
+    check("warc_roundtrip", "FlatMapGroupsInPandas" in p
+          and "MapInPandas" in p,
+          "builder is applyInPandas, parser is mapInPandas (Arrow "
+          "batched, never per-row Python)")
+
+    # --- curate_docs: the composed pipeline keeps the per-stage
+    # shapes — the quality gate fuses into the scan, and both row-drop
+    # joins (survivor anti-join, decontamination anti-join) broadcast
+    # their tiny right sides so the corpus never SMJ-exchanges for them
+    p = plan_of(QUERIES["curate_docs"](spark, SF))
+    sections.append(("curate_docs (end-to-end curation pipeline)", p))
+    check("curate_docs", "BroadcastHashJoin" in p,
+          "drop-sets broadcast into the corpus scan")
+    check("curate_docs", "CartesianProduct" not in p,
+          "no cartesian in the composed pipeline")
+    check("curate_docs",
+          "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
+          "curation chain is all-JVM expressions")
+
     # --- incremental dedup store probe: the compacted bands base is a
     # BUCKETED catalog table (bucketBy(band) + sortBy, the seen-gate
     # device), so a new batch's band probe exchanges ONLY the batch
