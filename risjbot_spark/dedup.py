@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .schema import PY_WS_RE
@@ -541,19 +541,10 @@ def raw_tokens_expr(text_col) -> Column:
                     lambda x: x != "")
 
 
-def duplicate_span_occurrences(df: DataFrame, id_col: str, text_col: str,
-                               *, k: int = 8) -> DataFrame:
-    """All (id, token-position) starts of k-grams that occur more than
-    once corpus-wide AND are not the global first occurrence of their
-    gram (first = min (id, pos), so for numeric ids the earliest doc
-    wins, matching survivor selection elsewhere in this module).
-
-    Scale shape: one row per token position flows into a single
-    window-over-gram-hash exchange (count + min in one pass — no
-    second join-back shuffle); everything after operates on FLAGGED
-    rows only, i.e. the duplicated-span volume, not the corpus. Gram
-    hashing is md5 over the lowercased token window — JVM expressions
-    throughout, same cost class as the MinHash shingle stage."""
+def _gram_occurrences(df: DataFrame, id_col: str, text_col: str,
+                      k: int) -> DataFrame:
+    """(_sid, _p, _gh): every k-gram start position with its md5 gram
+    hash (matching lowercased; only docs with >= k tokens have any)."""
     toks = raw_tokens_expr(F.col(text_col))
     t = df.select(F.col(id_col).alias("_sid"), toks.alias("_toks"))
     t = t.filter(F.size("_toks") >= k)
@@ -561,16 +552,49 @@ def duplicate_span_occurrences(df: DataFrame, id_col: str, text_col: str,
         F.sequence(F.lit(0), F.size("_toks") - k),
         lambda p: F.md5(F.concat_ws(
             " ", F.transform(F.slice("_toks", p + 1, k), F.lower))))
-    occ = t.select("_sid", F.posexplode(gh).alias("_p", "_gh"))
-    w = Window.partitionBy("_gh")
-    occ = occ.select(
-        "_sid", "_p", "_gh",
-        F.count("*").over(w).alias("_cnt"),
-        F.min(F.struct("_sid", "_p")).over(w).alias("_first"))
-    return (occ.filter(
-                (F.col("_cnt") > 1)
-                & ~((F.col("_sid") == F.col("_first._sid"))
-                    & (F.col("_p") == F.col("_first._p"))))
+    return t.select("_sid", F.posexplode(gh).alias("_p", "_gh"))
+
+
+def duplicate_span_occurrences(df: DataFrame, id_col: str, text_col: str,
+                               *, k: int = 8,
+                               strategy: str = "broadcast") -> DataFrame:
+    """All (id, token-position) starts of k-grams that occur more than
+    once corpus-wide AND are not the global first occurrence of their
+    gram (first = min (id, pos), so for numeric ids the earliest doc
+    wins, matching survivor selection elsewhere in this module).
+
+    Scale shape: the gram stream (one row per token position) feeds a
+    groupBy(gram-hash) count+argmin — map-side COMBINABLE, so a
+    boilerplate gram repeated 10^9 times collapses to one partial row
+    per map partition instead of melting a single reducer (the hot-key
+    failure a window-over-hash would have; that was this function's
+    first shape). Only grams with count > 1 survive the aggregate — a
+    table sized by the corpus' DUPLICATED-gram vocabulary, not the
+    corpus. strategy="broadcast" (default) broadcasts it back over a
+    recomputed gram stream, so the occurrence stream itself never
+    crosses an exchange (the scan runs twice — CPU, not network;
+    exactly the trade a 10^13-gram corpus wants). strategy="join"
+    shuffle-joins instead — for pathological corpora whose duplicated-
+    gram set is itself too big to broadcast. Everything downstream of
+    this function operates on FLAGGED rows only. Gram hashing is md5
+    over the lowercased token window — JVM expressions throughout,
+    same cost class as the MinHash shingle stage."""
+    if strategy not in ("broadcast", "join"):
+        raise ValueError(f"unknown strategy {strategy!r}; expected "
+                         "'broadcast' or 'join'")
+    occ = _gram_occurrences(df, id_col, text_col, k)
+    stats = (occ.groupBy("_gh")
+             .agg(F.count("*").alias("_cnt"),
+                  F.min(F.struct("_sid", "_p")).alias("_first"))
+             .filter(F.col("_cnt") > 1)
+             .select("_gh", "_first"))
+    if strategy == "broadcast":
+        stats = F.broadcast(stats)
+    flagged = _gram_occurrences(df, id_col, text_col, k).join(
+        stats, "_gh")
+    return (flagged.filter(
+                ~((F.col("_sid") == F.col("_first._sid"))
+                  & (F.col("_p") == F.col("_first._p"))))
             .select(F.col("_sid").alias(id_col),
                     F.col("_p").alias("pos"),
                     F.col("_gh").alias("gram_hash")))
@@ -578,7 +602,8 @@ def duplicate_span_occurrences(df: DataFrame, id_col: str, text_col: str,
 
 def strip_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                           *, k: int = 8, out_col: str | None = None,
-                          with_stats: bool = False) -> DataFrame:
+                          with_stats: bool = False,
+                          strategy: str = "broadcast") -> DataFrame:
     """APPLY span removal: every token covered by a redundant k-gram
     occurrence is dropped and the survivors are rejoined with single
     spaces (positions are token-level, so output whitespace is
@@ -602,7 +627,8 @@ def strip_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
         if c in df.columns:
             raise ValueError(f"input column {c!r} collides with an "
                              "internal column of strip_duplicate_spans")
-    flagged = duplicate_span_occurrences(df, id_col, text_col, k=k)
+    flagged = duplicate_span_occurrences(df, id_col, text_col, k=k,
+                                         strategy=strategy)
     cover = (flagged
              .select(id_col,
                      F.explode(F.sequence(
@@ -615,10 +641,22 @@ def strip_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
         toks,
         lambda x, i: ~F.coalesce(
             F.array_contains(F.col("_drop"), i), F.lit(False)))
-    out = joined.withColumn(out_col, F.concat_ws(" ", kept))
+    # NULL text stays NULL (a transform must not invent content — and
+    # downstream NULL-dropping gates like quality_filter must still
+    # see the NULL)
+    clean = F.when(F.col(text_col).isNull(),
+                   F.lit(None).cast("string")) \
+             .otherwise(F.concat_ws(" ", kept))
+    out = joined
     if with_stats:
+        # stats BEFORE the in-place replacement: with out_col ==
+        # text_col, computing them afterwards would resolve the token
+        # expression against the already-stripped text
         out = (out
-               .withColumn("n_tokens", F.size(toks))
+               .withColumn("n_tokens",
+                           F.when(F.col(text_col).isNull(), F.lit(0))
+                           .otherwise(F.size(toks)))
                .withColumn("n_dropped_tokens",
                            F.coalesce(F.size("_drop"), F.lit(0))))
+    out = out.withColumn(out_col, clean)
     return out.drop("_drop")

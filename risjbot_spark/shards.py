@@ -151,10 +151,12 @@ def pack_sequences(df: DataFrame, id_col: str, *,
     a pure function of the data, so the same corpus always packs
     identically (re-runs, cluster sizes, and input partitionings all
     reproduce byte-equal plans); pass shard_col to pack along an
-    existing layout (e.g. write_training_shards output)."""
+    existing layout (e.g. write_training_shards output).  id_col values
+    must be unique within a shard — the layout orders by id, so
+    duplicate ids would make a document's offsets ambiguous."""
     from pyspark.sql import Window
 
-    from .schema import PY_WS_RE
+    from .dedup import raw_tokens_expr
 
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
@@ -163,9 +165,9 @@ def pack_sequences(df: DataFrame, id_col: str, *,
     if token_count_col is not None:
         n_tok = F.col(token_count_col).cast("long")
     else:
-        n_tok = F.size(F.filter(
-            F.split(F.trim(F.col(text_col)), PY_WS_RE),
-            lambda x: x != "")).cast("long")
+        # the engine's single token surface — counts stay consistent
+        # with the dedup/packing/quality ops by construction
+        n_tok = F.size(raw_tokens_expr(F.col(text_col))).cast("long")
     if shard_col is not None:
         shard = F.col(shard_col).cast("long")
     else:

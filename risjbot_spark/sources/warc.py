@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 import zlib
 from datetime import datetime, timezone
 from typing import Iterable, Iterator
@@ -88,6 +89,26 @@ def _record_id(url: str, date: str) -> str:
     return f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, f'{url}|{date}')}>"
 
 
+_LANG_RE = re.compile(r"^[A-Za-z0-9,\-]{1,64}$")
+
+
+def _header_safe_uri(url: str) -> str:
+    """WARC-Target-URI must be a header-safe ASCII URI: control chars
+    (header injection — a CRLF in a url would forge header lines or
+    terminate the block early) are rejected loudly; non-ASCII (IRIs are
+    common in crawl data) is percent-encoded, the standard IRI→URI
+    mapping, so the record still frames and round-trips."""
+    if any(ord(c) < 0x20 or c == "\x7f" for c in url):
+        raise ValueError(f"control character in url {url!r}; refusing "
+                         "to write a corrupt WARC header")
+    try:
+        url.encode("ascii")
+        return url
+    except UnicodeEncodeError:
+        from urllib.parse import quote
+        return quote(url, safe=":/?#[]@!$&'()*+,;=%~")
+
+
 def build_record(url: str, ts: datetime, payload: bytes, *,
                  rec_type: str = "response",
                  http_envelope: bool = True,
@@ -97,6 +118,10 @@ def build_record(url: str, ts: datetime, payload: bytes, *,
     """One uncompressed WARC record. `response` records get an HTTP/1.1
     envelope (CC convention); `conversion` (WET) and others carry the
     payload bare."""
+    url = _header_safe_uri(url)
+    if lang is not None and not _LANG_RE.match(lang):
+        raise ValueError(f"invalid language tag {lang!r} for the "
+                         "WARC-Identified-Content-Language header")
     date = _warc_date(ts)
     if rec_type == "response" and http_envelope:
         body = (f"HTTP/1.1 {http_status} OK\r\n"
@@ -220,6 +245,10 @@ def parse_warc_bytes(data: bytes, *, file: str = "") -> Iterator[dict]:
                 length = int(headers.get("content-length", ""))
             except ValueError:
                 break
+            if length < 0:
+                # a negative length would move pos BACKWARD and loop
+                # the same record forever — treat as lost sync
+                break
             body = member[end + 4:end + 4 + length]
             if len(body) < length:
                 break  # truncated record
@@ -261,20 +290,29 @@ def parse_warc_bytes(data: bytes, *, file: str = "") -> Iterator[dict]:
 # ---------------------------------------------------------------------------
 
 def parse_records_df(files: DataFrame, *, data_col: str = "content",
-                     name_col: str | None = None) -> DataFrame:
+                     name_col: str | None = None,
+                     chunk_records: int = 512) -> DataFrame:
     """(data_col binary[, name_col]) rows -> one WARC_RECORD_SCHEMA row
-    per record.  Pure mapInPandas — no shuffle; each task parses its
-    files' bytes incrementally."""
+    per record.  Pure mapInPandas — no shuffle; records stream out in
+    chunk_records-row Arrow batches, so per-task peak memory is the
+    file's compressed bytes plus one chunk of decompressed payloads —
+    never the whole decompressed file at once (a ~1 GB CC .warc.gz
+    decompresses 3-5×)."""
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
         for pdf in batches:
             for _, row in pdf.iterrows():
                 name = str(row[name_col]) if name_col else ""
-                rows = list(parse_warc_bytes(
-                    bytes(row[data_col]), file=name))
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+                buf: list = []
+                for rec in parse_warc_bytes(bytes(row[data_col]),
+                                            file=name):
+                    buf.append(rec)
+                    if len(buf) >= chunk_records:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf, columns=cols)
 
     return files.mapInPandas(_parse, schema=WARC_RECORD_SCHEMA)
 
@@ -342,52 +380,95 @@ def records_df_to_warc_files(df: DataFrame, *, n_files: int,
     def _build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["url", "warc_ts"], kind="mergesort")
         recs = []
+        n_payload = 0
         for _, r in pdf.iterrows():
             ts = r["warc_ts"]
+            if pd.isna(ts):
+                # loud, not a cryptic NaT strftime failure rows later
+                raise ValueError(
+                    f"warc_ts is NULL for url {r['url']!r}; WARC "
+                    "records require a WARC-Date — fill or filter "
+                    "before writing")
             ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            payload = bytes(r["payload"])
+            n_payload += len(payload)
             recs.append(build_record(
-                r["url"], ts, bytes(r["payload"]), rec_type=rec_type,
+                r["url"], ts, payload, rec_type=rec_type,
                 lang=(r["lang"] if isinstance(r["lang"], str) else None)))
         data = build_warc_bytes(recs, gzip_members=gzip_members)
         return pd.DataFrame({"file_id": [int(key[0])], "data": [data],
-                             "n_records": [len(recs)]})
+                             "n_records": [len(recs)],
+                             "n_payload_bytes": [n_payload]})
 
     out_schema = T.StructType([
         T.StructField("file_id", T.IntegerType()),
         T.StructField("data", T.BinaryType()),
         T.StructField("n_records", T.LongType()),
+        T.StructField("n_payload_bytes", T.LongType()),
     ])
     return routed.groupBy("file_id").applyInPandas(_build, schema=out_schema)
 
 
 def write_warc(df: DataFrame, out_dir: str, *, n_files: int,
                rec_type: str = "response",
-               gzip_members: bool = True) -> DataFrame:
+               gzip_members: bool = True,
+               verify: bool = False) -> DataFrame:
     """Write (url, warc_ts, payload[, lang]) rows as .warc.gz files under
-    out_dir and return the manifest (file, n_records, n_bytes).
+    out_dir and return the manifest (file, n_records, n_bytes —
+    payload bytes).
 
-    Executor-side file writes (foreachPartition) so the driver never
-    holds file bytes; local-mode tests and a real cluster with a shared
-    filesystem behave identically.  Deterministic: gzip mtime=0,
-    hash-routed membership, per-file (url, ts) order."""
+    Executor-side file writes (mapInPandas) so the driver never holds
+    file bytes; the manifest rides the SAME pass — counts and payload
+    sizes were known at build time, so nothing re-reads the output
+    (pass verify=True to ALSO decompress-and-reparse every written
+    file and check its record count — the paranoid integrity mode).
+    Stale `part-*` files from a previous run into the same directory
+    are removed first: a prior run with a larger n_files would
+    otherwise leave mixed-corpus files that any downstream read picks
+    up silently.  local-mode tests and a real cluster with a shared
+    POSIX filesystem (NFS and friends) behave identically; out_dir
+    must be a plain path executors can open() — for HDFS/object-store
+    targets, take records_df_to_warc_files (the same bytes, still a
+    DataFrame) and write through your store's API instead.
+    Deterministic: gzip mtime=0, hash-routed membership, per-file
+    (url, ts) order."""
+    import glob as _glob
     import os
     files = records_df_to_warc_files(
         df, n_files=n_files, rec_type=rec_type, gzip_members=gzip_members)
     suffix = ".warc.gz" if gzip_members else ".warc"
     os.makedirs(out_dir, exist_ok=True)
+    for stale in _glob.glob(os.path.join(out_dir, f"part-*{suffix}")):
+        os.remove(stale)
 
-    def _write(rows):
-        for r in rows:
-            name = os.path.join(out_dir, f"part-{r['file_id']:05d}{suffix}")
-            tmp = name + ".tmp"
-            with open(tmp, "wb") as fh:
-                fh.write(bytes(r["data"]))
-            os.replace(tmp, name)
+    def _write(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                name = os.path.join(
+                    out_dir, f"part-{int(r['file_id']):05d}{suffix}")
+                tmp = name + ".tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(bytes(r["data"]))
+                os.replace(tmp, name)
+                out.append((name, int(r["n_records"]),
+                            int(r["n_payload_bytes"])))
+            yield pd.DataFrame(
+                out, columns=["file", "n_records", "n_bytes"])
 
-    files.foreachPartition(_write)
     spark = df.sparkSession
-    manifest = read_warc(spark, out_dir, glob=f"*{suffix}")
-    return (manifest
-            .groupBy("file")
-            .agg(F.count("*").alias("n_records"),
-                 F.sum(F.octet_length("payload")).alias("n_bytes")))
+    rows = files.mapInPandas(_write, schema=WARC_MANIFEST_SCHEMA).collect()
+    if verify:
+        counted = {r["file"]: r["n"] for r in
+                   (read_warc(spark, out_dir, glob=f"*{suffix}")
+                    .groupBy("file").agg(F.count("*").alias("n"))
+                    .collect())}
+        for r in rows:
+            # read_warc reports scheme-qualified paths; match on name
+            got = {os.path.basename(k): v for k, v in counted.items()}
+            if got.get(os.path.basename(r["file"])) != r["n_records"]:
+                raise IOError(
+                    f"verify failed for {r['file']}: wrote "
+                    f"{r['n_records']} records, re-parse found "
+                    f"{got.get(os.path.basename(r['file']))}")
+    return spark.createDataFrame(rows, schema=WARC_MANIFEST_SCHEMA)

@@ -75,12 +75,29 @@ def test_whole_doc_duplicate_becomes_empty(spark):
     assert got["b"]["n_dropped_tokens"] == 8
 
 
-def test_null_text_survives(spark):
+def test_null_text_stays_null(spark):
+    # a transform must not invent content: downstream NULL-dropping
+    # gates (quality_filter in pipeline.curate) still see the NULL
     rows = [("a", None, 1), ("b", f"x {SPAN}", 2), ("c", f"y {SPAN}", 3)]
     got = _clean(spark, rows)
-    assert got["a"]["clean"] == ""                  # concat_ws over empty
+    assert got["a"]["clean"] is None
+    assert got["a"]["n_tokens"] == 0
     assert got["a"]["n_dropped_tokens"] == 0
     assert got["c"]["clean"] == "y"
+
+
+def test_inplace_stats_use_original_text(spark):
+    # regression: with out_col=None (in-place), stats computed after
+    # the replacement would count the STRIPPED text's tokens
+    rows = [("a", f"other start {SPAN} halt two", 1),
+            ("b", f"intro words {SPAN} tail one", 2)]
+    out = dedup.strip_duplicate_spans(
+        _df(spark, rows), "pk", "body", k=8, with_stats=True)
+    got = {r["pk"]: r for r in out.collect()}
+    # 'a' < 'b' lexicographically: a keeps, b loses its 8 shared tokens
+    assert got["b"]["n_tokens"] == 12               # original, not 4
+    assert got["b"]["n_dropped_tokens"] == 8
+    assert got["b"]["body"] == "intro words tail one"
 
 
 def test_out_col_and_collision_guards(spark):

@@ -182,3 +182,47 @@ def test_write_warc_routing_is_partitioning_independent(spark, tmp_path):
           W.records_df_to_warc_files(b, n_files=4)
           .select("file_id", "n_records").collect()}
     assert fa == fb
+
+
+def test_negative_content_length_cannot_loop():
+    evil = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://a.org/x\r\n"
+            b"Content-Length: -33\r\n\r\nbody\r\n\r\n")
+    good = W.build_record("https://a.org/ok", _ts(1), b"fine")
+    rows = list(W.parse_warc_bytes(
+        W.gzip_member(evil) + W.gzip_member(good)))
+    # the poisoned member is abandoned; the next member resyncs
+    assert [r["url"] for r in rows] == ["https://a.org/ok"]
+
+
+def test_non_ascii_url_percent_encoded_roundtrip():
+    rec = W.build_record("https://exämple.org/päth?q=ü", _ts(2), b"x")
+    rows = list(W.parse_warc_bytes(rec))
+    assert rows[0]["url"] == (
+        "https://ex%C3%A4mple.org/p%C3%A4th?q=%C3%BC")
+
+
+def test_header_injection_rejected():
+    with pytest.raises(ValueError):
+        W.build_record("https://a.org/\r\nWARC-Type: forged",
+                       _ts(1), b"x")
+    with pytest.raises(ValueError):
+        W.build_record("https://a.org/x", _ts(1), b"x",
+                       rec_type="conversion", lang="en\r\nX: y")
+
+
+def test_write_warc_cleans_stale_parts(spark, tmp_path):
+    pages = _mk_pages(10)
+    df = spark.createDataFrame(
+        [(u, t, b) for u, t, b in pages],
+        "url string, warc_ts timestamp, payload binary")
+    out = str(tmp_path / "clean")
+    W.write_warc(df, out, n_files=8).collect()
+    man2 = W.write_warc(df, out, n_files=2, verify=True).collect()
+    import pathlib
+    names = sorted(p.name for p in pathlib.Path(out).glob("*.warc.gz"))
+    # no stale part-000[2-7] files from the 8-file run survive
+    assert all(n in ("part-00000.warc.gz", "part-00001.warc.gz")
+               for n in names)
+    assert sum(m["n_records"] for m in man2) == 10
+    assert all(m["n_bytes"] > 0 for m in man2)

@@ -75,26 +75,31 @@ def main() -> int:
     # --- strip_duplicate_spans, k=8 — evaluate via the stats aggregate
     out = strip_duplicate_spans(docs, "doc_id", "text", k=8,
                                 out_col="clean", with_stats=True)
-    t0 = time.monotonic()
-    agg = out.agg(
+    # plan facts must come from the query execution that actually RAN
+    # (an un-executed DataFrame's plan is pre-AQE and can differ), so
+    # aggregate and inspect the SAME DataFrame instance
+    out_agg = out.agg(
         F.count("*").alias("n"),
         F.sum("n_tokens").alias("tok_in"),
         F.sum("n_dropped_tokens").alias("tok_dropped"),
         F.sum((F.col("n_dropped_tokens") > 0).cast("long"))
-        .alias("docs_touched")).first()
+        .alias("docs_touched"))
+    t0 = time.monotonic()
+    agg = out_agg.collect()[0]
     t_span = time.monotonic() - t0
-    plan = final_plan(out)
+    plan = final_plan(out_agg)
     gh_exchanges = len(re.findall(r"hashpartitioning\(_gh", plan))
 
     # --- pack_sequences over the SAME corpus (token counts from text)
     pk = pack_sequences(docs, "doc_id", seq_len=2048, text_col="text",
                         n_shards=256)
+    pk_agg = pk.agg(F.count("*").alias("n"),
+                    F.max("seq_last").alias("max_seq"),
+                    F.sum("n_tok").alias("tok"))
     t0 = time.monotonic()
-    pagg = pk.agg(F.count("*").alias("n"),
-                  F.max("seq_last").alias("max_seq"),
-                  F.sum("n_tok").alias("tok")).first()
+    pagg = pk_agg.collect()[0]
     t_pack = time.monotonic() - t0
-    pk_plan = final_plan(pk)
+    pk_plan = final_plan(pk_agg)
     shard_exchanges = len(re.findall(r"hashpartitioning\(shard", pk_plan))
 
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0

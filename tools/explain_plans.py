@@ -237,16 +237,23 @@ def main() -> None:
           "Join" not in p and "ArrowEvalPython" not in p,
           "no join, no Python eval in the scrub")
 
-    # --- dup_span_strip: the whole corpus token stream exchanges ONCE
-    # (the window over the gram hash computes count + argmin in a
-    # single pass — no groupBy-then-join-back second exchange of the
-    # gram stream); the later doc_id-keyed exchanges operate on FLAGGED
-    # rows only (duplicated-span volume, not corpus)
+    # --- dup_span_strip: the gram stream feeds ONE map-side-combinable
+    # groupBy exchange (hot grams collapse per map partition — the
+    # skew-immunity a window-over-hash lacks); the duplicated-gram
+    # stats table BROADCASTS back over a recomputed gram stream, so
+    # occurrences themselves never cross an exchange; the later
+    # doc_id-keyed exchanges operate on FLAGGED rows only
     p = plan_of(QUERIES["dup_span_strip"](spark, SF))
     sections.append(("dup_span_strip (exact duplicated-span removal)", p))
     check("dup_span_strip",
           len(re.findall(r"hashpartitioning\(_gh", p)) == 1,
-          "gram stream exchanges exactly once (window count+argmin)")
+          "gram stream exchanges exactly once (the combinable groupBy); "
+          "the flag join is a broadcast, not a second gram shuffle")
+    check("dup_span_strip", "partial_count(" in p.lower()
+          or "partial_min" in p.lower() or "partial" in p.lower(),
+          "gram stats aggregate map-side (hot-gram skew immunity)")
+    check("dup_span_strip", "BroadcastHashJoin" in p,
+          "duplicated-gram stats broadcast over the occurrence stream")
     check("dup_span_strip",
           "ArrowEvalPython" not in p and "BatchEvalPython" not in p,
           "all-JVM expressions (no Python eval)")
