@@ -379,8 +379,10 @@ def records_df_to_warc_files(df: DataFrame, *, n_files: int,
 
     def _build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["url", "warc_ts"], kind="mergesort")
-        recs = []
+        members = []
+        cdx = []
         n_payload = 0
+        offset = 0
         for _, r in pdf.iterrows():
             ts = r["warc_ts"]
             if pd.isna(ts):
@@ -392,19 +394,32 @@ def records_df_to_warc_files(df: DataFrame, *, n_files: int,
             ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
             payload = bytes(r["payload"])
             n_payload += len(payload)
-            recs.append(build_record(
+            rec = build_record(
                 r["url"], ts, payload, rec_type=rec_type,
-                lang=(r["lang"] if isinstance(r["lang"], str) else None)))
-        data = build_warc_bytes(recs, gzip_members=gzip_members)
-        return pd.DataFrame({"file_id": [int(key[0])], "data": [data],
-                             "n_records": [len(recs)],
-                             "n_payload_bytes": [n_payload]})
+                lang=(r["lang"] if isinstance(r["lang"], str) else None))
+            member = gzip_member(rec) if gzip_members else rec
+            members.append(member)
+            cdx.append((surt_key(r["url"]), ts.strftime("%Y%m%d%H%M%S"),
+                        _header_safe_uri(r["url"]), offset, len(member)))
+            offset += len(member)
+        return pd.DataFrame({"file_id": [int(key[0])],
+                             "data": [b"".join(members)],
+                             "n_records": [len(members)],
+                             "n_payload_bytes": [n_payload],
+                             "cdx": [cdx]})
 
     out_schema = T.StructType([
         T.StructField("file_id", T.IntegerType()),
         T.StructField("data", T.BinaryType()),
         T.StructField("n_records", T.LongType()),
         T.StructField("n_payload_bytes", T.LongType()),
+        T.StructField("cdx", T.ArrayType(T.StructType([
+            T.StructField("urlkey", T.StringType()),
+            T.StructField("cdx_ts", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("length", T.LongType()),
+        ]))),
     ])
     return routed.groupBy("file_id").applyInPandas(_build, schema=out_schema)
 
@@ -412,10 +427,16 @@ def records_df_to_warc_files(df: DataFrame, *, n_files: int,
 def write_warc(df: DataFrame, out_dir: str, *, n_files: int,
                rec_type: str = "response",
                gzip_members: bool = True,
+               cdx: bool = True,
                verify: bool = False) -> DataFrame:
     """Write (url, warc_ts, payload[, lang]) rows as .warc.gz files under
     out_dir and return the manifest (file, n_records, n_bytes —
-    payload bytes).
+    payload bytes).  With cdx=True (default) each part also gets a
+    sorted `part-XXXXX.cdx` sidecar (SURT urlkey, 14-digit timestamp,
+    url, member offset, compressed length, filename) — the Common
+    Crawl random-access convention: read_cdx() loads the index as a
+    DataFrame and fetch_record() serves point lookups without
+    scanning anything.
 
     Executor-side file writes (mapInPandas) so the driver never holds
     file bytes; the manifest rides the SAME pass — counts and payload
@@ -438,19 +459,29 @@ def write_warc(df: DataFrame, out_dir: str, *, n_files: int,
         df, n_files=n_files, rec_type=rec_type, gzip_members=gzip_members)
     suffix = ".warc.gz" if gzip_members else ".warc"
     os.makedirs(out_dir, exist_ok=True)
-    for stale in _glob.glob(os.path.join(out_dir, f"part-*{suffix}")):
+    for stale in _glob.glob(os.path.join(out_dir, f"part-*{suffix}")) \
+            + _glob.glob(os.path.join(out_dir, "part-*.cdx")):
         os.remove(stale)
 
     def _write(batches):
         for pdf in batches:
             out = []
             for _, r in pdf.iterrows():
-                name = os.path.join(
-                    out_dir, f"part-{int(r['file_id']):05d}{suffix}")
+                base = f"part-{int(r['file_id']):05d}"
+                name = os.path.join(out_dir, base + suffix)
                 tmp = name + ".tmp"
                 with open(tmp, "wb") as fh:
                     fh.write(bytes(r["data"]))
                 os.replace(tmp, name)
+                if cdx:
+                    lines = sorted(
+                        f"{c['urlkey']} {c['cdx_ts']} {c['url']} "
+                        f"{c['offset']} {c['length']} {base}{suffix}\n"
+                        for c in r["cdx"])
+                    cname = os.path.join(out_dir, base + ".cdx")
+                    with open(cname + ".tmp", "w") as fh:
+                        fh.writelines(lines)
+                    os.replace(cname + ".tmp", cname)
                 out.append((name, int(r["n_records"]),
                             int(r["n_payload_bytes"])))
             yield pd.DataFrame(
@@ -472,3 +503,78 @@ def write_warc(df: DataFrame, out_dir: str, *, n_files: int,
                     f"{r['n_records']} records, re-parse found "
                     f"{got.get(os.path.basename(r['file']))}")
     return spark.createDataFrame(rows, schema=WARC_MANIFEST_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# CDX index (Common Crawl's random-access sidecar: one line per record
+# with the SURT url key, 14-digit timestamp, and the record's byte
+# extent inside its .warc.gz — what makes a 100 TB archive seekable
+# without parsing it)
+# ---------------------------------------------------------------------------
+
+CDX_SCHEMA = T.StructType([
+    T.StructField("urlkey", T.StringType()),
+    T.StructField("cdx_ts", T.StringType()),      # yyyymmddhhmmss
+    T.StructField("url", T.StringType()),
+    T.StructField("offset", T.LongType()),        # member start in file
+    T.StructField("length", T.LongType()),        # compressed member len
+    T.StructField("file", T.StringType()),
+])
+
+
+def surt_key(url: str) -> str:
+    """SURT (Sort-friendly URI Reordering Transform) url key, the CDX
+    convention: scheme and userinfo dropped, host lowercased and
+    comma-reversed, non-default port kept, path lowercased, query
+    params sorted — so one host's records sort together and one URL's
+    captures are adjacent regardless of scheme/case/param order."""
+    from urllib.parse import urlsplit
+    u = urlsplit(url.strip())
+    host = (u.hostname or "").lower()
+    rev = ",".join(reversed([p for p in host.split(".") if p]))
+    try:
+        port = u.port
+    except ValueError:
+        port = None
+    if port and port not in (80, 443):
+        rev = f"{rev}:{port}"
+    path = (u.path or "/").lower() or "/"
+    if not path.startswith("/"):
+        path = "/" + path
+    key = f"{rev}){path}"
+    if u.query:
+        key += "?" + "&".join(sorted(u.query.lower().split("&")))
+    return key
+
+
+def read_cdx(spark: SparkSession, path: str, *,
+             glob: str = "*.cdx") -> DataFrame:
+    """Read the sidecar .cdx files written by write_warc(cdx=True) into
+    a CDX_SCHEMA DataFrame.  Space-delimited text, one record per line
+    (urlkey has no spaces by construction; url is percent-encoded by
+    the writer, so the 5-way split is unambiguous)."""
+    reader = spark.read.format("text").option("pathGlobFilter", glob)
+    lines = reader.load(path)
+    parts = F.split(F.col("value"), " ", 6)
+    return lines.select(
+        parts.getItem(0).alias("urlkey"),
+        parts.getItem(1).alias("cdx_ts"),
+        parts.getItem(2).alias("url"),
+        parts.getItem(3).cast("long").alias("offset"),
+        parts.getItem(4).cast("long").alias("length"),
+        parts.getItem(5).alias("file"),
+    )
+
+
+def fetch_record(path: str, offset: int, length: int) -> dict:
+    """Random access: read ONE record from a .warc(.gz) file by its CDX
+    extent — seek, read `length` bytes, parse the single member.  The
+    whole point of the index: a 100 TB archive serves point lookups
+    without scanning anything."""
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        data = fh.read(length)
+    rows = list(parse_warc_bytes(data, file=path))
+    if not rows:
+        raise ValueError(f"no record at {path}:{offset}+{length}")
+    return rows[0]

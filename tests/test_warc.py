@@ -226,3 +226,57 @@ def test_write_warc_cleans_stale_parts(spark, tmp_path):
                for n in names)
     assert sum(m["n_records"] for m in man2) == 10
     assert all(m["n_bytes"] > 0 for m in man2)
+
+
+# ---------------------------------------------------------------------------
+# CDX index
+# ---------------------------------------------------------------------------
+
+def test_surt_key():
+    assert W.surt_key("https://www.Example.ORG/Path/Page?b=2&a=1") == \
+        "org,example,www)/path/page?a=1&b=2"
+    assert W.surt_key("http://example.org") == "org,example)/"
+    assert W.surt_key("https://example.org:8443/x") == \
+        "org,example:8443)/x"
+    assert W.surt_key("https://example.org:443/x") == "org,example)/x"
+
+
+def test_cdx_roundtrip_random_access(spark, tmp_path):
+    pages = _mk_pages(9)
+    df = spark.createDataFrame(
+        [(u, t, b) for u, t, b in pages],
+        "url string, warc_ts timestamp, payload binary")
+    out = str(tmp_path / "cdx")
+    W.write_warc(df, out, n_files=3).collect()
+
+    idx = W.read_cdx(spark, out).collect()
+    assert len(idx) == 9
+    assert all(r["urlkey"].startswith("org,ex") for r in idx)
+    # every CDX extent serves the exact record back without a scan
+    import os
+    for r in idx:
+        rec = W.fetch_record(os.path.join(out, r["file"]),
+                             r["offset"], r["length"])
+        assert rec["url"] == r["url"]
+        expected = {u: b for u, _, b in pages}[r["url"]]
+        # response records carry an HTTP envelope; payload is the body
+        assert rec["payload"] == expected
+    # cdx files are sorted by urlkey
+    import pathlib
+    for p in pathlib.Path(out).glob("*.cdx"):
+        lines = p.read_text().splitlines()
+        assert lines == sorted(lines)
+
+
+def test_cdx_sidecars_cleaned_on_rewrite(spark, tmp_path):
+    pages = _mk_pages(6)
+    df = spark.createDataFrame(
+        [(u, t, b) for u, t, b in pages],
+        "url string, warc_ts timestamp, payload binary")
+    out = str(tmp_path / "re")
+    W.write_warc(df, out, n_files=6).collect()
+    W.write_warc(df, out, n_files=2).collect()
+    import pathlib
+    cdxs = sorted(p.name for p in pathlib.Path(out).glob("*.cdx"))
+    assert all(n in ("part-00000.cdx", "part-00001.cdx") for n in cdxs)
+    assert len(W.read_cdx(spark, out).collect()) == 6
