@@ -87,6 +87,30 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("extract", help="one-shot extraction, no frontier state")
     e.add_argument("--pages", required=True)
     e.add_argument("--out", required=True, help="articles parquet output path")
+
+    cu = sub.add_parser(
+        "curate",
+        help="training-data curation pipeline over a documents table")
+    cu.add_argument("--input", required=True, dest="inp",
+                    help="documents parquet path")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--out", required=True,
+                    help="curated corpus parquet output path")
+    cu.add_argument("--opts", default=None,
+                    help="JSON file of per-stage kwargs for "
+                         "pipeline.curate — keys: boilerplate, pii, "
+                         "span_dedup, quality, near_dedup, decontam, "
+                         "mix, split (each a kwargs object; omit a key "
+                         "to skip the stage)")
+    cu.add_argument("--eval", default=None, dest="eval_path",
+                    help="eval-set parquet for decontamination (must "
+                         "have the same text column)")
+    cu.add_argument("--report", default=None,
+                    help="write per-stage surviving-row counts as JSON")
+    cu.add_argument("--shards", type=int, default=0,
+                    help="also write N training shards under "
+                         "<out>_shards")
     return p
 
 
@@ -136,6 +160,49 @@ def main(argv=None, spark=None) -> int:
         out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(f"extracted {n} articles -> {args.out}")
+        if own_session:
+            spark.stop()
+        return 0
+
+    if args.cmd == "curate":
+        spark = spark or _session()
+        import json as _json
+
+        from .pipeline import curate
+
+        _STAGES = ("boilerplate", "pii", "span_dedup", "quality",
+                   "near_dedup", "decontam", "mix", "split")
+        opts = {}
+        if args.opts:
+            with open(args.opts) as f:
+                opts = _json.load(f)
+            unknown = sorted(set(opts) - set(_STAGES))
+            if unknown:
+                raise SystemExit(
+                    f"unknown curate stage(s) in --opts: {unknown}; "
+                    f"expected keys from {list(_STAGES)}")
+        if "decontam" in opts and not args.eval_path:
+            raise SystemExit("--opts has a decontam stage but no "
+                             "--eval parquet was given")
+        ev = (spark.read.parquet(args.eval_path)
+              if args.eval_path else None)
+        res = curate(spark.read.parquet(args.inp), args.id_col,
+                     args.text_col, decontam_eval=ev, **opts)
+        res.docs.write.mode("overwrite").parquet(args.out)
+        rep = res.report(run=False)   # the write above materialized it
+        print(f"curated -> {args.out}: "
+              + " ".join(f"{k}={v}" for k, v in rep.items()))
+        if args.report:
+            with open(args.report, "w") as f:
+                _json.dump({"stages": res.stages, "rows": rep}, f,
+                           indent=2)
+        if args.shards:
+            from .shards import write_training_shards
+            man = write_training_shards(
+                spark.read.parquet(args.out), args.out + "_shards",
+                n_shards=args.shards, id_col=args.id_col)
+            print(f"shards -> {man['path']} "
+                  f"({sum(man.get('rows', {}).values())} rows)")
         if own_session:
             spark.stop()
         return 0

@@ -73,3 +73,56 @@ def test_cli_scale_flags(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS clidb.pages")
         spark.sql("DROP DATABASE IF EXISTS clidb")
+
+
+def test_cli_curate(spark, tmp_path):
+    import json
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with a healthy spread of distinct "
+             f"words covering topic {i % 7} and region {i % 5}", "en")
+         for i in range(40)]
+        + [(100, "spam " * 50, "en")]            # fails the quality gate
+        + [(101, None, "en")],                   # NULL text dropped
+        "doc_id long, text string, lang string")
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    opts = {"quality": {"max_top_token_frac": 0.5},
+            "split": {"val_permille": 100, "test_permille": 100}}
+    opts_path = tmp_path / "opts.json"
+    opts_path.write_text(json.dumps(opts))
+    out = str(tmp_path / "curated")
+    report = tmp_path / "report.json"
+    rc = main(["curate", "--input", inp, "--out", out,
+               "--opts", str(opts_path), "--report", str(report),
+               "--shards", "2"], spark=spark)
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 40                     # spam + NULL dropped
+    assert "split" in got.columns
+    rep = json.loads(report.read_text())
+    assert rep["rows"]["input"] == 42
+    assert rep["rows"]["output"] == 40
+    sh = spark.read.parquet(out + "_shards")
+    assert sh.count() == 40
+
+
+def test_cli_curate_guards(spark, tmp_path):
+    import json
+
+    import pytest
+
+    docs = spark.createDataFrame([(1, "x", "en")],
+                                 "doc_id long, text string, lang string")
+    inp = str(tmp_path / "d2")
+    docs.write.parquet(inp)
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"nonsense": {}}))
+    with pytest.raises(SystemExit):
+        main(["curate", "--input", inp, "--out", str(tmp_path / "o"),
+              "--opts", str(bad)], spark=spark)
+    dc = tmp_path / "dc.json"
+    dc.write_text(json.dumps({"decontam": {"max_hit_frac": 0.1}}))
+    with pytest.raises(SystemExit):
+        main(["curate", "--input", inp, "--out", str(tmp_path / "o2"),
+              "--opts", str(dc)], spark=spark)
