@@ -1251,6 +1251,36 @@ class CrawlEngine:
         write_jsonl(self.articles_table.read(), path,
                     strip_raw_page=strip_raw_page)
 
+    def export_warc(self, out_dir: str, *, n_files: int = 16,
+                    cdx: bool = True) -> DataFrame:
+        """Interchange export: the crawl's fetched pages as
+        Common-Crawl-convention .warc.gz files (+ sorted .cdx sidecars)
+        via sources.warc.write_warc. The articles table names what was
+        actually fetched; the raw bytes come from the pages table by
+        canonical url — the same strip-raw-page inverse as the JSONL
+        sink — with the newest capture winning when several raw pages
+        share one canonical URL (max_by total order, so repeated
+        exports are byte-identical). Returns the manifest DataFrame
+        (file, n_records, n_bytes)."""
+        from .sources.warc import write_warc
+
+        if self.pages is None:
+            raise ValueError("engine has no pages table to export")
+        fetched = (self.articles_table.read()
+                   .select(F.col("url_canon").alias("_u")).distinct())
+        ord_ = F.struct(F.col("warc_ts"), F.md5(F.col("html").cast("binary")))
+        pg = (self.pages
+              .join(fetched, self.pages.page_url == F.col("_u"), "inner")
+              .groupBy("page_url")
+              .agg(F.max_by(
+                  F.struct(F.col("warc_ts"),
+                           F.col("html").cast("binary").alias("html")),
+                  ord_).alias("_w"))
+              .select(F.col("page_url").alias("url"),
+                      F.col("_w.warc_ts").alias("warc_ts"),
+                      F.col("_w.html").alias("payload")))
+        return write_warc(pg, out_dir, n_files=n_files, cdx=cdx)
+
     def discovered_frontier(self) -> DataFrame | None:
         """S6 — outlinks of the last round's items as next-round seeds:
         explode the committed delta's `links`, distinct, allow/deny regex

@@ -280,3 +280,35 @@ def test_cdx_sidecars_cleaned_on_rewrite(spark, tmp_path):
     cdxs = sorted(p.name for p in pathlib.Path(out).glob("*.cdx"))
     assert all(n in ("part-00000.cdx", "part-00001.cdx") for n in cdxs)
     assert len(W.read_cdx(spark, out).collect()) == 6
+
+
+def test_engine_export_warc(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from risjbot_spark.corpus import pages_df, robots_rows, seed_urls
+    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
+    from risjbot_spark.frontier.state import RefetchConfig
+    from risjbot_spark.schema import ROBOTS_SCHEMA
+
+    corpus = pages_df(spark, 40, partitions=2)
+    robots = spark.createDataFrame(robots_rows(), ROBOTS_SCHEMA)
+    cfg = CrawlConfig(refetch=RefetchConfig(maxfetches=3,
+                                            refetchsecs=3600),
+                      default_budget=50, num_partitions=2)
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), corpus, robots, cfg)
+    seeds = spark.createDataFrame(seed_urls(40), "url string, "
+                                  "source_kind string, priority int") \
+        .select("url", "priority")
+    eng.run(seeds, rounds=1,
+            start_ts=datetime(2026, 1, 2, tzinfo=timezone.utc))
+    n_articles = eng.articles_table.read().select("url_canon") \
+        .distinct().count()
+    assert n_articles > 0
+
+    out = str(tmp_path / "warc_out")
+    manifest = eng.export_warc(out, n_files=3).collect()
+    assert sum(m["n_records"] for m in manifest) == n_articles
+    back = W.pages_from_warc(spark, out, glob="*.warc.gz")
+    assert back.count() == n_articles
+    idx = W.read_cdx(spark, out)
+    assert idx.count() == n_articles
