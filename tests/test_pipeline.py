@@ -135,3 +135,17 @@ def test_holdout_split_custom_bucket_groups_stick_together(spark):
     per_site = (out.groupBy("site")
                 .agg(F.countDistinct("split").alias("n")).collect())
     assert all(r["n"] == 1 for r in per_site)
+
+
+def test_curate_persist_knob(spark):
+    res = pipeline.curate(
+        _corpus(spark), "pk", "body",
+        quality={"max_dup_ngram_frac": 0.2},
+        near_dedup={"ngram": 3, "threshold": 0.5},
+        persist=True)
+    n = res.docs.count()
+    assert n > 0
+    assert len(res.persisted) == 1          # the pre-near-dedup pin
+    assert res.persisted[0].storageLevel.useMemory
+    res.unpersist()
+    assert res.persisted == []
