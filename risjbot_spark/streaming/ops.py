@@ -420,3 +420,61 @@ def incremental_dedup_sink(store, id_col: str, text_col: str, *,
         (out["kept"].write.mode("overwrite")
          .parquet(f"{kept_path}/batch={int(batch_id)}"))
     return run
+
+
+def stream_warc_records(spark, queue_dir: str, *,
+                        chunk_records: int = 512) -> DataFrame:
+    """Streaming WARC ingestion by PATH QUEUE: a micro-batch per batch
+    of arriving segment paths.  Spark's file streaming sources don't
+    speak binaryFile, so the stream is a text source of newline-
+    delimited .warc(.gz) paths (the standard "manifest queue" shape a
+    crawler or a Common Crawl fetcher drops as it lands segments);
+    each path's bytes are opened and parsed EXECUTOR-side inside
+    mapInPandas (sources.warc.parse_warc_bytes — per-record gzip
+    resync, bounded-chunk yields), so the driver never touches file
+    bytes and a 1 GB segment stays a one-task unit of work exactly as
+    in the batch reader.  Downstream compose the other streaming twins
+    (stream_extract_articles, stream_quality_gate) unchanged.
+
+    Exactly-once: the text source checkpoints WHICH path-list files
+    were consumed; re-delivered paths after a crash re-parse the same
+    immutable segments, so sinks that key on (url, warc_ts) — the
+    engine's MERGE/foreachBatch sinks — stay idempotent."""
+    from ..sources.warc import WARC_RECORD_SCHEMA, parse_warc_bytes
+
+    paths = (spark.readStream.format("text").load(queue_dir)
+             .select(F.trim("value").alias("path"))
+             .filter(F.col("path") != ""))
+
+    def _parse(batches):
+        cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+        for pdf in batches:
+            for p in pdf["path"]:
+                with open(p, "rb") as fh:
+                    data = fh.read()
+                buf = []
+                for rec in parse_warc_bytes(data, file=p):
+                    buf.append(rec)
+                    if len(buf) >= chunk_records:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf, columns=cols)
+
+    return paths.mapInPandas(_parse, schema=WARC_RECORD_SCHEMA)
+
+
+def stream_pages_from_warc(spark, queue_dir: str, **kw) -> DataFrame:
+    """stream_warc_records shaped to the engine's input table
+    (PAGES_SCHEMA) — the streaming twin of sources.warc.pages_from_warc."""
+    rec = stream_warc_records(spark, queue_dir, **kw)
+    keep = rec.filter(
+        F.col("rec_type").isin("response", "conversion")
+        & F.col("url").isNotNull())
+    return keep.select(
+        "url", "warc_ts",
+        F.when(F.col("rec_type") == "response", F.col("payload"))
+         .alias("html"),
+        F.when(F.col("rec_type") == "conversion",
+               F.decode(F.col("payload"), "UTF-8")).alias("text"),
+        "lang")

@@ -499,3 +499,35 @@ def test_incremental_dedup_sink_stream(spark, tmp_path):
                    .collect())
     assert kept2 == [1, 2, 11]
     store.close()
+
+
+def test_stream_warc_ingestion(spark, tmp_path):
+    """Path-queue WARC ingestion: segments land on disk, their paths
+    arrive as a text stream, records parse executor-side."""
+    from datetime import datetime
+
+    from risjbot_spark.sources import warc as W
+    from risjbot_spark.streaming.ops import stream_pages_from_warc
+
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    pages = [(f"https://s{i % 2}.org/p/{i}", datetime(2026, 1, 1, 0, 0, i),
+              f"<html>warc doc {i}</html>".encode()) for i in range(6)]
+    (seg_dir / "seg-0.warc.gz").write_bytes(W.build_warc_bytes(
+        [W.build_record(u, t, b) for u, t, b in pages[:3]]))
+    (seg_dir / "seg-1.warc.gz").write_bytes(W.build_warc_bytes(
+        [W.build_record(u, t, b) for u, t, b in pages[3:]]))
+
+    queue = tmp_path / "queue"
+    queue.mkdir()
+    (queue / "batch-0.txt").write_text(
+        f"{seg_dir}/seg-0.warc.gz\n{seg_dir}/seg-1.warc.gz\n")
+
+    out = stream_pages_from_warc(spark, str(queue))
+    q = (out.writeStream.format("memory").queryName("warc_stream")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["url"]: bytes(r["html"])
+           for r in spark.sql("select * from warc_stream").collect()}
+    assert got == {u: b for u, _, b in pages}
