@@ -200,7 +200,8 @@ def main(argv=None, spark=None) -> int:
             from .shards import write_training_shards
             man = write_training_shards(
                 spark.read.parquet(args.out), args.out + "_shards",
-                n_shards=args.shards, id_col=args.id_col)
+                n_shards=args.shards, id_col=args.id_col,
+                mode="overwrite")   # --out overwrites; shards match
             print(f"shards -> {man['path']} "
                   f"({sum(man.get('rows', {}).values())} rows)")
         if own_session:

@@ -1252,7 +1252,9 @@ class CrawlEngine:
                     strip_raw_page=strip_raw_page)
 
     def export_warc(self, out_dir: str, *, n_files: int = 16,
-                    cdx: bool = True) -> DataFrame:
+                    cdx: bool = True,
+                    missing_ts: "datetime | None" = datetime(
+                        1970, 1, 1, tzinfo=timezone.utc)) -> DataFrame:
         """Interchange export: the crawl's fetched pages as
         Common-Crawl-convention .warc.gz files (+ sorted .cdx sidecars)
         via sources.warc.write_warc. The articles table names what was
@@ -1261,16 +1263,26 @@ class CrawlEngine:
         sink — with the newest capture winning when several raw pages
         share one canonical URL (max_by total order, so repeated
         exports are byte-identical). Returns the manifest DataFrame
-        (file, n_records, n_bytes)."""
+        (file, n_records, n_bytes).
+
+        Pages whose warc_ts is NULL (a source WARC with a missing or
+        unparseable WARC-Date — the engine itself tolerates them) get
+        `missing_ts` (default: the epoch, the archive convention for
+        "capture date unknown") so a successful crawl is always
+        exportable; pass missing_ts=None to fail loudly instead."""
         from .sources.warc import write_warc
 
         if self.pages is None:
             raise ValueError("engine has no pages table to export")
         fetched = (self.articles_table.read()
                    .select(F.col("url_canon").alias("_u")).distinct())
+        pages = self.pages
+        if missing_ts is not None:
+            pages = pages.withColumn(
+                "warc_ts", F.coalesce("warc_ts", F.lit(missing_ts)))
         ord_ = F.struct(F.col("warc_ts"), F.md5(F.col("html").cast("binary")))
-        pg = (self.pages
-              .join(fetched, self.pages.page_url == F.col("_u"), "inner")
+        pg = (pages
+              .join(fetched, pages.page_url == F.col("_u"), "inner")
               .groupBy("page_url")
               .agg(F.max_by(
                   F.struct(F.col("warc_ts"),

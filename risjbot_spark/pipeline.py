@@ -102,8 +102,17 @@ class CurationResult:
         values and this just reads them."""
         if run:
             self.docs.count()
-        return {name: int(o.get["rows"])
-                for name, o in self.observations.items()}
+        out: "dict[str, int]" = {}
+        for name, o in self.observations.items():
+            # AQE can replace an all-empty subtree's CollectMetrics
+            # with EmptyRelation, leaving the Observation row empty —
+            # same failure mode crawl.py's lineage resolve guards; an
+            # eliminated counter means zero rows flowed through it
+            try:
+                out[name] = int(o.get["rows"])
+            except Exception:
+                out[name] = 0
+        return out
 
 
 def curate(df: DataFrame, id_col: str, text_col: str, *,

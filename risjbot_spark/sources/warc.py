@@ -103,10 +103,14 @@ def _header_safe_uri(url: str) -> str:
                          "to write a corrupt WARC header")
     try:
         url.encode("ascii")
-        return url
+        if " " not in url:
+            return url
     except UnicodeEncodeError:
-        from urllib.parse import quote
-        return quote(url, safe=":/?#[]@!$&'()*+,;=%~")
+        pass
+    # spaces must encode too: the CDX sidecar is space-delimited, and a
+    # bare space in a header value is at best ambiguous
+    from urllib.parse import quote
+    return quote(url, safe=":/?#[]@!$&'()*+,;=%~")
 
 
 def build_record(url: str, ts: datetime, payload: bytes, *,
@@ -289,32 +293,60 @@ def parse_warc_bytes(data: bytes, *, file: str = "") -> Iterator[dict]:
 # Spark source
 # ---------------------------------------------------------------------------
 
+def record_chunks(data: bytes, *, file: str = "",
+                  chunk_records: int = 512) -> "Iterator[pd.DataFrame]":
+    """One file's bytes -> WARC_RECORD_SCHEMA-shaped pandas chunks of
+    at most chunk_records rows — the shared executor-side inner loop of
+    the batch reader AND the streaming path-queue reader, so per-task
+    peak memory is the compressed bytes plus one chunk of decompressed
+    payloads, never the whole decompressed file (a ~1 GB CC .warc.gz
+    decompresses 3-5×)."""
+    cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+    buf: list = []
+    for rec in parse_warc_bytes(data, file=file):
+        buf.append(rec)
+        if len(buf) >= chunk_records:
+            yield pd.DataFrame(buf, columns=cols)
+            buf = []
+    if buf:
+        yield pd.DataFrame(buf, columns=cols)
+
+
 def parse_records_df(files: DataFrame, *, data_col: str = "content",
                      name_col: str | None = None,
                      chunk_records: int = 512) -> DataFrame:
     """(data_col binary[, name_col]) rows -> one WARC_RECORD_SCHEMA row
     per record.  Pure mapInPandas — no shuffle; records stream out in
-    chunk_records-row Arrow batches, so per-task peak memory is the
-    file's compressed bytes plus one chunk of decompressed payloads —
-    never the whole decompressed file at once (a ~1 GB CC .warc.gz
-    decompresses 3-5×)."""
+    bounded Arrow batches (record_chunks)."""
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
         for pdf in batches:
             for _, row in pdf.iterrows():
                 name = str(row[name_col]) if name_col else ""
-                buf: list = []
-                for rec in parse_warc_bytes(bytes(row[data_col]),
-                                            file=name):
-                    buf.append(rec)
-                    if len(buf) >= chunk_records:
-                        yield pd.DataFrame(buf, columns=cols)
-                        buf = []
-                if buf:
-                    yield pd.DataFrame(buf, columns=cols)
+                yield from record_chunks(bytes(row[data_col]), file=name,
+                                         chunk_records=chunk_records)
 
     return files.mapInPandas(_parse, schema=WARC_RECORD_SCHEMA)
+
+
+def records_to_pages(rec: DataFrame) -> DataFrame:
+    """WARC_RECORD_SCHEMA rows -> the engine's input table
+    (PAGES_SCHEMA) — shared by the batch reader and the streaming twin
+    so the mapping can never drift between them.  `response` records
+    land their HTTP body in `html`; `conversion` (WET) records land
+    their UTF-8 text in `text`."""
+    keep = rec.filter(
+        F.col("rec_type").isin("response", "conversion")
+        & F.col("url").isNotNull())
+    return keep.select(
+        "url",
+        "warc_ts",
+        F.when(F.col("rec_type") == "response", F.col("payload"))
+         .alias("html"),
+        F.when(F.col("rec_type") == "conversion",
+               F.decode(F.col("payload"), "UTF-8")).alias("text"),
+        "lang",
+    )
 
 
 def read_warc(spark: SparkSession, path: str, *,
@@ -336,24 +368,10 @@ def read_warc(spark: SparkSession, path: str, *,
 def pages_from_warc(spark: SparkSession, path: str, *,
                     glob: str | None = None) -> DataFrame:
     """WARC segments -> the engine's input table (PAGES_SCHEMA:
-    url, warc_ts, html, text, lang).
-
-    `response` records land their HTTP body in `html`; `conversion`
-    (WET) records land their UTF-8 text in `text`.  A crawl that has
-    both joins them by url downstream; most runs read one kind."""
-    rec = read_warc(spark, path, glob=glob)
-    keep = rec.filter(
-        F.col("rec_type").isin("response", "conversion")
-        & F.col("url").isNotNull())
-    return keep.select(
-        "url",
-        "warc_ts",
-        F.when(F.col("rec_type") == "response", F.col("payload"))
-         .alias("html"),
-        F.when(F.col("rec_type") == "conversion",
-               F.decode(F.col("payload"), "UTF-8")).alias("text"),
-        "lang",
-    )
+    url, warc_ts, html, text, lang) via records_to_pages.  A crawl
+    that has both responses and conversions joins them by url
+    downstream; most runs read one kind."""
+    return records_to_pages(read_warc(spark, path, glob=glob))
 
 
 # ---------------------------------------------------------------------------
@@ -362,7 +380,8 @@ def pages_from_warc(spark: SparkSession, path: str, *,
 
 def records_df_to_warc_files(df: DataFrame, *, n_files: int,
                              rec_type: str = "response",
-                             gzip_members: bool = True) -> DataFrame:
+                             gzip_members: bool = True,
+                             with_cdx: bool = True) -> DataFrame:
     """(url, warc_ts, payload[, lang]) rows -> (file_id, data) rows, one
     per WARC file, records routed by a deterministic url hash so the
     file layout is partitioning-independent.  Within a file, records
@@ -399,8 +418,13 @@ def records_df_to_warc_files(df: DataFrame, *, n_files: int,
                 lang=(r["lang"] if isinstance(r["lang"], str) else None))
             member = gzip_member(rec) if gzip_members else rec
             members.append(member)
-            cdx.append((surt_key(r["url"]), ts.strftime("%Y%m%d%H%M%S"),
-                        _header_safe_uri(r["url"]), offset, len(member)))
+            if with_cdx:
+                # surt over the HEADER-SAFE url: the key must be
+                # space-free and match what a consumer computes from
+                # the stored (percent-encoded) url field
+                safe = _header_safe_uri(r["url"])
+                cdx.append((surt_key(safe), ts.strftime("%Y%m%d%H%M%S"),
+                            safe, offset, len(member)))
             offset += len(member)
         return pd.DataFrame({"file_id": [int(key[0])],
                              "data": [b"".join(members)],
@@ -456,7 +480,8 @@ def write_warc(df: DataFrame, out_dir: str, *, n_files: int,
     import glob as _glob
     import os
     files = records_df_to_warc_files(
-        df, n_files=n_files, rec_type=rec_type, gzip_members=gzip_members)
+        df, n_files=n_files, rec_type=rec_type,
+        gzip_members=gzip_members, with_cdx=cdx)
     suffix = ".warc.gz" if gzip_members else ".warc"
     os.makedirs(out_dir, exist_ok=True)
     for stale in _glob.glob(os.path.join(out_dir, f"part-*{suffix}")) \
@@ -479,7 +504,10 @@ def write_warc(df: DataFrame, out_dir: str, *, n_files: int,
                         f"{c['offset']} {c['length']} {base}{suffix}\n"
                         for c in r["cdx"])
                     cname = os.path.join(out_dir, base + ".cdx")
-                    with open(cname + ".tmp", "w") as fh:
+                    # explicit utf-8: a POSIX-locale executor would
+                    # otherwise UnicodeEncodeError on non-ASCII keys
+                    with open(cname + ".tmp", "w",
+                              encoding="utf-8") as fh:
                         fh.writelines(lines)
                     os.replace(cname + ".tmp", cname)
                 out.append((name, int(r["n_records"]),
@@ -525,18 +553,25 @@ CDX_SCHEMA = T.StructType([
 def surt_key(url: str) -> str:
     """SURT (Sort-friendly URI Reordering Transform) url key, the CDX
     convention: scheme and userinfo dropped, host lowercased and
-    comma-reversed, non-default port kept, path lowercased, query
-    params sorted — so one host's records sort together and one URL's
-    captures are adjacent regardless of scheme/case/param order."""
-    from urllib.parse import urlsplit
-    u = urlsplit(url.strip())
+    comma-reversed, the SCHEME'S default port dropped (http:80 /
+    https:443 — http-on-443 is a different resource than https and
+    must not collide), path lowercased, query params sorted — so one
+    host's records sort together and one URL's captures are adjacent
+    regardless of case/param order.  Never raises: a URL urlsplit
+    rejects (stray brackets read as broken IPv6) degrades to a
+    lowercased percent-encoded literal key — still deterministic,
+    still space-free, just not host-reversed."""
+    from urllib.parse import quote, urlsplit
+    url = url.strip()
+    try:
+        u = urlsplit(url)
+        port = u.port          # can also raise ValueError (bad digits)
+    except ValueError:
+        return quote(url.lower(), safe=":/?#[]@!$&'()*+,;=%~")
     host = (u.hostname or "").lower()
     rev = ",".join(reversed([p for p in host.split(".") if p]))
-    try:
-        port = u.port
-    except ValueError:
-        port = None
-    if port and port not in (80, 443):
+    default = {"http": 80, "https": 443}.get(u.scheme.lower())
+    if port and port != default:
         rev = f"{rev}:{port}"
     path = (u.path or "/").lower() or "/"
     if not path.startswith("/"):

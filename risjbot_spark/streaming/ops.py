@@ -440,41 +440,27 @@ def stream_warc_records(spark, queue_dir: str, *,
     were consumed; re-delivered paths after a crash re-parse the same
     immutable segments, so sinks that key on (url, warc_ts) — the
     engine's MERGE/foreachBatch sinks — stay idempotent."""
-    from ..sources.warc import WARC_RECORD_SCHEMA, parse_warc_bytes
+    from ..sources.warc import WARC_RECORD_SCHEMA, record_chunks
 
     paths = (spark.readStream.format("text").load(queue_dir)
              .select(F.trim("value").alias("path"))
              .filter(F.col("path") != ""))
 
     def _parse(batches):
-        cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
         for pdf in batches:
             for p in pdf["path"]:
                 with open(p, "rb") as fh:
                     data = fh.read()
-                buf = []
-                for rec in parse_warc_bytes(data, file=p):
-                    buf.append(rec)
-                    if len(buf) >= chunk_records:
-                        yield pd.DataFrame(buf, columns=cols)
-                        buf = []
-                if buf:
-                    yield pd.DataFrame(buf, columns=cols)
+                yield from record_chunks(data, file=p,
+                                         chunk_records=chunk_records)
 
     return paths.mapInPandas(_parse, schema=WARC_RECORD_SCHEMA)
 
 
 def stream_pages_from_warc(spark, queue_dir: str, **kw) -> DataFrame:
-    """stream_warc_records shaped to the engine's input table
-    (PAGES_SCHEMA) — the streaming twin of sources.warc.pages_from_warc."""
-    rec = stream_warc_records(spark, queue_dir, **kw)
-    keep = rec.filter(
-        F.col("rec_type").isin("response", "conversion")
-        & F.col("url").isNotNull())
-    return keep.select(
-        "url", "warc_ts",
-        F.when(F.col("rec_type") == "response", F.col("payload"))
-         .alias("html"),
-        F.when(F.col("rec_type") == "conversion",
-               F.decode(F.col("payload"), "UTF-8")).alias("text"),
-        "lang")
+    """stream_warc_records shaped to the engine's input table — the
+    streaming twin of sources.warc.pages_from_warc, sharing its
+    records_to_pages mapping so the two can never drift."""
+    from ..sources.warc import records_to_pages
+
+    return records_to_pages(stream_warc_records(spark, queue_dir, **kw))

@@ -312,3 +312,34 @@ def test_engine_export_warc(spark, tmp_path):
     assert back.count() == n_articles
     idx = W.read_cdx(spark, out)
     assert idx.count() == n_articles
+
+
+def test_surt_key_robustness():
+    # scheme-default ports only: http:443 is NOT https
+    assert W.surt_key("http://host.org:443/x") == "org,host:443)/x"
+    assert W.surt_key("http://host.org:80/x") == "org,host)/x"
+    # never raises: stray brackets degrade to a literal key
+    k = W.surt_key("http://exa[mple.org/x")
+    assert " " not in k and k  # deterministic, space-free
+    # spaces in URLs percent-encode end-to-end
+    assert " " not in W.surt_key(W._header_safe_uri(
+        "https://example.org/foo bar?q=a b"))
+
+
+def test_cdx_with_spaces_in_url(spark, tmp_path):
+    from datetime import datetime
+    df = spark.createDataFrame(
+        [("https://ex.org/foo bar?q=a b", datetime(2026, 1, 1),
+          b"payload")],
+        "url string, warc_ts timestamp, payload binary")
+    out = str(tmp_path / "sp")
+    W.write_warc(df, out, n_files=1).collect()
+    idx = W.read_cdx(spark, out).collect()
+    assert len(idx) == 1
+    r = idx[0]
+    assert r["url"] == "https://ex.org/foo%20bar?q=a%20b"
+    assert r["offset"] == 0 and r["length"] > 0
+    import os
+    rec = W.fetch_record(os.path.join(out, r["file"]),
+                         r["offset"], r["length"])
+    assert rec["payload"] == b"payload"
