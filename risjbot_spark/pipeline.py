@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 from . import dedup as _dedup
 from . import textquality as _tq
 
-__all__ = ["holdout_split", "curate", "CurationResult"]
+__all__ = ["holdout_split", "leakage_safe_split", "curate",
+           "CurationResult"]
 
 
 def holdout_split(df: DataFrame, id_col: str, *,
@@ -73,6 +74,51 @@ def holdout_split(df: DataFrame, id_col: str, *,
              .when(bucket < test_hi, F.lit("test"))
              .otherwise(F.lit("train")))
     return df.withColumn(out_col, split)
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, pairs: DataFrame, *,
+                       src: str = "id_a", dst: str = "id_b",
+                       val_permille: int = 10,
+                       test_permille: int = 10,
+                       resolution: int = 1000,
+                       out_col: str = "split",
+                       bucket_of=None,
+                       max_iters: int = 12,
+                       checkpoint_dir: "str | None" = None) -> DataFrame:
+    """Near-dup-AWARE holdout split: every document splits by its dedup
+    cluster's representative (the min-id member, from connected
+    components over the verified near-dup `pairs`), singletons by their
+    own id — so two near-duplicates can NEVER straddle train and eval.
+    A plain id-hash split leaks: with 10% duplication and a 1% eval
+    slice, a large fraction of "held-out" documents have a near-copy in
+    train, and the eval measures memorization, not generalization.
+
+    `pairs` is the verified edge list (dedup.minhash_dedup /
+    simhash_dedup output); bucket_of, when given, maps the
+    representative column to a [0, resolution) bucket expression
+    (default pmod(xxhash64(rep))). The corpus-side cost is ONE left
+    join against the (tiny) labeled-node table; CC iterates on edges
+    only."""
+    for c in ("_rep",):
+        if c in df.columns:
+            raise ValueError(f"input column {c!r} collides with an "
+                             "internal column of leakage_safe_split")
+    labels = _dedup.connected_components(
+        pairs, src, dst, max_iters=max_iters,
+        checkpoint_dir=checkpoint_dir)
+    lab = labels.select(F.col("node").alias(id_col),
+                        F.col("lbl").alias("_rep"))
+    d = df.join(lab, id_col, "left")
+    rep = F.coalesce(F.col("_rep"), F.col(id_col))
+    if bucket_of is not None:
+        bucket = bucket_of(rep)
+    else:
+        bucket = F.pmod(F.xxhash64(rep.cast("string")),
+                        F.lit(resolution))
+    out = holdout_split(d, id_col, val_permille=val_permille,
+                        test_permille=test_permille, bucket=bucket,
+                        resolution=resolution, out_col=out_col)
+    return out.drop("_rep")
 
 
 @dataclass

@@ -1179,6 +1179,24 @@ def q_curate_docs(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_cluster_split(spark, sf):
+    """Leakage-safe holdout split (pipeline.leakage_safe_split): docs
+    split by their dedup-cluster representative's multiplicative hash
+    (singletons by their own id) over the cached verified-pair edge
+    list — near-duplicates land in the same split by construction;
+    the oracle derives the representative from the same recursive CC
+    closure the cluster oracles use."""
+    from .pipeline import leakage_safe_split
+    docs = _docs_with_mutants(spark, sf).select("doc_id")
+    pairs = _verified_pairs(spark, sf)
+    out = leakage_safe_split(
+        docs, "doc_id", pairs, src="doc_a", dst="doc_b",
+        val_permille=100, test_permille=100,
+        bucket_of=lambda rep: F.pmod(rep * F.lit(2654435761),
+                                     F.lit(1000)))
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
 def q_warc_roundtrip(spark, sf):
     """WARC interchange round-trip, fully distributed: the documents
     table is serialized into Common-Crawl-convention WARC files
@@ -1354,6 +1372,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "holdout_split": q_holdout_split,
     "curate_docs": q_curate_docs,
+    "cluster_split": q_cluster_split,
 }
 
 
@@ -2430,6 +2449,24 @@ ORACLE_SQL = {
                  ' '), '')) AS clean_md5
         FROM tok t LEFT JOIN cl USING (doc_id)
         ORDER BY doc_id""",
+    "cluster_split": f"""
+        WITH RECURSIVE {_MUTANTS_CTE},
+        {_SHINGLE_CTE},
+        {_M_CTE},
+        sig AS ({_SIG_SELECT}),
+        {_VERIFIED_CTE},
+        {_CC_CTE},
+        labels AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS rep
+          FROM reach GROUP BY src)
+        SELECT d.doc_id,
+               CASE WHEN (coalesce(l.rep, d.doc_id) * 2654435761)
+                         % 1000 < 100 THEN 'val'
+                    WHEN (coalesce(l.rep, d.doc_id) * 2654435761)
+                         % 1000 < 200 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM docs d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        ORDER BY d.doc_id""",
     "holdout_split": """
         SELECT doc_id,
                CASE WHEN (doc_id * 2654435761) % 1000 < 100 THEN 'val'

@@ -149,3 +149,37 @@ def test_curate_persist_knob(spark):
     assert res.persisted[0].storageLevel.useMemory
     res.unpersist()
     assert res.persisted == []
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    # three clusters of near-dups + singletons; every cluster must land
+    # wholly in one split
+    from risjbot_spark import dedup
+
+    rows = []
+    for c in range(12):
+        base = (f"cluster {c} body with plenty of distinct words "
+                f"alpha{c} beta{c} gamma{c} delta{c} epsilon{c} "
+                f"zeta{c} eta{c} theta{c} iota{c} kappa{c}")
+        rows.append((f"c{c:02d}a", base))
+        rows.append((f"c{c:02d}b", base + " tail"))
+    rows += [(f"solo{i}", f"totally unrelated text number {i} about "
+              f"topic{i} subject{i} matter{i} theme{i} idea{i} "
+              f"angle{i} facet{i} lens{i} frame{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "pk string, body string")
+    pairs = dedup.minhash_dedup(df, "pk", "body", threshold=0.3)
+    out = pipeline.leakage_safe_split(
+        df, "pk", pairs, val_permille=300, test_permille=300)
+    got = {r["pk"]: r["split"] for r in out.collect()}
+    assert len(got) == len(rows)
+    for c in range(12):
+        assert got[f"c{c:02d}a"] == got[f"c{c:02d}b"], c
+    assert len(set(got.values())) >= 2          # buckets actually split
+
+
+def test_leakage_safe_split_guards(spark):
+    df = spark.createDataFrame([("a", "x", 1)],
+                               "pk string, body string, _rep int")
+    pairs = spark.createDataFrame([], "id_a string, id_b string")
+    with pytest.raises(ValueError):
+        pipeline.leakage_safe_split(df, "pk", pairs)
