@@ -1179,6 +1179,16 @@ def q_curate_docs(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_corpus_stats(spark, sf):
+    """Per-language datasheet aggregate (textquality.corpus_stats):
+    doc/NULL counts, token totals, mean, EXACT interpolated p50/p90
+    (Spark percentile == DuckDB quantile_cont), max."""
+    d = (_t(spark, sf, "documents")
+         .withColumn("lang", F.coalesce("lang", F.lit("en"))))
+    return (textquality.corpus_stats(d, "text", ["lang"])
+            .orderBy("lang"))
+
+
 def q_cluster_split(spark, sf):
     """Leakage-safe holdout split (pipeline.leakage_safe_split): docs
     split by their dedup-cluster representative's multiplicative hash
@@ -1373,6 +1383,7 @@ QUERIES = {
     "holdout_split": q_holdout_split,
     "curate_docs": q_curate_docs,
     "cluster_split": q_cluster_split,
+    "corpus_stats": q_corpus_stats,
 }
 
 
@@ -2449,6 +2460,25 @@ ORACLE_SQL = {
                  ' '), '')) AS clean_md5
         FROM tok t LEFT JOIN cl USING (doc_id)
         ORDER BY doc_id""",
+    "corpus_stats": f"""
+        WITH t AS (
+          SELECT coalesce(lang, 'en') AS lang,
+                 CASE WHEN text IS NULL THEN NULL
+                      ELSE len(list_filter(
+                             string_split_regex(trim(text),
+                                                '{PY_WS_RE}'),
+                             x -> x <> '')) END AS nt,
+                 (text IS NULL) AS is_null
+          FROM documents)
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS n_null,
+               sum(nt) AS n_tokens,
+               round(avg(nt), 6) AS tokens_mean,
+               round(quantile_cont(nt, 0.5), 6) AS tokens_p50,
+               round(quantile_cont(nt, 0.9), 6) AS tokens_p90,
+               max(nt) AS tokens_max
+        FROM t GROUP BY lang ORDER BY lang""",
     "cluster_split": f"""
         WITH RECURSIVE {_MUTANTS_CTE},
         {_SHINGLE_CTE},

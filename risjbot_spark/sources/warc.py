@@ -613,3 +613,18 @@ def fetch_record(path: str, offset: int, length: int) -> dict:
     if not rows:
         raise ValueError(f"no record at {path}:{offset}+{length}")
     return rows[0]
+
+
+def seeds_from_cdx(spark: SparkSession, path: str, *,
+                   glob: str = "*.cdx",
+                   newest_only: bool = True) -> DataFrame:
+    """Frontier seeds from a CDX index: re-crawl (or backfill) exactly
+    what an archive already captured.  Returns (url, last_capture_ts
+    string) — one row per url with its newest 14-digit capture
+    timestamp when newest_only (the refetch scheduler compares it
+    against its own recency windows), every capture otherwise."""
+    idx = read_cdx(spark, path, glob=glob)
+    if not newest_only:
+        return idx.select("url", F.col("cdx_ts").alias("capture_ts"))
+    return (idx.groupBy("url")
+            .agg(F.max("cdx_ts").alias("last_capture_ts")))

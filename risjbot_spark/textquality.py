@@ -730,3 +730,42 @@ def pii_scrub(df: DataFrame, text_col: str,
     if out_col not in df.columns:
         cols.append(scrubbed)
     return df.select(*cols, *counts)
+
+
+def corpus_stats(df: DataFrame, text_col: str,
+                 group_cols=None, *, round_dp: int = 6) -> DataFrame:
+    """Datasheet aggregate — the summary table a dataset card publishes
+    per group (or one row when group_cols is None): document and
+    NULL-text counts, total tokens, mean and EXACT interpolated p50/p90
+    token counts, and the max. Exact percentile, not approx: the
+    datasheet is computed once per corpus release and must be
+    reproducible across engines (Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition;
+    approx_percentile differs per run and per engine).
+
+    Plan shape at 100 TB: ONE group-keyed exchange with map-side
+    partial aggregation for the sums; the exact percentiles collect
+    each group's token-count list on the reducer — fine for datasheet
+    cardinalities (groups = sources/languages), not for high-cardinality
+    group keys (use approx_percentile there and accept the noise)."""
+    groups = _as_group_list(group_cols) if group_cols else []
+    from .dedup import raw_tokens_expr
+    n_tok = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("long")
+    ).otherwise(
+        F.size(raw_tokens_expr(F.col(text_col))).cast("long"))
+    d = df.withColumn("_nt", n_tok)
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(text_col).isNull().cast("long")).alias("n_null"),
+        F.sum("_nt").alias("n_tokens"),
+        F.round(F.avg("_nt"), round_dp).alias("tokens_mean"),
+        F.round(F.expr("percentile(_nt, 0.5)"), round_dp)
+         .alias("tokens_p50"),
+        F.round(F.expr("percentile(_nt, 0.9)"), round_dp)
+         .alias("tokens_p90"),
+        F.max("_nt").alias("tokens_max"),
+    ]
+    if groups:
+        return d.groupBy(*groups).agg(*aggs)
+    return d.agg(*aggs)

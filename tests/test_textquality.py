@@ -562,3 +562,21 @@ def test_mix_sample_caller_thr_column_ok(spark):
     out = textquality.mix_sample(df, "lg", {"en": 1}, id_col="pk")
     assert out.columns == ["pk", "lg", "body", "thr"]
     assert out.count() == 4
+
+
+def test_corpus_stats(spark):
+    from risjbot_spark.textquality import corpus_stats
+    df = spark.createDataFrame(
+        [("a", "one two three", "en"), ("b", "four five", "en"),
+         ("c", None, "en"), ("d", "uno dos tres cuatro", "es")],
+        "pk string, body string, lg string")
+    one = corpus_stats(df, "body").collect()[0]
+    assert one["n_docs"] == 4 and one["n_null"] == 1
+    assert one["n_tokens"] == 9
+    assert one["tokens_max"] == 4
+    assert one["tokens_p50"] == 3.0          # exact interpolated
+    per = {r["lg"]: r for r in
+           corpus_stats(df, "body", ["lg"]).collect()}
+    assert per["en"]["n_docs"] == 3 and per["en"]["n_null"] == 1
+    assert per["en"]["tokens_p50"] == 2.5
+    assert per["es"]["n_tokens"] == 4

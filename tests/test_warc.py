@@ -343,3 +343,20 @@ def test_cdx_with_spaces_in_url(spark, tmp_path):
     rec = W.fetch_record(os.path.join(out, r["file"]),
                          r["offset"], r["length"])
     assert rec["payload"] == b"payload"
+
+
+def test_seeds_from_cdx(spark, tmp_path):
+    from datetime import datetime
+    rows = [("https://a.org/x", datetime(2026, 1, 1, 0, 0, 1), b"v1"),
+            ("https://a.org/x", datetime(2026, 1, 2, 0, 0, 2), b"v2"),
+            ("https://a.org/y", datetime(2026, 1, 1, 0, 0, 3), b"w")]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload binary")
+    out = str(tmp_path / "seedidx")
+    W.write_warc(df, out, n_files=1).collect()
+    seeds = {r["url"]: r["last_capture_ts"]
+             for r in W.seeds_from_cdx(spark, out).collect()}
+    assert seeds == {"https://a.org/x": "20260102000002",
+                     "https://a.org/y": "20260101000003"}
+    every = W.seeds_from_cdx(spark, out, newest_only=False).collect()
+    assert len(every) == 3
