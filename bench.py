@@ -204,7 +204,8 @@ def main() -> None:
         "quality_gate_docs", "mix_report", "mix_sample_docs",
         "boilerplate_strip_docs", "pii_scrub_docs",
         "dup_span_strip", "pack_sequences", "holdout_split",
-        "curate_docs", "warc_roundtrip",
+        "curate_docs", "warc_roundtrip", "cluster_split",
+        "corpus_stats",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

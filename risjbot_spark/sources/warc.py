@@ -628,3 +628,26 @@ def seeds_from_cdx(spark: SparkSession, path: str, *,
         return idx.select("url", F.col("cdx_ts").alias("capture_ts"))
     return (idx.groupBy("url")
             .agg(F.max("cdx_ts").alias("last_capture_ts")))
+
+
+def robots_from_pages(pages: DataFrame) -> DataFrame:
+    """ROBOTS_SCHEMA (host, robots_txt) from an ingested pages table:
+    Common Crawl captures robots.txt responses as ordinary WARC
+    records, so the politeness layer can bootstrap straight from the
+    same segments the corpus came from — no live fetch.  When a host
+    has several captures the newest wins (max_by on warc_ts — total
+    order completed by the body hash, so re-runs pick the same one)."""
+    from ..urlnorm import host_expr
+
+    robots = pages.filter(
+        F.col("url").rlike(r"^[a-z][a-z0-9+.-]*://[^/]+/robots\.txt$")
+        & F.col("html").isNotNull())
+    ord_ = F.struct(F.col("warc_ts"),
+                    F.md5(F.col("html").cast("binary")))
+    return (robots
+            .select(host_expr(F.col("url")).alias("host"),
+                    F.decode(F.col("html").cast("binary"), "UTF-8")
+                    .alias("robots_txt"),
+                    ord_.alias("_ord"))
+            .groupBy("host")
+            .agg(F.max_by("robots_txt", "_ord").alias("robots_txt")))

@@ -360,3 +360,25 @@ def test_seeds_from_cdx(spark, tmp_path):
                      "https://a.org/y": "20260101000003"}
     every = W.seeds_from_cdx(spark, out, newest_only=False).collect()
     assert len(every) == 3
+
+
+def test_robots_from_pages(spark, tmp_path):
+    from datetime import datetime
+    rows = [
+        ("https://a.org/robots.txt", datetime(2026, 1, 1),
+         b"User-agent: *\nDisallow: /old"),
+        ("https://a.org/robots.txt", datetime(2026, 1, 5),
+         b"User-agent: *\nDisallow: /new"),
+        ("https://b.org/robots.txt", datetime(2026, 1, 2),
+         b"User-agent: *\nCrawl-delay: 2"),
+        ("https://a.org/page", datetime(2026, 1, 1), b"<html/>"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload binary")
+    seg = str(tmp_path / "rb")
+    W.write_warc(df, seg, n_files=1).collect()
+    pages = W.pages_from_warc(spark, seg)
+    got = {r["host"]: r["robots_txt"]
+           for r in W.robots_from_pages(pages).collect()}
+    assert got == {"a.org": "User-agent: *\nDisallow: /new",
+                   "b.org": "User-agent: *\nCrawl-delay: 2"}

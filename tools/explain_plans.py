@@ -278,6 +278,18 @@ def main() -> None:
           "zero hash exchanges — split composes into the scan")
     check("holdout_split", "Join" not in p, "no join in the split")
 
+    # --- corpus_stats: one group-keyed exchange, partial aggregation
+    # for the sums (the exact percentiles evaluate on the reducer —
+    # documented as datasheet-cardinality-only)
+    p = plan_of(QUERIES["corpus_stats"](spark, SF))
+    sections.append(("corpus_stats (datasheet aggregate)", p))
+    check("corpus_stats",
+          len(re.findall(r"hashpartitioning\(lang", p)) == 1,
+          "exactly one group-keyed exchange")
+    check("corpus_stats", "partial_count" in p.lower()
+          or "partial_sum" in p.lower(),
+          "sums aggregate map-side before the exchange")
+
     # --- warc_roundtrip: build+parse are Python format codecs by
     # design (applyInPandas/mapInPandas); the ONLY exchange routes
     # records to their file builder
