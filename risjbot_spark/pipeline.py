@@ -113,8 +113,12 @@ def leakage_safe_split(df: DataFrame, id_col: str, pairs: DataFrame, *,
     if bucket_of is not None:
         bucket = bucket_of(rep)
     else:
-        bucket = F.pmod(F.xxhash64(rep.cast("string")),
-                        F.lit(resolution))
+        # hash rep in the id column's OWN type — identical to
+        # holdout_split's default xxhash64(id) for singletons, so a
+        # document in no near-dup cluster keeps the assignment a plain
+        # holdout_split gave it (a re-split on corpus refresh must not
+        # reshuffle the un-clustered majority).
+        bucket = F.pmod(F.xxhash64(rep), F.lit(resolution))
     out = holdout_split(d, id_col, val_permille=val_permille,
                         test_permille=test_permille, bucket=bucket,
                         resolution=resolution, out_col=out_col)

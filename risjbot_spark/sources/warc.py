@@ -619,15 +619,17 @@ def seeds_from_cdx(spark: SparkSession, path: str, *,
                    glob: str = "*.cdx",
                    newest_only: bool = True) -> DataFrame:
     """Frontier seeds from a CDX index: re-crawl (or backfill) exactly
-    what an archive already captured.  Returns (url, last_capture_ts
+    what an archive already captured.  Returns (url, capture_ts
     string) — one row per url with its newest 14-digit capture
     timestamp when newest_only (the refetch scheduler compares it
-    against its own recency windows), every capture otherwise."""
+    against its own recency windows), every capture otherwise.  The
+    column name is the same in both modes so a scheduler written
+    against one schema works against the other."""
     idx = read_cdx(spark, path, glob=glob)
     if not newest_only:
         return idx.select("url", F.col("cdx_ts").alias("capture_ts"))
     return (idx.groupBy("url")
-            .agg(F.max("cdx_ts").alias("last_capture_ts")))
+            .agg(F.max("cdx_ts").alias("capture_ts")))
 
 
 def robots_from_pages(pages: DataFrame) -> DataFrame:
@@ -639,14 +641,22 @@ def robots_from_pages(pages: DataFrame) -> DataFrame:
     order completed by the body hash, so re-runs pick the same one)."""
     from ..urlnorm import host_expr
 
+    # scheme is case-insensitive (RFC 3986) and archives preserve the
+    # original casing; the PATH stays case-sensitive — /robots.txt only
     robots = pages.filter(
-        F.col("url").rlike(r"^[a-z][a-z0-9+.-]*://[^/]+/robots\.txt$")
+        F.col("url").rlike(
+            r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+/robots\.txt$")
         & F.col("html").isNotNull())
     ord_ = F.struct(F.col("warc_ts"),
                     F.md5(F.col("html").cast("binary")))
+    # lenient decode: archived robots bodies are frequently NOT valid
+    # UTF-8 (latin-1 is common); strict F.decode would fail the whole
+    # aggregation on one bad capture.  binary→string is a raw wrap;
+    # make_valid_utf8 replaces invalid sequences with U+FFFD.
     return (robots
             .select(host_expr(F.col("url")).alias("host"),
-                    F.decode(F.col("html").cast("binary"), "UTF-8")
+                    F.make_valid_utf8(
+                        F.col("html").cast("string"))
                     .alias("robots_txt"),
                     ord_.alias("_ord"))
             .groupBy("host")

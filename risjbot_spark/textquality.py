@@ -63,6 +63,7 @@ _BSET = "__tq_boiler"
 _POS = "__tq_pos"
 _LINE = "__tq_line"
 _THR = "__tq_thr"
+_NT = "__tq_nt"
 
 
 def _as_group_list(group_cols) -> "list[str]":
@@ -749,22 +750,25 @@ def corpus_stats(df: DataFrame, text_col: str,
     cardinalities (groups = sources/languages), not for high-cardinality
     group keys (use approx_percentile there and accept the noise)."""
     groups = _as_group_list(group_cols) if group_cols else []
+    if _NT in df.columns:
+        raise ValueError(f"input column {_NT!r} collides with an "
+                         "internal column of corpus_stats")
     from .dedup import raw_tokens_expr
     n_tok = F.when(
         F.col(text_col).isNull(), F.lit(None).cast("long")
     ).otherwise(
         F.size(raw_tokens_expr(F.col(text_col))).cast("long"))
-    d = df.withColumn("_nt", n_tok)
+    d = df.withColumn(_NT, n_tok)
     aggs = [
         F.count("*").alias("n_docs"),
         F.sum(F.col(text_col).isNull().cast("long")).alias("n_null"),
-        F.sum("_nt").alias("n_tokens"),
-        F.round(F.avg("_nt"), round_dp).alias("tokens_mean"),
-        F.round(F.expr("percentile(_nt, 0.5)"), round_dp)
+        F.sum(_NT).alias("n_tokens"),
+        F.round(F.avg(_NT), round_dp).alias("tokens_mean"),
+        F.round(F.expr(f"percentile({_NT}, 0.5)"), round_dp)
          .alias("tokens_p50"),
-        F.round(F.expr("percentile(_nt, 0.9)"), round_dp)
+        F.round(F.expr(f"percentile({_NT}, 0.9)"), round_dp)
          .alias("tokens_p90"),
-        F.max("_nt").alias("tokens_max"),
+        F.max(_NT).alias("tokens_max"),
     ]
     if groups:
         return d.groupBy(*groups).agg(*aggs)

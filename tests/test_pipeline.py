@@ -177,6 +177,21 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     assert len(set(got.values())) >= 2          # buckets actually split
 
 
+def test_leakage_safe_split_singletons_match_holdout_split(spark):
+    # documents in NO near-dup cluster must keep the exact assignment a
+    # plain holdout_split gives them — a corpus refresh that upgrades to
+    # the leakage-safe split must not reshuffle the un-clustered
+    # majority (that reshuffle leaks former train docs into eval)
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(200)],
+                               "pk long, body string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    plain = {r["pk"]: r["split"]
+             for r in pipeline.holdout_split(df, "pk").collect()}
+    safe = {r["pk"]: r["split"]
+            for r in pipeline.leakage_safe_split(df, "pk", pairs).collect()}
+    assert plain == safe
+
+
 def test_leakage_safe_split_guards(spark):
     df = spark.createDataFrame([("a", "x", 1)],
                                "pk string, body string, _rep int")

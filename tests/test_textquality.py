@@ -580,3 +580,19 @@ def test_corpus_stats(spark):
     assert per["en"]["n_docs"] == 3 and per["en"]["n_null"] == 1
     assert per["en"]["tokens_p50"] == 2.5
     assert per["es"]["n_tokens"] == 4
+
+
+def test_corpus_stats_internal_name_guarded(spark):
+    # caller columns must never be silently clobbered by internals:
+    # grouping by a user column named like the old internal works, and
+    # the __tq_-prefixed internal raises loudly on direct collision
+    from risjbot_spark.textquality import corpus_stats
+    df = spark.createDataFrame(
+        [("a", "one two", 99), ("b", "three", 99), ("c", "four", 77)],
+        "pk string, body string, _nt int")
+    per = {r["_nt"]: r["n_docs"]
+           for r in corpus_stats(df, "body", ["_nt"]).collect()}
+    assert per == {99: 2, 77: 1}        # caller's _nt values, not token counts
+    bad = df.withColumnRenamed("_nt", "__tq_nt")
+    with pytest.raises(ValueError, match="__tq_nt"):
+        corpus_stats(bad, "body")

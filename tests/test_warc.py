@@ -354,12 +354,14 @@ def test_seeds_from_cdx(spark, tmp_path):
         rows, "url string, warc_ts timestamp, payload binary")
     out = str(tmp_path / "seedidx")
     W.write_warc(df, out, n_files=1).collect()
-    seeds = {r["url"]: r["last_capture_ts"]
-             for r in W.seeds_from_cdx(spark, out).collect()}
+    newest = W.seeds_from_cdx(spark, out)
+    seeds = {r["url"]: r["capture_ts"] for r in newest.collect()}
     assert seeds == {"https://a.org/x": "20260102000002",
                      "https://a.org/y": "20260101000003"}
-    every = W.seeds_from_cdx(spark, out, newest_only=False).collect()
-    assert len(every) == 3
+    every = W.seeds_from_cdx(spark, out, newest_only=False)
+    # one schema for both modes: a scheduler written against either works
+    assert every.columns == newest.columns == ["url", "capture_ts"]
+    assert len(every.collect()) == 3
 
 
 def test_robots_from_pages(spark, tmp_path):
@@ -382,3 +384,26 @@ def test_robots_from_pages(spark, tmp_path):
            for r in W.robots_from_pages(pages).collect()}
     assert got == {"a.org": "User-agent: *\nDisallow: /new",
                    "b.org": "User-agent: *\nCrawl-delay: 2"}
+
+
+def test_robots_from_pages_lenient_decode_and_scheme_case(spark):
+    from datetime import datetime
+    rows = [
+        # latin-1 body — NOT valid UTF-8; must not fail the job
+        ("https://l1.org/robots.txt", datetime(2026, 1, 1),
+         b"User-agent: *\nDisallow: /caf\xe9"),
+        # uppercase scheme (RFC 3986: schemes are case-insensitive,
+        # archives preserve original casing) — must still match
+        ("HTTP://up.org/robots.txt", datetime(2026, 1, 1),
+         b"User-agent: *\nDisallow: /x"),
+        # uppercase PATH is a different resource — must NOT match
+        ("https://no.org/ROBOTS.TXT", datetime(2026, 1, 1),
+         b"User-agent: *\nDisallow: /y"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary")
+    got = {r["host"]: r["robots_txt"]
+           for r in W.robots_from_pages(pages).collect()}
+    assert set(got) == {"l1.org", "up.org"}
+    assert got["l1.org"] == "User-agent: *\nDisallow: /caf�"
+    assert got["up.org"] == "User-agent: *\nDisallow: /x"
