@@ -1189,6 +1189,21 @@ def q_corpus_stats(spark, sf):
             .orderBy("lang"))
 
 
+def q_quality_classifier(spark, sf):
+    """Model-based quality scoring, the fastText/CCNet-style hashed
+    linear classifier APPLIED to the corpus as a zero-shuffle projection
+    (textquality.quality_classifier_score): prob = sigmoid(Σ_token
+    w[md5_bucket(token)]) over 4096 buckets. The deterministic weight
+    formula w[b] = ((b·2654435761) mod 2000)/1000 − 1 stands in for
+    train_quality_classifier output so the DuckDB oracle can replay the
+    scoring end-to-end; trained-coefficient parity (expression scorer ==
+    pyspark.ml's P(label=1)) is pytest-gated in test_textquality."""
+    d = _t(spark, sf, "documents")
+    w = [((b * 2654435761) % 2000) / 1000.0 - 1.0 for b in range(4096)]
+    return (textquality.quality_classifier_score(d, "text", w)
+            .select("doc_id", "q_prob").orderBy("doc_id"))
+
+
 def q_cluster_split(spark, sf):
     """Leakage-safe holdout split (pipeline.leakage_safe_split): docs
     split by their dedup-cluster representative's multiplicative hash
@@ -1384,6 +1399,7 @@ QUERIES = {
     "curate_docs": q_curate_docs,
     "cluster_split": q_cluster_split,
     "corpus_stats": q_corpus_stats,
+    "quality_classifier": q_quality_classifier,
 }
 
 
@@ -2479,6 +2495,28 @@ ORACLE_SQL = {
                round(quantile_cont(nt, 0.9), 6) AS tokens_p90,
                max(nt) AS tokens_max
         FROM t GROUP BY lang ORDER BY lang""",
+    "quality_classifier": f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL THEN NULL
+                      ELSE list_filter(
+                             string_split_regex(lower(trim(text)),
+                                                '{PY_WS_RE}'),
+                             x -> x <> '') END AS toks
+          FROM documents),
+        z AS (
+          SELECT tok.doc_id,
+                 sum((((('0x' || substr(md5(u.w), 1, 15))::UBIGINT
+                        % 4096) * 2654435761 % 2000) / 1000.0) - 1.0)
+                   AS s
+          FROM tok, unnest(tok.toks) AS u(w)
+          GROUP BY tok.doc_id)
+        SELECT tok.doc_id,
+               CASE WHEN tok.toks IS NULL THEN NULL
+                    ELSE round(1.0 / (1.0 + exp(-coalesce(z.s, 0.0))), 6)
+                    END AS q_prob
+        FROM tok LEFT JOIN z ON tok.doc_id = z.doc_id
+        ORDER BY tok.doc_id""",
     "cluster_split": f"""
         WITH RECURSIVE {_MUTANTS_CTE},
         {_SHINGLE_CTE},

@@ -33,6 +33,8 @@ LLM-training-data surface the brief adds on top.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,6 +53,11 @@ __all__ = [
     "strip_boilerplate",
     "PII_PATTERNS",
     "pii_scrub",
+    "corpus_stats",
+    "token_bucket_expr",
+    "quality_classifier_score",
+    "QualityClassifier",
+    "train_quality_classifier",
 ]
 
 # internal working-column names, prefixed so they can't shadow a caller
@@ -773,3 +780,117 @@ def corpus_stats(df: DataFrame, text_col: str,
     if groups:
         return d.groupBy(*groups).agg(*aggs)
     return d.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (fastText/CCNet-style hashed linear
+# classifier): train once on a small labeled set, score the whole corpus
+# as a pure-expression projection.  The classic pipeline stage behind
+# public LLM corpora (CCNet, GPT-3's WebText-vs-CommonCrawl filter,
+# DCLM's fastText filter): a linear model over hashed bag-of-token
+# features is cheap enough to run on 100 TB and strong enough to rank
+# pages by "looks like quality reference text".
+#
+# Train/serve hash parity BY CONSTRUCTION: both paths bucket tokens with
+# the same md5-prefix hash (token_bucket_expr).  Deliberately NOT
+# F.hash / ml.HashingTF — those are two DIFFERENT murmur3 flavors
+# (measured: pmod(F.hash(t), d) != HashingTF bucket for the same token),
+# neither reproducible in DuckDB, so using either would make the serve
+# path unverifiable cross-engine and would silently decouple train from
+# serve if the flavors were ever mixed.
+
+def token_bucket_expr(tok, dim: int) -> Column:
+    """[0, dim) feature bucket of one token: md5-prefix-60-bit % dim.
+    Engine-portable (md5 is identical everywhere); the 15-hex prefix
+    fits a signed 64-bit int, so no overflow on any engine."""
+    return (F.conv(F.substring(F.md5(tok), 1, 15), 16, 10)
+            .cast("long") % dim)
+
+
+def quality_classifier_score(df: DataFrame, text_col: str,
+                             weights, *, intercept: float = 0.0,
+                             out_col: str = "q_prob",
+                             round_dp: "int | None" = 6) -> DataFrame:
+    """sigmoid(intercept + Σ_token weights[bucket(token)]) per document —
+    the dot product of the hashed token-COUNT vector with the weight
+    vector, folded over the token array.  NULL text scores NULL; an
+    empty document scores sigmoid(intercept).
+
+    Plan shape at 100 TB: a pure per-row projection — ZERO exchanges,
+    composes into the corpus scan, and the weight vector rides the plan
+    as ONE array literal (8·dim bytes; the 2^15 default is 256 KB), so
+    nothing is broadcast per-executor beyond the plan itself."""
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the "
+                         "input; pick a fresh name")
+    w = [float(x) for x in weights]
+    dim = len(w)
+    if dim < 1:
+        raise ValueError("weights must be non-empty")
+    wlit = F.lit(w)
+    toks = tokens_expr(F.col(text_col))
+    z = F.aggregate(
+        toks, F.lit(float(intercept)),
+        lambda acc, t: acc + F.element_at(
+            wlit, (token_bucket_expr(t, dim) + 1).cast("int")))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    if round_dp is not None:
+        prob = F.round(prob, round_dp)
+    return df.withColumn(out_col, prob)
+
+
+@dataclass
+class QualityClassifier:
+    """Trained hashed-linear quality model: `weights[b]` is the logit
+    contribution of feature bucket b, so `score` is a zero-shuffle
+    expression over any corpus."""
+    weights: "list[float]"
+    intercept: float
+
+    @property
+    def dim(self) -> int:
+        return len(self.weights)
+
+    def score(self, df: DataFrame, text_col: str, **kw) -> DataFrame:
+        return quality_classifier_score(df, text_col, self.weights,
+                                        intercept=self.intercept, **kw)
+
+
+def train_quality_classifier(df: DataFrame, text_col: str,
+                             label_col: str, *, dim: int = 2 ** 15,
+                             max_iter: int = 100,
+                             reg_param: float = 0.0,
+                             elastic_net_param: float = 0.0
+                             ) -> QualityClassifier:
+    """Fit the logistic regression on a LABELED document set (label 1 =
+    quality / in-domain, 0 = reject) and return weights the expression
+    scorer replays exactly: `model.score(corpus, ...)` reproduces
+    pyspark.ml's P(label=1) to float precision (parity-tested), because
+    both use the same md5-prefix buckets and sigmoid(w·counts + b).
+
+    The training path builds ml SparseVectors with a row UDF — fine
+    HERE because labeled sets are small (10^4-10^6 docs, not the
+    corpus); the 100 TB serve path never runs Python."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+    from pyspark.sql.types import DoubleType
+
+    idx = F.transform(tokens_expr(F.col(text_col)),
+                      lambda t: token_bucket_expr(t, dim))
+
+    def _to_vec(ids):
+        counts: "dict[int, float]" = {}
+        for i in ids:
+            counts[i] = counts.get(i, 0.0) + 1.0
+        return SparseVector(dim, sorted(counts.items()))
+
+    to_vec = F.udf(_to_vec, VectorUDT())
+    train = (df.filter(F.col(text_col).isNotNull())
+             .select(to_vec(idx).alias("features"),
+                     F.col(label_col).cast(DoubleType()).alias("label")))
+    lr = LogisticRegression(maxIter=max_iter, regParam=reg_param,
+                            elasticNetParam=elastic_net_param,
+                            family="binomial")
+    model = lr.fit(train)
+    return QualityClassifier(weights=model.coefficients.toArray().tolist(),
+                             intercept=float(model.intercept))

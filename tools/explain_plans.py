@@ -290,6 +290,17 @@ def main() -> None:
           or "partial_sum" in p.lower(),
           "sums aggregate map-side before the exchange")
 
+    # --- quality_classifier: the model-based filter's serve path is a
+    # pure projection — the weight vector rides the plan as one array
+    # literal, so there is NO exchange and NO join anywhere
+    p = plan_of(QUERIES["quality_classifier"](spark, SF))
+    sections.append(("quality_classifier (hashed linear scorer)", p))
+    check("quality_classifier", "hashpartitioning(" not in p,
+          "zero hash exchanges — scoring composes into the scan "
+          "(the orderBy's range exchange is bench-only presentation)")
+    check("quality_classifier", "Join" not in p,
+          "weights are a plan literal, not a join")
+
     # --- warc_roundtrip: build+parse are Python format codecs by
     # design (applyInPandas/mapInPandas); the ONLY exchange routes
     # records to their file builder
