@@ -170,6 +170,7 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
            pii: "dict | None" = None,
            span_dedup: "dict | None" = None,
            quality: "dict | None" = None,
+           classifier: "dict | None" = None,
            near_dedup: "dict | None" = None,
            decontam_eval: "DataFrame | None" = None,
            decontam: "dict | None" = None,
@@ -184,6 +185,16 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
       pii         → textquality.pii_scrub (with_counts defaults False)
       span_dedup  → dedup.strip_duplicate_spans
       quality     → textquality.quality_filter
+      classifier  → model-based filter (textquality.
+                    quality_classifier_score): pass a trained
+                    {"model": QualityClassifier} or raw
+                    {"weights": [...], "intercept": b}, plus optional
+                    min_prob (default 0.5, NULL text drops like the
+                    heuristic gate) and keep_score=True to keep the
+                    q_prob column.  Runs AFTER the cheap heuristic gate
+                    and BEFORE near-dedup, so the shuffle-heavy stages
+                    see the already-thinned corpus; the stage itself is
+                    a zero-shuffle projection
       near_dedup  → dedup.minhash_dedup geometry, plus optional
                     max_iters / checkpoint_dir for the component step;
                     survivors keep the smallest id per cluster
@@ -246,6 +257,24 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
     if quality is not None:
         d = _tq.quality_filter(d, text_col, **quality)
         _mark("after_quality")
+    if classifier is not None:
+        cl = dict(classifier)
+        model = cl.pop("model", None)
+        if model is not None:
+            cl.setdefault("weights", model.weights)
+            cl.setdefault("intercept", model.intercept)
+        weights = cl.pop("weights")
+        min_prob = cl.pop("min_prob", 0.5)
+        keep_score = cl.pop("keep_score", False)
+        out_col = cl.pop("out_col", "q_prob")
+        d = _tq.quality_classifier_score(d, text_col, weights,
+                                         out_col=out_col, **cl)
+        # NULL text scores NULL and NULL >= x is not true → dropped,
+        # matching the heuristic gate's NULL-text behavior
+        d = d.filter(F.col(out_col) >= min_prob)
+        if not keep_score:
+            d = d.drop(out_col)
+        _mark("after_classifier")
     if near_dedup is not None:
         _pin()
         nd = dict(near_dedup)

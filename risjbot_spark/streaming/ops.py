@@ -272,7 +272,8 @@ def stream_quality_gate(docs: DataFrame, eval_docs: DataFrame,
                         max_dup_ngram_frac: float = 0.3,
                         max_top_token_frac: float = 0.3,
                         min_distinct_ratio: float = 0.2,
-                        max_hit_frac: float = 0.0) -> DataFrame:
+                        max_hit_frac: float = 0.0,
+                        classifier: "dict | None" = None) -> DataFrame:
     """Streaming twin of the training-data quality + decontamination
     gate (textquality.repetition_signals / .decontaminate): documents
     arriving as a stream are annotated with the four repetition signals
@@ -291,9 +292,17 @@ def stream_quality_gate(docs: DataFrame, eval_docs: DataFrame,
     Gate semantics: NULL-text docs are dropped (nothing to train on);
     docs too short to judge a signal (NULL fraction) pass that check —
     the batch pipeline over the accumulated table stays authoritative,
-    the same layering as the crawl's bloom-then-join gate."""
+    the same layering as the crawl's bloom-then-join gate.
+
+    `classifier` adds the model-based filter in-stream (same dict shape
+    as pipeline.curate's: {"model": QualityClassifier} or {"weights",
+    "intercept"}, plus min_prob, default 0.5): the scorer is a
+    stateless per-row fold (textquality.classifier_prob_expr), so it
+    gates the stream with no state store and the output gains a
+    `q_prob` column."""
     from ..dedup import tokens_expr
-    from ..textquality import ngrams_expr, repetition_exprs
+    from ..textquality import (classifier_prob_expr, ngrams_expr,
+                               repetition_exprs)
 
     ev = (eval_docs
           .select(F.explode(F.array_distinct(
@@ -312,10 +321,22 @@ def stream_quality_gate(docs: DataFrame, eval_docs: DataFrame,
         F.size(doc_grams) > 0,
         F.round(F.size(F.array_intersect(doc_grams, "_eval_grams"))
                 / F.size(doc_grams), 6))
+    clf_cols, min_prob = [], None
+    if classifier is not None:
+        cl = dict(classifier)
+        model = cl.pop("model", None)
+        if model is not None:
+            cl.setdefault("weights", model.weights)
+            cl.setdefault("intercept", model.intercept)
+        min_prob = cl.pop("min_prob", 0.5)
+        prob = F.round(classifier_prob_expr(
+            F.col("_toks"), cl.pop("weights"),
+            intercept=cl.pop("intercept", 0.0)), 6)
+        clf_cols = [prob.alias("q_prob")]
     annotated = gated.select(
         id_col, text_col,
         *(expr.alias(name) for name, expr in sig.items()),
-        hit_frac.alias("eval_hit_frac"))
+        hit_frac.alias("eval_hit_frac"), *clf_cols)
     passes = (
         F.coalesce(F.col("dup_ngram_frac") <= max_dup_ngram_frac,
                    F.lit(True))
@@ -325,6 +346,8 @@ def stream_quality_gate(docs: DataFrame, eval_docs: DataFrame,
                      F.lit(True))
         & F.coalesce(F.col("eval_hit_frac") <= max_hit_frac, F.lit(True))
     )
+    if min_prob is not None:
+        passes = passes & (F.col("q_prob") >= min_prob)
     return annotated.filter(passes)
 
 

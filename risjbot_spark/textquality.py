@@ -55,6 +55,7 @@ __all__ = [
     "pii_scrub",
     "corpus_stats",
     "token_bucket_expr",
+    "classifier_prob_expr",
     "quality_classifier_score",
     "QualityClassifier",
     "train_quality_classifier",
@@ -823,20 +824,29 @@ def quality_classifier_score(df: DataFrame, text_col: str,
     if out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} already exists in the "
                          "input; pick a fresh name")
+    prob = classifier_prob_expr(tokens_expr(F.col(text_col)), weights,
+                                intercept=intercept)
+    if round_dp is not None:
+        prob = F.round(prob, round_dp)
+    return df.withColumn(out_col, prob)
+
+
+def classifier_prob_expr(toks, weights, *,
+                         intercept: float = 0.0) -> Column:
+    """The scorer as a composable Column over a token-array column —
+    what `quality_classifier_score` and the streaming gate both select.
+    Stateless per-row fold, so it runs identically over batch and
+    readStream inputs."""
     w = [float(x) for x in weights]
     dim = len(w)
     if dim < 1:
         raise ValueError("weights must be non-empty")
     wlit = F.lit(w)
-    toks = tokens_expr(F.col(text_col))
     z = F.aggregate(
         toks, F.lit(float(intercept)),
         lambda acc, t: acc + F.element_at(
             wlit, (token_bucket_expr(t, dim) + 1).cast("int")))
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    if round_dp is not None:
-        prob = F.round(prob, round_dp)
-    return df.withColumn(out_col, prob)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
 @dataclass

@@ -198,3 +198,34 @@ def test_leakage_safe_split_guards(spark):
     pairs = spark.createDataFrame([], "id_a string, id_b string")
     with pytest.raises(ValueError):
         pipeline.leakage_safe_split(df, "pk", pairs)
+
+
+def test_curate_classifier_stage(spark):
+    # model-based filter inside the orchestrator: weights that reward
+    # d01's vocabulary and punish everything else
+    from risjbot_spark.textquality import (QualityClassifier,
+                                           token_bucket_expr)
+    df = _corpus(spark)
+    dim = 1024
+    # bucket ids of d01's tokens get +1, everything else -1
+    toks = "mountain peaks rise sharply above quiet alpine meadows " \
+           "where marmots whistle under a pale morning sky".split()
+    buckets = {r["b"] for r in
+               spark.createDataFrame([(t,) for t in toks], "t string")
+               .select(token_bucket_expr(F.col("t"), dim).alias("b"))
+               .collect()}
+    w = [1.0 if b in buckets else -1.0 for b in range(dim)]
+    res = pipeline.curate(df, "pk", "body",
+                          classifier={"weights": w, "min_prob": 0.9})
+    kept = sorted(r["pk"] for r in res.docs.collect())
+    assert kept == ["d01"]                     # NULL text (d08) dropped too
+    assert "after_classifier" in res.stages
+    rep = res.report(run=False)
+    assert rep["after_classifier"] == 1
+    # keep_score + trained-model object form
+    model = QualityClassifier(weights=w, intercept=0.0)
+    res2 = pipeline.curate(df, "pk", "body",
+                           classifier={"model": model, "min_prob": 0.9,
+                                       "keep_score": True})
+    row = res2.docs.collect()[0]
+    assert row["pk"] == "d01" and row["q_prob"] >= 0.9

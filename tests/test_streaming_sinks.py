@@ -531,3 +531,39 @@ def test_stream_warc_ingestion(spark, tmp_path):
     got = {r["url"]: bytes(r["html"])
            for r in spark.sql("select * from warc_stream").collect()}
     assert got == {u: b for u, _, b in pages}
+
+
+def test_stream_quality_gate_with_classifier(spark, tmp_path):
+    """The model-based filter composes into the stream gate: the same
+    stateless scorer expression the batch path uses, no state store."""
+    from risjbot_spark.streaming import stream_quality_gate
+    from risjbot_spark.textquality import token_bucket_expr
+
+    good = ("research analysis shows the method improves results "
+            "across every study cohort measured this year")
+    bad = ("buy cheap pills now winner bonus offer deal click "
+           "casino free prizes await lucky visitors today")
+    src = str(tmp_path / "clfdocs")
+    spark.createDataFrame(
+        [(1, good, T0), (2, bad, T0)],
+        "doc_id long, text string, ts timestamp"
+    ).write.mode("overwrite").parquet(src)
+    ev = spark.createDataFrame([(100, "unrelated eval sentence here")],
+                               "doc_id long, text string")
+    dim = 512
+    good_buckets = {
+        r["b"] for r in spark.createDataFrame(
+            [(t,) for t in good.split()], "t string")
+        .select(token_bucket_expr(F.col("t"), dim).alias("b")).collect()}
+    w = [0.5 if b in good_buckets else -0.5 for b in range(dim)]
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp").parquet(src)
+    q = (stream_quality_gate(stream, ev,
+                             classifier={"weights": w, "min_prob": 0.9})
+         .writeStream.format("memory").queryName("clf_gate_t")
+         .trigger(availableNow=True).start())
+    _run_stream(q)
+    out = {r["doc_id"]: r for r in
+           spark.sql("select * from clf_gate_t").collect()}
+    assert set(out) == {1}
+    assert out[1]["q_prob"] >= 0.9
