@@ -205,7 +205,7 @@ def main() -> None:
         "boilerplate_strip_docs", "pii_scrub_docs",
         "dup_span_strip", "pack_sequences", "holdout_split",
         "curate_docs", "warc_roundtrip", "cluster_split",
-        "corpus_stats", "quality_classifier",
+        "corpus_stats", "quality_classifier", "dsir_scores",
     ]
     for name in bench_queries:
         t0 = time.monotonic()

@@ -1204,6 +1204,25 @@ def q_quality_classifier(spark, sf):
             .select("doc_id", "q_prob").orderBy("doc_id"))
 
 
+def q_dsir_scores(spark, sf):
+    """DSIR importance scores (textquality.dsir_*, after Xie et al.
+    2023): target = the English slice of the corpus, raw = the whole
+    corpus; per-doc score = Σ_token ln p̂_tgt(bucket) − ln p̂_raw(bucket)
+    over 2048 md5-prefix buckets with add-1 smoothing. The two
+    histograms are dim-bounded map-side-combinable aggregates collected
+    once to the driver; the scoring itself is a zero-shuffle fold over
+    the plan-literal weight array (plan-asserted)."""
+    d = _t(spark, sf, "documents")
+    dim = 2048
+    w = textquality.dsir_log_ratio_weights(
+        textquality.hashed_bucket_counts(
+            d.filter(F.col("lang") == "en"), "text", dim=dim),
+        textquality.hashed_bucket_counts(d, "text", dim=dim),
+        dim=dim, alpha=1.0)
+    return (textquality.dsir_scores(d, "text", w)
+            .select("doc_id", "dsir_score").orderBy("doc_id"))
+
+
 def q_cluster_split(spark, sf):
     """Leakage-safe holdout split (pipeline.leakage_safe_split): docs
     split by their dedup-cluster representative's multiplicative hash
@@ -1400,6 +1419,7 @@ QUERIES = {
     "cluster_split": q_cluster_split,
     "corpus_stats": q_corpus_stats,
     "quality_classifier": q_quality_classifier,
+    "dsir_scores": q_dsir_scores,
 }
 
 
@@ -2515,6 +2535,41 @@ ORACLE_SQL = {
                CASE WHEN tok.toks IS NULL THEN NULL
                     ELSE round(1.0 / (1.0 + exp(-coalesce(z.s, 0.0))), 6)
                     END AS q_prob
+        FROM tok LEFT JOIN z ON tok.doc_id = z.doc_id
+        ORDER BY tok.doc_id""",
+    "dsir_scores": f"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 CASE WHEN text IS NULL THEN NULL
+                      ELSE list_filter(
+                             string_split_regex(lower(trim(text)),
+                                                '{PY_WS_RE}'),
+                             x -> x <> '') END AS toks
+          FROM documents),
+        b AS (
+          SELECT tok.doc_id, tok.lang,
+                 ('0x' || substr(md5(u.w), 1, 15))::UBIGINT % 2048
+                   AS bucket
+          FROM tok, unnest(tok.toks) AS u(w)),
+        raw AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+        tgt AS (SELECT bucket, count(*) AS c FROM b
+                WHERE lang = 'en' GROUP BY bucket),
+        tot AS (SELECT (SELECT count(*) FROM b) AS r_total,
+                       (SELECT count(*) FROM b WHERE lang = 'en')
+                         AS t_total),
+        z AS (
+          SELECT b.doc_id,
+                 sum(ln((coalesce(tg.c, 0) + 1.0)
+                        / (tot.t_total + 2048.0))
+                     - ln((coalesce(rw.c, 0) + 1.0)
+                          / (tot.r_total + 2048.0))) AS s
+          FROM b
+          LEFT JOIN tgt tg ON b.bucket = tg.bucket
+          LEFT JOIN raw rw ON b.bucket = rw.bucket, tot
+          GROUP BY b.doc_id)
+        SELECT tok.doc_id,
+               CASE WHEN tok.toks IS NULL THEN NULL
+                    ELSE round(coalesce(z.s, 0.0), 6) END AS dsir_score
         FROM tok LEFT JOIN z ON tok.doc_id = z.doc_id
         ORDER BY tok.doc_id""",
     "cluster_split": f"""

@@ -59,6 +59,10 @@ __all__ = [
     "quality_classifier_score",
     "QualityClassifier",
     "train_quality_classifier",
+    "hashed_bucket_counts",
+    "dsir_log_ratio_weights",
+    "dsir_scores",
+    "dsir_select",
 ]
 
 # internal working-column names, prefixed so they can't shadow a caller
@@ -904,3 +908,113 @@ def train_quality_classifier(df: DataFrame, text_col: str,
     model = lr.fit(train)
     return QualityClassifier(weights=model.coefficients.toArray().tolist(),
                              intercept=float(model.intercept))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling", public): score every raw
+# document by how much more likely its hashed n-gram bag is under a
+# TARGET distribution (the high-quality corpus you want more of) than
+# under the RAW distribution, then keep the high-importance slice.
+# Shares the md5-prefix bucket machinery with the quality classifier,
+# and the same scale shape: the two distribution estimates are ONE
+# map-side-combinable aggregate each with dim-bounded output, the
+# per-document score is a zero-shuffle fold over a plan-literal weight
+# array.
+
+def hashed_bucket_counts(df: DataFrame, text_col: str, *,
+                         dim: int = 2 ** 15,
+                         ngram: int = 1) -> DataFrame:
+    """(bucket, cnt) histogram of md5-prefix-hashed token n-grams over a
+    corpus — the sufficient statistic for a DSIR distribution estimate.
+    Output is ≤ dim rows no matter the corpus size, and the aggregate
+    combines map-side, so the 100 TB side costs one scan + one
+    dim-bounded exchange."""
+    toks = tokens_expr(F.col(text_col))
+    grams = toks if ngram == 1 else ngrams_expr(toks, ngram)
+    return (df.filter(F.col(text_col).isNotNull())
+            .select(F.explode(grams).alias(_SH))
+            .select(token_bucket_expr(F.col(_SH), dim).alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("cnt")))
+
+
+def dsir_log_ratio_weights(target_counts: DataFrame,
+                           raw_counts: DataFrame, *, dim: int,
+                           alpha: float = 1.0) -> "list[float]":
+    """Per-bucket importance weights ln p̂_target(b) − ln p̂_raw(b) with
+    add-alpha smoothing, from two `hashed_bucket_counts` histograms.
+    Collects 2·dim rows to the driver (≤ a few hundred KB at the 2^15
+    default) and returns the dim-long weight list the scorer embeds as
+    one plan literal."""
+    import math
+
+    def _collect(cdf):
+        d = {r["bucket"]: r["cnt"] for r in cdf.collect()}
+        total = sum(d.values())
+        return d, total
+
+    tc, t_total = _collect(target_counts)
+    rc, r_total = _collect(raw_counts)
+    t_den = t_total + alpha * dim
+    r_den = r_total + alpha * dim
+    return [math.log((tc.get(b, 0) + alpha) / t_den)
+            - math.log((rc.get(b, 0) + alpha) / r_den)
+            for b in range(dim)]
+
+
+def dsir_scores(df: DataFrame, text_col: str, weights, *,
+                ngram: int = 1, out_col: str = "dsir_score",
+                round_dp: "int | None" = 6) -> DataFrame:
+    """Per-document importance score: Σ_gram weights[bucket(gram)] —
+    the log likelihood ratio of the document under target vs raw
+    (paper-faithful: unnormalized, so longer on-target documents score
+    higher). NULL text scores NULL; an empty document scores 0.
+    Zero-shuffle projection, same plan shape as the quality
+    classifier's serve path."""
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the "
+                         "input; pick a fresh name")
+    w = [float(x) for x in weights]
+    dim = len(w)
+    if dim < 1:
+        raise ValueError("weights must be non-empty")
+    wlit = F.lit(w)
+    toks = tokens_expr(F.col(text_col))
+    grams = toks if ngram == 1 else ngrams_expr(toks, ngram)
+    s = F.aggregate(
+        grams, F.lit(0.0),
+        lambda acc, g: acc + F.element_at(
+            wlit, (token_bucket_expr(g, dim) + 1).cast("int")))
+    if round_dp is not None:
+        s = F.round(s, round_dp)
+    return df.withColumn(out_col, s)
+
+
+def dsir_select(df: DataFrame, text_col: str, target_df: DataFrame, *,
+                dim: int = 2 ** 15, ngram: int = 1, alpha: float = 1.0,
+                min_score: "float | None" = None,
+                top_frac: "float | None" = None,
+                out_col: str = "dsir_score",
+                keep_score: bool = False) -> DataFrame:
+    """End-to-end DSIR selection: estimate both distributions, score the
+    raw corpus, keep documents above `min_score` — or above the
+    (1−top_frac) score quantile when `top_frac` is given (the quantile
+    comes from approxQuantile, a driver-side estimate: reproducible for
+    a fixed input but approximate; pass min_score for an engine-exact,
+    re-runnable cut, e.g. one published with a datasheet). NULL-text
+    rows never survive (their score is NULL)."""
+    if (min_score is None) == (top_frac is None):
+        raise ValueError("pass exactly one of min_score / top_frac")
+    wts = dsir_log_ratio_weights(
+        hashed_bucket_counts(target_df, text_col, dim=dim, ngram=ngram),
+        hashed_bucket_counts(df, text_col, dim=dim, ngram=ngram),
+        dim=dim, alpha=alpha)
+    scored = dsir_scores(df, text_col, wts, ngram=ngram,
+                         out_col=out_col, round_dp=None)
+    if top_frac is not None:
+        if not 0.0 < top_frac <= 1.0:
+            raise ValueError("top_frac must be in (0, 1]")
+        min_score = scored.approxQuantile(out_col,
+                                          [1.0 - top_frac], 0.001)[0]
+    kept = scored.filter(F.col(out_col) >= min_score)
+    return kept if keep_score else kept.drop(out_col)

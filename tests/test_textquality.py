@@ -694,3 +694,94 @@ def test_quality_classifier_score_zero_exchanges(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+# ---- DSIR importance resampling --------------------------------------------
+
+def _dsir_corpora(spark):
+    target_vocab = "research method data analysis result study".split()
+    raw_extra = "buy cheap click casino pills offer".split()
+    target = spark.createDataFrame(
+        [(i, " ".join(target_vocab[(i + j) % 6] for j in range(10)))
+         for i in range(20)], "pk long, body string")
+    raw_rows = [(100 + i, " ".join(raw_extra[(i + j) % 6]
+                                   for j in range(10)))
+                for i in range(20)]
+    raw_rows += [(200 + i, " ".join(target_vocab[(i + j) % 6]
+                                    for j in range(10)))
+                 for i in range(5)]
+    raw_rows += [(300, None), (301, "   ")]
+    raw = spark.createDataFrame(raw_rows, "pk long, body string")
+    return target, raw
+
+
+def test_dsir_weights_math(spark):
+    # two docs, one token each; verify the smoothed log-ratio by hand
+    import math
+    from risjbot_spark.textquality import (dsir_log_ratio_weights,
+                                           hashed_bucket_counts,
+                                           token_bucket_expr)
+    dim = 16
+    tgt = spark.createDataFrame([(1, "aaa")], "pk long, body string")
+    raw = spark.createDataFrame([(1, "aaa"), (2, "bbb")],
+                                "pk long, body string")
+    b_aaa, b_bbb = [
+        spark.createDataFrame([(t,) for t in ("aaa", "bbb")], "t string")
+        .select(token_bucket_expr(F.col("t"), dim).alias("b"))
+        .collect()[i]["b"] for i in (0, 1)]
+    w = dsir_log_ratio_weights(
+        hashed_bucket_counts(tgt, "body", dim=dim),
+        hashed_bucket_counts(raw, "body", dim=dim), dim=dim, alpha=1.0)
+    assert len(w) == dim
+    # target: aaa count 1, total 1; raw: aaa 1 of 2
+    exp_aaa = math.log((1 + 1) / (1 + dim)) - math.log((1 + 1) / (2 + dim))
+    exp_bbb = math.log((0 + 1) / (1 + dim)) - math.log((1 + 1) / (2 + dim))
+    assert abs(w[b_aaa] - exp_aaa) < 1e-12
+    assert abs(w[b_bbb] - exp_bbb) < 1e-12
+    # unseen buckets: both smoothed zeros, ratio of the denominators
+    other = next(i for i in range(dim) if i not in (b_aaa, b_bbb))
+    assert abs(w[other] - (math.log(1 / (1 + dim))
+                           - math.log(1 / (2 + dim)))) < 1e-12
+
+
+def test_dsir_select_keeps_on_target_docs(spark):
+    from risjbot_spark.textquality import dsir_select, dsir_scores, \
+        dsir_log_ratio_weights, hashed_bucket_counts
+    target, raw = _dsir_corpora(spark)
+    kept = dsir_select(raw, "body", target, dim=1024, min_score=1e-9,
+                       keep_score=True)
+    rows = kept.collect()
+    assert {r["pk"] for r in rows} == {200 + i for i in range(5)}
+    assert all(r["dsir_score"] > 0 for r in rows)
+    # an empty doc has likelihood ratio exactly 1 (score 0): the
+    # inclusive threshold keeps it at min_score=0.0 — quality gates,
+    # not the selector, own empty-doc policy
+    at_zero = dsir_select(raw, "body", target, dim=1024, min_score=0.0)
+    assert {r["pk"] for r in at_zero.collect()} == (
+        {200 + i for i in range(5)} | {301})
+    # top_frac path: the cut is an approxQuantile ESTIMATE (documented),
+    # so rank rounding may land inside the top group — but everything it
+    # keeps must be on-target, and it must keep something
+    kept2 = dsir_select(raw, "body", target, dim=1024, top_frac=5 / 47)
+    ids2 = {r["pk"] for r in kept2.collect()}
+    assert ids2 and ids2 <= {200 + i for i in range(5)}
+    assert "dsir_score" not in kept2.columns
+    # score semantics: NULL -> NULL, empty -> 0.0
+    w = dsir_log_ratio_weights(
+        hashed_bucket_counts(target, "body", dim=64),
+        hashed_bucket_counts(raw, "body", dim=64), dim=64)
+    sc = {r["pk"]: r["dsir_score"]
+          for r in dsir_scores(raw, "body", w).collect()}
+    assert sc[300] is None and sc[301] == 0.0
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_select(raw, "body", target, min_score=0.0, top_frac=0.5)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_select(raw, "body", target)
+
+
+def test_dsir_scores_zero_exchanges(spark):
+    from risjbot_spark.textquality import dsir_scores
+    df = spark.createDataFrame([(1, "a b")], "pk long, body string")
+    plan = (dsir_scores(df, "body", [0.1] * 128)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan

@@ -301,6 +301,16 @@ def main() -> None:
     check("quality_classifier", "Join" not in p,
           "weights are a plan literal, not a join")
 
+    # --- dsir_scores: histogram building collects dim-bounded
+    # aggregates at CONSTRUCTION time; the returned scoring plan itself
+    # must be a pure projection like the classifier's
+    p = plan_of(QUERIES["dsir_scores"](spark, SF))
+    sections.append(("dsir_scores (importance-resampling scorer)", p))
+    check("dsir_scores", "hashpartitioning(" not in p,
+          "zero hash exchanges in the scoring plan")
+    check("dsir_scores", "Join" not in p,
+          "weights are a plan literal, not a join")
+
     # --- warc_roundtrip: build+parse are Python format codecs by
     # design (applyInPandas/mapInPandas); the ONLY exchange routes
     # records to their file builder
