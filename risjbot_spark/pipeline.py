@@ -258,20 +258,19 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
         d = _tq.quality_filter(d, text_col, **quality)
         _mark("after_quality")
     if classifier is not None:
-        cl = dict(classifier)
-        model = cl.pop("model", None)
-        if model is not None:
-            cl.setdefault("weights", model.weights)
-            cl.setdefault("intercept", model.intercept)
-        weights = cl.pop("weights")
-        min_prob = cl.pop("min_prob", 0.5)
-        keep_score = cl.pop("keep_score", False)
-        out_col = cl.pop("out_col", "q_prob")
+        weights, intercept, min_prob, keep_score, out_col = \
+            _tq.resolve_classifier_opts(classifier)
+        if min_prob is None and not keep_score:
+            raise ValueError("classifier with min_prob=None is "
+                             "annotate-only — set keep_score=True or "
+                             "give a threshold")
         d = _tq.quality_classifier_score(d, text_col, weights,
-                                         out_col=out_col, **cl)
-        # NULL text scores NULL and NULL >= x is not true → dropped,
-        # matching the heuristic gate's NULL-text behavior
-        d = d.filter(F.col(out_col) >= min_prob)
+                                         intercept=intercept,
+                                         out_col=out_col)
+        if min_prob is not None:
+            # NULL text scores NULL and NULL >= x is not true → dropped,
+            # matching the heuristic gate's NULL-text behavior
+            d = d.filter(F.col(out_col) >= min_prob)
         if not keep_score:
             d = d.drop(out_col)
         _mark("after_classifier")

@@ -294,9 +294,10 @@ def stream_quality_gate(docs: DataFrame, eval_docs: DataFrame,
     the batch pipeline over the accumulated table stays authoritative,
     the same layering as the crawl's bloom-then-join gate.
 
-    `classifier` adds the model-based filter in-stream (same dict shape
-    as pipeline.curate's: {"model": QualityClassifier} or {"weights",
-    "intercept"}, plus min_prob, default 0.5): the scorer is a
+    `classifier` adds the model-based filter in-stream (the SAME dict
+    contract as pipeline.curate's, parsed by the shared
+    textquality.resolve_classifier_opts — unknown keys raise in both
+    places, min_prob=None means annotate-only in both): the scorer is a
     stateless per-row fold (textquality.classifier_prob_expr), so it
     gates the stream with no state store and the output gains a
     `q_prob` column."""
@@ -321,18 +322,14 @@ def stream_quality_gate(docs: DataFrame, eval_docs: DataFrame,
         F.size(doc_grams) > 0,
         F.round(F.size(F.array_intersect(doc_grams, "_eval_grams"))
                 / F.size(doc_grams), 6))
-    clf_cols, min_prob = [], None
+    clf_cols, min_prob, clf_out = [], None, "q_prob"
     if classifier is not None:
-        cl = dict(classifier)
-        model = cl.pop("model", None)
-        if model is not None:
-            cl.setdefault("weights", model.weights)
-            cl.setdefault("intercept", model.intercept)
-        min_prob = cl.pop("min_prob", 0.5)
+        from ..textquality import resolve_classifier_opts
+        weights, intercept, min_prob, _keep, clf_out = \
+            resolve_classifier_opts(classifier)
         prob = F.round(classifier_prob_expr(
-            F.col("_toks"), cl.pop("weights"),
-            intercept=cl.pop("intercept", 0.0)), 6)
-        clf_cols = [prob.alias("q_prob")]
+            F.col("_toks"), weights, intercept=intercept), 6)
+        clf_cols = [prob.alias(clf_out)]
     annotated = gated.select(
         id_col, text_col,
         *(expr.alias(name) for name, expr in sig.items()),
@@ -347,7 +344,7 @@ def stream_quality_gate(docs: DataFrame, eval_docs: DataFrame,
         & F.coalesce(F.col("eval_hit_frac") <= max_hit_frac, F.lit(True))
     )
     if min_prob is not None:
-        passes = passes & (F.col("q_prob") >= min_prob)
+        passes = passes & (F.col(clf_out) >= min_prob)
     return annotated.filter(passes)
 
 

@@ -55,7 +55,9 @@ __all__ = [
     "pii_scrub",
     "corpus_stats",
     "token_bucket_expr",
+    "hashed_dot_expr",
     "classifier_prob_expr",
+    "resolve_classifier_opts",
     "quality_classifier_score",
     "QualityClassifier",
     "train_quality_classifier",
@@ -835,22 +837,56 @@ def quality_classifier_score(df: DataFrame, text_col: str,
     return df.withColumn(out_col, prob)
 
 
+def hashed_dot_expr(grams, weights, *, init: float = 0.0) -> Column:
+    """init + Σ_gram weights[bucket(gram)] as a composable Column — the
+    one copy of the hashed-feature fold (bucket indexing included) that
+    the classifier scorer and the DSIR scorer both build on."""
+    w = [float(x) for x in weights]
+    dim = len(w)
+    if dim < 1:
+        raise ValueError("weights must be non-empty")
+    wlit = F.lit(w)
+    return F.aggregate(
+        grams, F.lit(float(init)),
+        lambda acc, g: acc + F.element_at(
+            wlit, (token_bucket_expr(g, dim) + 1).cast("int")))
+
+
 def classifier_prob_expr(toks, weights, *,
                          intercept: float = 0.0) -> Column:
     """The scorer as a composable Column over a token-array column —
     what `quality_classifier_score` and the streaming gate both select.
     Stateless per-row fold, so it runs identically over batch and
     readStream inputs."""
-    w = [float(x) for x in weights]
-    dim = len(w)
-    if dim < 1:
-        raise ValueError("weights must be non-empty")
-    wlit = F.lit(w)
-    z = F.aggregate(
-        toks, F.lit(float(intercept)),
-        lambda acc, t: acc + F.element_at(
-            wlit, (token_bucket_expr(t, dim) + 1).cast("int")))
+    z = hashed_dot_expr(toks, weights, init=intercept)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def resolve_classifier_opts(classifier: dict):
+    """The ONE parser of the classifier-dict contract shared by
+    pipeline.curate and streaming.stream_quality_gate (so batch and
+    stream can never drift): accepts {"model": QualityClassifier} or
+    {"weights": [...], "intercept": b}, plus min_prob (default 0.5;
+    None = annotate only, no gating), keep_score, out_col.  Unknown
+    keys and a missing model/weights raise — a typo like "minprob"
+    must never silently gate at the default threshold.  Returns
+    (weights, intercept, min_prob, keep_score, out_col)."""
+    cl = dict(classifier)
+    model = cl.pop("model", None)
+    if model is not None:
+        cl.setdefault("weights", model.weights)
+        cl.setdefault("intercept", model.intercept)
+    if "weights" not in cl:
+        raise ValueError("classifier option needs 'weights' or a "
+                         "trained 'model'")
+    weights = cl.pop("weights")
+    intercept = float(cl.pop("intercept", 0.0))
+    min_prob = cl.pop("min_prob", 0.5)
+    keep_score = bool(cl.pop("keep_score", False))
+    out_col = cl.pop("out_col", "q_prob")
+    if cl:
+        raise ValueError(f"unknown classifier option(s): {sorted(cl)}")
+    return weights, intercept, min_prob, keep_score, out_col
 
 
 @dataclass
@@ -974,17 +1010,9 @@ def dsir_scores(df: DataFrame, text_col: str, weights, *,
     if out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} already exists in the "
                          "input; pick a fresh name")
-    w = [float(x) for x in weights]
-    dim = len(w)
-    if dim < 1:
-        raise ValueError("weights must be non-empty")
-    wlit = F.lit(w)
     toks = tokens_expr(F.col(text_col))
     grams = toks if ngram == 1 else ngrams_expr(toks, ngram)
-    s = F.aggregate(
-        grams, F.lit(0.0),
-        lambda acc, g: acc + F.element_at(
-            wlit, (token_bucket_expr(g, dim) + 1).cast("int")))
+    s = hashed_dot_expr(grams, weights, init=0.0)
     if round_dp is not None:
         s = F.round(s, round_dp)
     return df.withColumn(out_col, s)
@@ -1005,6 +1033,9 @@ def dsir_select(df: DataFrame, text_col: str, target_df: DataFrame, *,
     rows never survive (their score is NULL)."""
     if (min_score is None) == (top_frac is None):
         raise ValueError("pass exactly one of min_score / top_frac")
+    if top_frac is not None and not 0.0 < top_frac <= 1.0:
+        # pure argument validation — raise BEFORE the histogram scans
+        raise ValueError("top_frac must be in (0, 1]")
     wts = dsir_log_ratio_weights(
         hashed_bucket_counts(target_df, text_col, dim=dim, ngram=ngram),
         hashed_bucket_counts(df, text_col, dim=dim, ngram=ngram),
@@ -1012,9 +1043,12 @@ def dsir_select(df: DataFrame, text_col: str, target_df: DataFrame, *,
     scored = dsir_scores(df, text_col, wts, ngram=ngram,
                          out_col=out_col, round_dp=None)
     if top_frac is not None:
-        if not 0.0 < top_frac <= 1.0:
-            raise ValueError("top_frac must be in (0, 1]")
-        min_score = scored.approxQuantile(out_col,
-                                          [1.0 - top_frac], 0.001)[0]
+        qs = scored.approxQuantile(out_col, [1.0 - top_frac], 0.001)
+        if not qs:
+            # no non-NULL scores (empty or all-NULL-text corpus): the
+            # selection is empty, same as min_score mode on that input
+            kept = scored.filter(F.lit(False))
+            return kept if keep_score else kept.drop(out_col)
+        min_score = qs[0]
     kept = scored.filter(F.col(out_col) >= min_score)
     return kept if keep_score else kept.drop(out_col)

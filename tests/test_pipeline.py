@@ -229,3 +229,26 @@ def test_curate_classifier_stage(spark):
                                        "keep_score": True})
     row = res2.docs.collect()[0]
     assert row["pk"] == "d01" and row["q_prob"] >= 0.9
+
+
+def test_curate_classifier_contract_guards(spark):
+    # shared contract (textquality.resolve_classifier_opts): typos and
+    # missing weights fail loudly; min_prob=None is annotate-only and
+    # requires keep_score
+    df = _corpus(spark)
+    with pytest.raises(ValueError, match="unknown classifier option"):
+        pipeline.curate(df, "pk", "body",
+                        classifier={"weights": [0.1] * 8, "minprob": 0.9})
+    with pytest.raises(ValueError, match="weights"):
+        pipeline.curate(df, "pk", "body", classifier={"min_prob": 0.9})
+    with pytest.raises(ValueError, match="annotate-only"):
+        pipeline.curate(df, "pk", "body",
+                        classifier={"weights": [0.1] * 8,
+                                    "min_prob": None})
+    res = pipeline.curate(df, "pk", "body",
+                          classifier={"weights": [0.1] * 8,
+                                      "min_prob": None,
+                                      "keep_score": True})
+    rows = res.docs.collect()
+    # annotate-only: nothing dropped (NULL text included), score present
+    assert len(rows) == 8 and "q_prob" in res.docs.columns

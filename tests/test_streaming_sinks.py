@@ -567,3 +567,18 @@ def test_stream_quality_gate_with_classifier(spark, tmp_path):
            spark.sql("select * from clf_gate_t").collect()}
     assert set(out) == {1}
     assert out[1]["q_prob"] >= 0.9
+
+
+def test_stream_quality_gate_classifier_contract(spark):
+    # the stream side parses the SAME classifier dict contract: a typo
+    # must raise, never silently gate at the default threshold
+    from risjbot_spark.streaming import stream_quality_gate
+    ev = spark.createDataFrame([(1, "eval text")],
+                               "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a", T0)],
+                                 "doc_id long, text string, ts timestamp")
+    import pytest
+    with pytest.raises(ValueError, match="unknown classifier option"):
+        stream_quality_gate(docs, ev,
+                            classifier={"weights": [0.1] * 8,
+                                        "minprob": 0.9})

@@ -785,3 +785,14 @@ def test_dsir_scores_zero_exchanges(spark):
     plan = (dsir_scores(df, "body", [0.1] * 128)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_dsir_select_validates_before_scanning_and_handles_empty(spark):
+    from risjbot_spark.textquality import dsir_select
+    target, raw = _dsir_corpora(spark)
+    with pytest.raises(ValueError, match="top_frac"):
+        dsir_select(raw, "body", target, top_frac=1.5)
+    # empty / all-NULL-text corpus: both modes return an EMPTY selection
+    empty = spark.createDataFrame([(1, None)], "pk long, body string")
+    assert dsir_select(empty, "body", target, min_score=0.0).count() == 0
+    assert dsir_select(empty, "body", target, top_frac=0.5).count() == 0
