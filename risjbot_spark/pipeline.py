@@ -171,6 +171,7 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
            span_dedup: "dict | None" = None,
            quality: "dict | None" = None,
            classifier: "dict | None" = None,
+           dsir: "dict | None" = None,
            near_dedup: "dict | None" = None,
            decontam_eval: "DataFrame | None" = None,
            decontam: "dict | None" = None,
@@ -195,6 +196,13 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
                     and BEFORE near-dedup, so the shuffle-heavy stages
                     see the already-thinned corpus; the stage itself is
                     a zero-shuffle projection
+      dsir        → textquality.dsir_select options plus the required
+                    "target" DataFrame (the corpus whose distribution
+                    you want more of).  NOTE: the two distribution
+                    histograms are estimated over the corpus AS GATED
+                    SO FAR and collected eagerly at curate() call time
+                    (dim-bounded — driver-safe), so this stage runs
+                    the upstream plan; persist=True pins the boundary
       near_dedup  → dedup.minhash_dedup geometry, plus optional
                     max_iters / checkpoint_dir for the component step;
                     survivors keep the smallest id per cluster
@@ -274,6 +282,15 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
         if not keep_score:
             d = d.drop(out_col)
         _mark("after_classifier")
+    if dsir is not None:
+        ds = dict(dsir)
+        tgt = ds.pop("target", None)
+        if tgt is None:
+            raise ValueError("dsir options need 'target' (the "
+                             "DataFrame whose distribution to match)")
+        _pin()   # the histogram estimate AND the scorer both read d
+        d = _tq.dsir_select(d, text_col, tgt, **ds)
+        _mark("after_dsir")
     if near_dedup is not None:
         _pin()
         nd = dict(near_dedup)

@@ -252,3 +252,25 @@ def test_curate_classifier_contract_guards(spark):
     rows = res.docs.collect()
     # annotate-only: nothing dropped (NULL text included), score present
     assert len(rows) == 8 and "q_prob" in res.docs.columns
+
+
+def test_curate_dsir_stage(spark):
+    # DSIR selection inside the orchestrator: the target's vocabulary
+    # pulls its lookalikes out of the raw corpus
+    target = spark.createDataFrame(
+        [(i, "research method data analysis result study "
+             f"sample {i}") for i in range(10)],
+        "pk long, body string")
+    raw_rows = [(100 + i, f"buy cheap pills casino offer deal now {i}")
+                for i in range(10)]
+    raw_rows += [(200 + i, "research method data analysis result "
+                  f"study sample {i}") for i in range(3)]
+    raw = spark.createDataFrame(raw_rows, "pk long, body string")
+    res = pipeline.curate(raw, "pk", "body",
+                          dsir={"target": target, "dim": 512,
+                                "min_score": 0.0})
+    kept = {r["pk"] for r in res.docs.collect()}
+    assert kept == {200, 201, 202}
+    assert "after_dsir" in res.stages
+    with pytest.raises(ValueError, match="target"):
+        pipeline.curate(raw, "pk", "body", dsir={"min_score": 0.0})
