@@ -100,12 +100,17 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--opts", default=None,
                     help="JSON file of per-stage kwargs for "
                          "pipeline.curate — keys: boilerplate, pii, "
-                         "span_dedup, quality, near_dedup, decontam, "
-                         "mix, split (each a kwargs object; omit a key "
-                         "to skip the stage)")
+                         "span_dedup, quality, classifier, dsir, "
+                         "near_dedup, decontam, mix, split (each a "
+                         "kwargs object; omit a key to skip the stage; "
+                         "classifier carries its weights as a JSON "
+                         "list)")
     cu.add_argument("--eval", default=None, dest="eval_path",
                     help="eval-set parquet for decontamination (must "
                          "have the same text column)")
+    cu.add_argument("--dsir-target", default=None, dest="dsir_target",
+                    help="target-corpus parquet for the dsir stage "
+                         "(must have the same text column)")
     cu.add_argument("--report", default=None,
                     help="write per-stage surviving-row counts as JSON")
     cu.add_argument("--shards", type=int, default=0,
@@ -171,7 +176,8 @@ def main(argv=None, spark=None) -> int:
         from .pipeline import curate
 
         _STAGES = ("boilerplate", "pii", "span_dedup", "quality",
-                   "near_dedup", "decontam", "mix", "split")
+                   "classifier", "dsir", "near_dedup", "decontam",
+                   "mix", "split")
         opts = {}
         if args.opts:
             with open(args.opts) as f:
@@ -184,6 +190,13 @@ def main(argv=None, spark=None) -> int:
         if "decontam" in opts and not args.eval_path:
             raise SystemExit("--opts has a decontam stage but no "
                              "--eval parquet was given")
+        if "dsir" in opts:
+            if not args.dsir_target:
+                raise SystemExit("--opts has a dsir stage but no "
+                                 "--dsir-target parquet was given")
+            opts["dsir"] = {**opts["dsir"],
+                            "target": spark.read.parquet(
+                                args.dsir_target)}
         ev = (spark.read.parquet(args.eval_path)
               if args.eval_path else None)
         res = curate(spark.read.parquet(args.inp), args.id_col,

@@ -126,3 +126,38 @@ def test_cli_curate_guards(spark, tmp_path):
     with pytest.raises(SystemExit):
         main(["curate", "--input", inp, "--out", str(tmp_path / "o2"),
               "--opts", str(dc)], spark=spark)
+
+
+def test_cli_curate_dsir_and_classifier(spark, tmp_path):
+    import json
+
+    import pytest
+
+    good = ("research method data analysis result study sample "
+            "cohort finding review")
+    docs = spark.createDataFrame(
+        [(100 + i, f"buy cheap pills casino offer deal now lucky {i}",
+          "en") for i in range(8)]
+        + [(200 + i, f"{good} {i}", "en") for i in range(3)],
+        "doc_id long, text string, lang string")
+    inp = str(tmp_path / "docs_ds")
+    docs.write.parquet(inp)
+    target = spark.createDataFrame(
+        [(i, f"{good} extra {i}") for i in range(10)],
+        "doc_id long, text string")
+    tgt = str(tmp_path / "tgt")
+    target.write.parquet(tgt)
+    opts = {"dsir": {"dim": 512, "min_score": 0.0}}
+    opts_path = tmp_path / "opts_ds.json"
+    opts_path.write_text(json.dumps(opts))
+    out = str(tmp_path / "curated_ds")
+    rc = main(["curate", "--input", inp, "--out", out,
+               "--opts", str(opts_path), "--dsir-target", tgt],
+              spark=spark)
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {200, 201, 202}
+    # dsir without --dsir-target fails loudly
+    with pytest.raises(SystemExit, match="dsir"):
+        main(["curate", "--input", inp, "--out", str(tmp_path / "o2"),
+              "--opts", str(opts_path)], spark=spark)
