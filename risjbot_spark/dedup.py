@@ -69,6 +69,7 @@ __all__ = [
     "raw_tokens_expr",
     "duplicate_span_occurrences",
     "strip_duplicate_spans",
+    "suggest_lsh_geometry",
 ]
 
 
@@ -660,3 +661,41 @@ def strip_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                            F.coalesce(F.size("_drop"), F.lit(0))))
     out = out.withColumn(out_col, clean)
     return out.drop("_drop")
+
+
+def suggest_lsh_geometry(n_docs: int, *,
+                         target_bucket: int = 64) -> "dict[str, int]":
+    """The documented bits-∝-log₂(n) sizing rule as a callable: pick
+    LSH widths so the EXPECTED bucket occupancy stays near
+    `target_bucket` docs, which keeps per-bucket pair work (occupancy²)
+    flat as the corpus grows instead of quadratic.
+
+      emb_bits      — sign-hyperplane count for embedding_near_dup /
+                      ann.sign_lsh_bucket: ceil(log2(n/target)),
+                      clamped to [8, 30] (the long-cast bucket id
+                      covers 30 comfortably)
+      simhash_band_bits — per-band width for simhash_pairs: the same
+                      rule clamped to [8, 15] (4 bands × 15 ≤ the
+                      60-bit fingerprint)
+      simhash_bits  — 4 × simhash_band_bits (num_bands stays 4: the
+                      pigeonhole guarantee for max_hamming ≤ 3)
+
+    MinHash geometry is deliberately NOT here: its (bands, rows) trade
+    sits on the Jaccard-threshold S-curve, not on corpus cardinality —
+    see banded_candidate_pairs. Examples: n=10^6, target 64 → emb 14
+    bits; n=10^9 → 24 bits; the measured shape behind the rule is
+    BENCH/band_cardinality_1e6.json (widening 8→15-bit bands cut pair
+    work 124×)."""
+    import math
+
+    if n_docs < 1:
+        raise ValueError("n_docs must be >= 1")
+    if target_bucket < 1:
+        raise ValueError("target_bucket must be >= 1")
+    raw = math.ceil(math.log2(max(n_docs / target_bucket, 2.0)))
+    band = min(max(raw, 8), 15)
+    return {
+        "emb_bits": min(max(raw, 8), 30),
+        "simhash_band_bits": band,
+        "simhash_bits": 4 * band,
+    }

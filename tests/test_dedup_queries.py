@@ -203,3 +203,38 @@ def test_dedup_clusters_are_true_connected_components(spark, sf_dir):
                for r in _docs_with_mutants(spark, sf_dir).collect()}
     losers = {d for d, s in survivor.items() if not s}
     assert kept_ids == all_ids - losers
+
+
+def test_suggest_lsh_geometry(spark):
+    """The bits-∝-log₂(n) sizing rule as code: monotone in n, clamped,
+    simhash width stays band-representable, and the suggested widths
+    actually drive the ops."""
+    import pytest
+    from risjbot_spark import dedup
+
+    g6 = dedup.suggest_lsh_geometry(10 ** 6)
+    g9 = dedup.suggest_lsh_geometry(10 ** 9)
+    assert g6 == {"emb_bits": 14, "simhash_band_bits": 14,
+                  "simhash_bits": 56}
+    assert g9["emb_bits"] == 24 and g9["simhash_bits"] == 60
+    # monotone + clamps
+    prev = 0
+    for n in (1, 10 ** 3, 10 ** 6, 10 ** 9, 10 ** 13):
+        b = dedup.suggest_lsh_geometry(n)["emb_bits"]
+        assert 8 <= b <= 30 and b >= prev
+        prev = b
+    assert dedup.suggest_lsh_geometry(10 ** 13)["simhash_bits"] == 60
+    with pytest.raises(ValueError):
+        dedup.suggest_lsh_geometry(0)
+    # the suggestion plugs straight into the ops (vectors must have
+    # >= emb_bits dims — sign_lsh_bucket reads the first `bits` dims)
+    base = [1.0] + [0.0] * 15
+    nd = [1.0, 0.001] + [0.0] * 14
+    far = [-1.0, 0.2] + [0.0] * 14
+    df = spark.createDataFrame(
+        [(1, base), (2, nd), (3, far)], "pk long, v array<double>")
+    g = dedup.suggest_lsh_geometry(3)
+    pairs = dedup.embedding_near_dup(df, "pk", "v",
+                                     bits=g["emb_bits"],
+                                     threshold=0.99)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
