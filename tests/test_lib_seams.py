@@ -268,3 +268,46 @@ def test_media_pin_raises_when_backend_missing():
                                         "video": True}
     finally:
         mm.pin_backend(None)
+
+
+def test_tokenizer_seam_dispatches_and_guards(tmp_path):
+    """The tokenization seam's real branch runs against the vendored
+    `tokenizers` double (distinctive 2·words+1 counts), the stand-in
+    matches the JVM expression's formula, and a pinned-but-absent
+    worker fails loudly."""
+    import importlib
+    import pandas as pd
+
+    import risjbot_spark.tokenization as tz
+
+    # container default: no library, estimator formula
+    assert not tz.HAS_TOKENIZERS
+    assert tz.count_tokens_standin("abcdefgh xy") == 3   # ceil(8/4)+ceil(2/4)
+    # pinned-available but absent → loud failure, never silent mixing
+    tz.pin_backend({"tokenizers": True})
+    try:
+        with pytest.raises(RuntimeError, match="pinned available"):
+            tz._use_real()
+    finally:
+        tz.pin_backend(None)
+
+    sys.path.insert(0, FAKES)
+    try:
+        for m in list(sys.modules):
+            if m.split(".")[0] == "tokenizers":
+                del sys.modules[m]
+        tz = importlib.reload(tz)
+        assert tz.HAS_TOKENIZERS
+        tok_file = tmp_path / "tok.json"
+        tok_file.write_text("{}")
+        out = tz._count_batch(pd.Series(["one two", None, "a b c"]),
+                              str(tok_file))
+        # 2·words+1: the double ran; NULL stays null (pandas NA)
+        assert out[0] == 5 and out[2] == 7 and pd.isna(out[1])
+    finally:
+        sys.path.remove(FAKES)
+        for m in list(sys.modules):
+            if m.split(".")[0] == "tokenizers":
+                del sys.modules[m]
+        tz = importlib.reload(tz)
+        assert not tz.HAS_TOKENIZERS
