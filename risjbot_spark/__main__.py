@@ -197,6 +197,10 @@ def main(argv=None, spark=None) -> int:
             opts["dsir"] = {**opts["dsir"],
                             "target": spark.read.parquet(
                                 args.dsir_target)}
+        elif args.dsir_target:
+            raise SystemExit("--dsir-target was given but --opts has "
+                             "no dsir stage — the target would be "
+                             "silently ignored")
         ev = (spark.read.parquet(args.eval_path)
               if args.eval_path else None)
         res = curate(spark.read.parquet(args.inp), args.id_col,

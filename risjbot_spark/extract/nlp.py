@@ -92,16 +92,8 @@ def pin_backend(flags: dict[str, bool] | None) -> None:
 
 
 def _use(name: str, local_has: bool) -> bool:
-    if _PINNED is None:
-        return local_has
-    want = _PINNED.get(name, False)
-    if want and not local_has:
-        raise RuntimeError(
-            f"NLP backend {name!r} was pinned available by the driver but "
-            f"is not importable in this worker — heterogeneous deployment "
-            f"would silently mix real-library and stand-in values; install "
-            f"the library on every executor (or pin it off)")
-    return want
+    from ..seams import seam_use
+    return seam_use(name, local_has, _PINNED, kind="NLP backend")
 
 # ---------------------------------------------------------------------------
 # Word count — len(str.split()) exactly (wordcount.py:15)

@@ -74,15 +74,9 @@ class BackendMismatchError(RuntimeError):
 
 
 def _use(name: str, local_has: bool) -> bool:
-    if _PINNED is None:
-        return local_has
-    want = _PINNED.get(name, False)
-    if want and not local_has:
-        raise BackendMismatchError(
-            f"media backend {name!r} was pinned available by the driver "
-            f"but is missing in this worker — install it on every "
-            f"executor (or pin it off)")
-    return want
+    from .seams import seam_use
+    return seam_use(name, local_has, _PINNED, kind="media backend",
+                    exc=BackendMismatchError)
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),

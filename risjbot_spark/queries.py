@@ -695,17 +695,15 @@ def q_quality_score(spark, sf):
 
 def q_token_count(spark, sf):
     """Token counting: whitespace tokens + BPE-ish subword estimate
-    (ceil(chars/4) per word, the standard heuristic)."""
+    (ceil(chars/4) per word, the standard heuristic — the SAME
+    tokenization.bpe_estimate_expr the tokenizer seam ships, so the
+    DuckDB oracle gates the one shared definition)."""
+    from .tokenization import bpe_estimate_expr
     d = _t(spark, sf, "documents")
     words = F.filter(F.split(F.trim("text"), PY_WS_RE), lambda x: x != "")
-    n_words = F.size(words)
-    n_sub = F.aggregate(
-        words, F.lit(0).cast("long"),
-        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
-    )
     return d.select(
-        "doc_id", n_words.cast("long").alias("n_ws_tokens"),
-        n_sub.alias("n_bpe_est"),
+        "doc_id", F.size(words).cast("long").alias("n_ws_tokens"),
+        bpe_estimate_expr(F.col("text")).alias("n_bpe_est"),
     ).orderBy("doc_id")
 
 

@@ -61,16 +61,9 @@ def pin_backend(flags: "dict[str, bool] | None") -> None:
 
 
 def _use_real() -> bool:
-    if _PINNED is None:
-        return HAS_TOKENIZERS
-    want = _PINNED.get("tokenizers", False)
-    if want and not HAS_TOKENIZERS:
-        raise RuntimeError(
-            "tokenizers was pinned available by the driver but is not "
-            "importable in this worker — heterogeneous deployment would "
-            "silently mix real and estimated token counts; install it "
-            "on every executor (or pin it off)")
-    return want
+    from .seams import seam_use
+    return seam_use("tokenizers", HAS_TOKENIZERS, _PINNED,
+                    kind="tokenizer backend")
 
 
 def count_tokens_standin(text: str) -> int:

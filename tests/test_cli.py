@@ -147,7 +147,20 @@ def test_cli_curate_dsir_and_classifier(spark, tmp_path):
         "doc_id long, text string")
     tgt = str(tmp_path / "tgt")
     target.write.parquet(tgt)
-    opts = {"dsir": {"dim": 512, "min_score": 0.0}}
+    # classifier weights ride the JSON: reward the good vocabulary's
+    # buckets so the spam docs gate out BEFORE dsir sees them
+    from pyspark.sql import functions as F
+
+    from risjbot_spark.textquality import token_bucket_expr
+    dim = 512
+    buckets = {r["b"] for r in
+               spark.createDataFrame([(t,) for t in good.split()],
+                                     "t string")
+               .select(token_bucket_expr(F.col("t"), dim).alias("b"))
+               .collect()}
+    w = [0.5 if b in buckets else -0.5 for b in range(dim)]
+    opts = {"classifier": {"weights": w, "min_prob": 0.9},
+            "dsir": {"dim": 512, "min_score": 0.0}}
     opts_path = tmp_path / "opts_ds.json"
     opts_path.write_text(json.dumps(opts))
     out = str(tmp_path / "curated_ds")
@@ -157,7 +170,13 @@ def test_cli_curate_dsir_and_classifier(spark, tmp_path):
     assert rc == 0
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {200, 201, 202}
-    # dsir without --dsir-target fails loudly
+    # dsir without --dsir-target fails loudly…
     with pytest.raises(SystemExit, match="dsir"):
         main(["curate", "--input", inp, "--out", str(tmp_path / "o2"),
               "--opts", str(opts_path)], spark=spark)
+    # …and --dsir-target without a dsir stage is never silently ignored
+    plain = tmp_path / "plain.json"
+    plain.write_text(json.dumps({"quality": {}}))
+    with pytest.raises(SystemExit, match="silently ignored"):
+        main(["curate", "--input", inp, "--out", str(tmp_path / "o3"),
+              "--opts", str(plain), "--dsir-target", tgt], spark=spark)
