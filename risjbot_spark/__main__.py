@@ -116,6 +116,19 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--shards", type=int, default=0,
                     help="also write N training shards under "
                          "<out>_shards")
+
+    st = sub.add_parser(
+        "stats",
+        help="corpus datasheet (textquality.corpus_stats): doc/NULL "
+             "counts, token totals, mean + exact p50/p90/max tokens")
+    st.add_argument("--input", required=True, dest="inp",
+                    help="documents parquet path")
+    st.add_argument("--text-col", default="text")
+    st.add_argument("--group", default=None,
+                    help="comma-separated group columns (e.g. "
+                         "source,lang); one corpus-wide row if omitted")
+    st.add_argument("--out", default=None,
+                    help="also write the table as JSON here")
     return p
 
 
@@ -221,6 +234,28 @@ def main(argv=None, spark=None) -> int:
                 mode="overwrite")   # --out overwrites; shards match
             print(f"shards -> {man['path']} "
                   f"({sum(man.get('rows', {}).values())} rows)")
+        if own_session:
+            spark.stop()
+        return 0
+
+    if args.cmd == "stats":
+        spark = spark or _session()
+        import json as _json
+
+        from .textquality import corpus_stats
+
+        groups = args.group.split(",") if args.group else None
+        rows = [r.asDict() for r in
+                corpus_stats(spark.read.parquet(args.inp),
+                             args.text_col, groups).collect()]
+        # deterministic output order for the group rows
+        if groups:
+            rows.sort(key=lambda r: tuple(str(r[g]) for g in groups))
+        for r in rows:
+            print(" ".join(f"{k}={v}" for k, v in r.items()))
+        if args.out:
+            with open(args.out, "w") as f:
+                _json.dump(rows, f, indent=2, default=str)
         if own_session:
             spark.stop()
         return 0

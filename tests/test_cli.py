@@ -180,3 +180,27 @@ def test_cli_curate_dsir_and_classifier(spark, tmp_path):
     with pytest.raises(SystemExit, match="silently ignored"):
         main(["curate", "--input", inp, "--out", str(tmp_path / "o3"),
               "--opts", str(plain), "--dsir-target", tgt], spark=spark)
+
+
+def test_cli_stats(spark, tmp_path, capsys):
+    import json
+
+    docs = spark.createDataFrame(
+        [(1, "one two three", "en"), (2, "vier fünf", "de"),
+         (3, None, "de")],
+        "doc_id long, text string, lang string")
+    inp = str(tmp_path / "sdocs")
+    docs.write.parquet(inp)
+    out = tmp_path / "stats.json"
+    rc = main(["stats", "--input", inp, "--group", "lang",
+               "--out", str(out)], spark=spark)
+    assert rc == 0
+    rows = {r["lang"]: r for r in json.loads(out.read_text())}
+    assert rows["en"]["n_docs"] == 1 and rows["en"]["n_tokens"] == 3
+    assert rows["de"]["n_docs"] == 2 and rows["de"]["n_null"] == 1
+    printed = capsys.readouterr().out
+    assert "lang=de" in printed and "n_tokens=3" in printed
+    # corpus-wide single row when --group omitted
+    rc = main(["stats", "--input", inp], spark=spark)
+    assert rc == 0
+    assert "n_docs=3" in capsys.readouterr().out

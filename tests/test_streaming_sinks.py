@@ -582,3 +582,34 @@ def test_stream_quality_gate_classifier_contract(spark):
         stream_quality_gate(docs, ev,
                             classifier={"weights": [0.1] * 8,
                                         "minprob": 0.9})
+
+
+def test_stream_dsir_scoring(spark, tmp_path):
+    """DSIR scoring composes into a stream unchanged: weights are
+    estimated offline (batch histograms), the scorer is the same
+    stateless fold the batch path ships."""
+    from risjbot_spark.textquality import (dsir_log_ratio_weights,
+                                           dsir_scores,
+                                           hashed_bucket_counts)
+
+    target = spark.createDataFrame(
+        [(i, f"research method data analysis {i}") for i in range(5)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(100, "buy cheap pills now", T0),
+         (200, "research method data analysis today", T0)],
+        "doc_id long, text string, ts timestamp")
+    w = dsir_log_ratio_weights(
+        hashed_bucket_counts(target, "text", dim=256),
+        hashed_bucket_counts(raw.drop("ts"), "text", dim=256), dim=256)
+    src = str(tmp_path / "dsirdocs")
+    raw.write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp").parquet(src)
+    q = (dsir_scores(stream, "text", w).writeStream
+         .format("memory").queryName("dsir_t")
+         .trigger(availableNow=True).start())
+    _run_stream(q)
+    got = {r["doc_id"]: r["dsir_score"]
+           for r in spark.sql("select * from dsir_t").collect()}
+    assert got[200] > 0 > got[100]
