@@ -76,7 +76,8 @@ def _oracle(name: str, sf: str) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", ["token_count", "quality_score",
                                   "doc_fingerprint", "wordcount",
-                                  "repetition_signals", "decontaminate"])
+                                  "repetition_signals", "decontaminate",
+                                  "quality_classifier", "dsir_scores"])
 def test_doc_op_parity_on_exotic_whitespace(spark, ws_sf, name):
     got = Q.QUERIES[name](spark, ws_sf).toPandas()
     want = _oracle(name, ws_sf)
@@ -94,6 +95,19 @@ def test_token_count_matches_python_split(spark, ws_sf):
            for r in Q.QUERIES["token_count"](spark, ws_sf).collect()}
     for i, t in enumerate(BATTERY):
         want = len(t.split()) if t is not None else None
+        assert got[i * 10] == want, repr(t)
+
+
+def test_bpe_estimate_expr_matches_python_standin(spark, ws_sf):
+    """The tokenizer seam's JVM-expression fallback equals the Python
+    stand-in formula on every exotic-whitespace input — the two
+    published estimate surfaces can never drift."""
+    from risjbot_spark.tokenization import count_tokens_standin
+
+    got = {r["doc_id"]: r["n_bpe_est"]
+           for r in Q.QUERIES["token_count"](spark, ws_sf).collect()}
+    for i, t in enumerate(BATTERY):
+        want = count_tokens_standin(t) if t is not None else None
         assert got[i * 10] == want, repr(t)
 
 
