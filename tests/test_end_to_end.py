@@ -62,19 +62,30 @@ def test_warc_to_crawl_to_curate_to_shards(spark, tmp_path):
         n_art = articles.count()
         assert n_art > 0
 
-        # 5. curate the extracted text into a training corpus
+        # 5. curate the extracted text into a training corpus — incl.
+        # the model-based stages: a permissive classifier (annotation
+        # gate at a threshold every real article clears) and DSIR
+        # selection against the corpus' own articles as target (scores
+        # ~0, inclusive cut keeps them) — integration, not selectivity,
+        # is what the journey pins; selectivity has its own tests
+        corpus_in = articles.select("url_canon", "bodytext")
         res = pipeline.curate(
-            articles.select("url_canon", "bodytext"),
+            corpus_in,
             "url_canon", "bodytext",
             quality={"max_top_token_frac": 0.8,
                      "min_distinct_ratio": 0.05,
                      "max_dup_ngram_frac": 0.9},
+            classifier={"weights": [0.05] * 256, "min_prob": 0.5,
+                        "keep_score": True},
+            dsir={"target": corpus_in, "dim": 256, "min_score": -1.0},
             split={"val_permille": 100, "test_permille": 100})
         curated = res.docs
         n_cur = curated.count()
         assert 0 < n_cur <= n_art
+        assert "q_prob" in curated.columns
         rep = res.report(run=False)
         assert rep["input"] == n_art and rep["output"] == n_cur
+        assert "after_classifier" in rep and "after_dsir" in rep
 
         # 6. deterministic shards a trainer can stream
         man = write_training_shards(
