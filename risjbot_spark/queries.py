@@ -253,6 +253,30 @@ def q_url_filter(spark, sf):
     )
 
 
+def q_link_rank(spark, sf):
+    """W1+ frontier prioritization by link-graph authority: fixed-point
+    PageRank (3 iterations, damping 17/20, scale 1e6) over a
+    deterministic outlink graph derived from events (src = user_id,
+    dst = event_id % 150 — same node domain, hubby in-degree
+    distribution). Exact long arithmetic end-to-end, so the result is
+    bit-identical at any parallelism and hash-checkable against the
+    oracle's unrolled-CTE twin."""
+    from .frontier.rank import link_graph_ranks
+
+    ev = _t(spark, sf, "events")
+    edges = (
+        ev.select(F.col("user_id").alias("src"),
+                  (F.col("event_id") % 150).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return (
+        link_graph_ranks(edges, iterations=3)
+        .select("node", "rank")
+        .orderBy("node")
+    )
+
+
 # ---------------------------------------------------------------------------
 # agg / join coverage
 # ---------------------------------------------------------------------------
@@ -1366,6 +1390,7 @@ QUERIES = {
     "union_dedup": q_union_dedup,
     "stats_counters": q_stats_counters,
     "url_filter": q_url_filter,
+    "link_rank": q_link_rank,
     "tpch_pricing": q_tpch_pricing,
     "region_revenue": q_region_revenue,
     "brand_supplier_revenue": q_brand_supplier_revenue,
@@ -1672,6 +1697,38 @@ ORACLE_SQL = {
           FROM orders)
         WHERE regexp_matches(url, '/o/') AND NOT regexp_matches(url, 'h3\\.')
         ORDER BY url""",
+    # fixed-point PageRank, 3 unrolled iterations; every step is exact
+    # long arithmetic ('//' = Spark 'div' on positive operands), so the
+    # hash compare is bit-exact with no float-formatting alignment
+    "link_rank": """
+        WITH edges AS (
+          SELECT DISTINCT user_id AS src, event_id % 150 AS dst
+          FROM events WHERE user_id <> event_id % 150
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        c1 AS (SELECT e.dst, CAST(sum(r.rank // o.deg) AS BIGINT) AS inflow
+               FROM edges e JOIN r0 r ON e.src = r.node
+               JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+        r1 AS (SELECT n.node, CAST(150000 +
+                     (17 * COALESCE(c.inflow, 0)) // 20 AS BIGINT) AS rank
+               FROM nodes n LEFT JOIN c1 c ON n.node = c.dst),
+        c2 AS (SELECT e.dst, CAST(sum(r.rank // o.deg) AS BIGINT) AS inflow
+               FROM edges e JOIN r1 r ON e.src = r.node
+               JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+        r2 AS (SELECT n.node, CAST(150000 +
+                     (17 * COALESCE(c.inflow, 0)) // 20 AS BIGINT) AS rank
+               FROM nodes n LEFT JOIN c2 c ON n.node = c.dst),
+        c3 AS (SELECT e.dst, CAST(sum(r.rank // o.deg) AS BIGINT) AS inflow
+               FROM edges e JOIN r2 r ON e.src = r.node
+               JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+        r3 AS (SELECT n.node, CAST(150000 +
+                     (17 * COALESCE(c.inflow, 0)) // 20 AS BIGINT) AS rank
+               FROM nodes n LEFT JOIN c3 c ON n.node = c.dst)
+        SELECT node, rank FROM r3 ORDER BY node""",
     "tpch_pricing": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 6) AS sum_qty,

@@ -78,12 +78,13 @@ def main() -> None:
     # in-memory, so a previous run's registration doesn't survive —
     # its leftover warehouse location is cleared first).
     corpus_parts = max(16, min(256, N_PAGES // 250))
+    direct = os.environ.get("SPARK_GRAFT_SP_DIRECT") == "1"
     pages_path = os.path.join(
         tempfile.gettempdir(), f"risjbot_bench_pages_{N_PAGES}")
-    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+    if not direct and not os.path.exists(
+            os.path.join(pages_path, "_SUCCESS")):
         pages_df(spark, N_PAGES, partitions=corpus_parts) \
             .write.mode("overwrite").parquet(pages_path)
-    flat = spark.read.parquet(pages_path)
 
     table = f"sp_pages_{N_PAGES}_{BUCKETS}"
     if not spark.catalog.tableExists(table) \
@@ -97,8 +98,19 @@ def main() -> None:
         if not spark.catalog.tableExists(table) and os.path.exists(leftover):
             import shutil
             shutil.rmtree(leftover)
-        write_bucketed_pages(flat, table, buckets=BUCKETS)
+        # SPARK_GRAFT_SP_DIRECT=1: bucket-write straight from the
+        # generator — no flat parquet copy ever touches disk. At 50M+
+        # pages the duplicate flat cache (even transiently, pre
+        # DROP_FLAT) is what stops fitting the sandbox; a real
+        # deployment ingests from object storage and likewise writes
+        # the bucketed table once, directly.
+        src = (pages_df(spark, N_PAGES, partitions=corpus_parts)
+               if direct else spark.read.parquet(pages_path))
+        write_bucketed_pages(src, table, buckets=BUCKETS)
     pages = read_bucketed_pages(spark, table)
+    if direct:
+        import shutil
+        shutil.rmtree(pages_path, ignore_errors=True)  # stale flat cache
     # seeds come from the bucketed table (it keeps the raw url column),
     # so the flat corpus is droppable once ingested — at 20M+ pages the
     # duplicate flat copy is what no longer fits the sandbox disk
