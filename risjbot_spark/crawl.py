@@ -138,6 +138,23 @@ class CrawlConfig:
     follow_links: bool = False
     link_allow: str = ""                 # regex; empty → allow all
     link_deny: str = ""                  # regex; empty → deny none
+    # W1+ link-graph prioritization (frontier/rank.py): each committed
+    # round appends its outlink edges to <warehouse>/link_edges; every
+    # link_rank_every rounds the engine recomputes fixed-point PageRank
+    # over the accumulated graph into <warehouse>/link_ranks; subsequent
+    # frontiers merge authority into `priority` —
+    # greatest(existing, rank div link_rank_unit) — so hand-pinned
+    # spider priorities still win while unpinned URLs schedule by global
+    # authority. Per-round cost: one O(round-outlinks) append + one
+    # rank-keyed left join on the deduped frontier; the rank job itself
+    # is edge-list-sized and runs only on the cadence. Ranks are
+    # advisory state: a crash mid-refresh leaves no _SUCCESS marker and
+    # the next round simply schedules without authority.
+    link_rank: bool = False
+    link_rank_every: int = 1             # rank-refresh cadence (rounds)
+    link_rank_iterations: int = 3
+    link_rank_unit: int = 10_000         # rank mass per priority point
+    link_rank_checkpoint_dir: str = ""   # reliable ckpt for rank iters
     # robots/budget scale path: keep parsed rules in a DataFrame joined
     # on host instead of a driver dict + plan literal. Output-identical
     # (parity-tested); needed when hosts outgrow driver memory
@@ -309,6 +326,10 @@ class CrawlEngine:
         # authoritative join and re-fetch early — so staleness in either
         # direction forces a rebuild; empty table → empty filter.
         self._bloom_dir = os.path.join(warehouse, "bloom")
+        # W1+ link-graph state (config link_rank): the edge log and the
+        # latest rank snapshot live beside the other warehouse tables
+        self._link_edges_dir = os.path.join(warehouse, "link_edges")
+        self._link_ranks_dir = os.path.join(warehouse, "link_ranks")
         self.bloom = None
         self.bloom_backend = self._resolve_bloom_backend()
         if self.cfg.use_bloom:
@@ -764,6 +785,21 @@ class CrawlEngine:
                 F.min_by("host", "_ord").alias("host"),
             )
         )
+        # ---- W1+ link-graph authority merge (frontier/rank.py): ranks
+        # computed from PREVIOUS rounds' committed outlinks — this join
+        # runs on the deduped frontier (unique keys), after the best-row
+        # agg so it costs one rank-keyed left join, never the pre-dedup
+        # candidate multiset. Explicit spider pins (priority ≥ rank/unit)
+        # survive via greatest(); URLs absent from the graph keep their
+        # existing priority.
+        if cfg.link_rank:
+            _ranks = self._load_link_ranks()
+            if _ranks is not None:
+                from .frontier.rank import prioritize_frontier
+
+                fr = prioritize_frontier(
+                    fr, _ranks, url_col="url_canon",
+                    unit=cfg.link_rank_unit)
         # lineage counters: EVERY count attaches as an Observation metric
         # riding the commit action (eager .count()s re-ran the whole
         # frontier assembly per counter). frontier_in's observe node
@@ -1240,7 +1276,44 @@ class CrawlEngine:
             self.bloom.save(self._bloom_dir)  # checkpointed with the round
             self._write_bloom_marker()        # ties bloom ↔ seen snapshot
             _mark("bloom_save")
+        if cfg.link_rank:
+            self._update_link_graph(round_no)
+            _mark("link_rank")
         return lineage
+
+    # ---- W1+ link-graph state (config link_rank) ---------------------
+    def _load_link_ranks(self) -> DataFrame | None:
+        """Latest committed rank snapshot, or None before the first
+        refresh (and after a crash mid-overwrite — no _SUCCESS, no
+        authority this round; the next cadence rewrites it)."""
+        if not os.path.exists(os.path.join(self._link_ranks_dir,
+                                           "_SUCCESS")):
+            return None
+        return self.spark.read.parquet(self._link_ranks_dir)
+
+    def _update_link_graph(self, round_no: int) -> None:
+        """Append the committed round's outlink edges; refresh ranks on
+        the cadence. The append is O(this round's outlinks); the rank
+        job reads the accumulated edge log distinct()-ed (crash-replayed
+        rounds may append duplicate edges — distinct absorbs them) and
+        iterates edge-sized shuffles only (frontier/rank.py scale
+        notes). Runs after the seen commit: a crash here loses at most
+        advisory priority signal, never crawl state."""
+        from .frontier.rank import link_graph_ranks, outlink_edges
+
+        delta = self.spark.read.parquet(self.last_delta_dir)
+        if "links" not in delta.columns:
+            return
+        (outlink_edges(delta.select("url_canon", "links"))
+         .write.mode("append").parquet(self._link_edges_dir))
+        if (round_no + 1) % max(1, self.cfg.link_rank_every) != 0:
+            return
+        edges = self.spark.read.parquet(self._link_edges_dir).distinct()
+        ranks = link_graph_ranks(
+            edges, iterations=self.cfg.link_rank_iterations,
+            num_partitions=self.cfg.num_partitions,
+            checkpoint_dir=self.cfg.link_rank_checkpoint_dir or None)
+        ranks.write.mode("overwrite").parquet(self._link_ranks_dir)
 
     # ------------------------------------------------------------------
     def export_jsonl(self, path: str, strip_raw_page: bool = True) -> None:

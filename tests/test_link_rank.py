@@ -121,3 +121,122 @@ def test_null_priority_treated_as_zero(spark):
 def test_empty_edges_returns_empty(spark):
     e = spark.createDataFrame([], "src string, dst string")
     assert link_graph_ranks(e, iterations=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# engine integration (CrawlConfig.link_rank)
+# ---------------------------------------------------------------------------
+
+def _lr_engine(spark, corpus, wh, **cfg_kw):
+    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
+    from risjbot_spark.frontier.state import RefetchConfig
+
+    cfg = CrawlConfig(
+        refetch=RefetchConfig(maxfetches=5, refetchsecs=3600),
+        default_budget=1000, num_partitions=4, follow_links=True,
+        collect_lineage=False, link_rank=True, **cfg_kw)
+    return CrawlEngine(spark, wh, corpus, None, cfg)
+
+
+def _round_priorities(eng, rnd):
+    return {r["url_canon"]: r["priority"]
+            for r in eng.articles_table.read()
+            .filter(F.col("round") == rnd)
+            .select("url_canon", "priority").collect()}
+
+
+def test_engine_link_rank_authority_reaches_frontier(spark, tmp_path):
+    """Round 0 commits edges, the refresh writes ranks, and round 1's
+    frontier carries authority: every URL in the observed link graph
+    schedules with priority >= base (150000 div 10000 = 15)."""
+    import os
+
+    from datetime import datetime, timezone
+
+    from risjbot_spark.corpus import pages_df, url_for
+
+    corpus = pages_df(spark, 120, partitions=4)
+    eng = _lr_engine(spark, corpus, str(tmp_path / "wh"))
+    seeds = spark.createDataFrame(
+        [(url_for(i), 0) for i in range(0, 40, 4)],
+        "url string, priority int")
+    eng.run(seeds, rounds=2,
+            start_ts=datetime(2017, 4, 1, tzinfo=timezone.utc),
+            round_gap_secs=60)
+    assert os.path.exists(os.path.join(str(tmp_path / "wh"), "link_edges"))
+    assert os.path.exists(os.path.join(
+        str(tmp_path / "wh"), "link_ranks", "_SUCCESS"))
+    p0 = _round_priorities(eng, 0)
+    p1 = _round_priorities(eng, 1)
+    assert p0 and all(v == 0 for v in p0.values())  # no ranks yet
+    ranked = {u for u, v in p1.items() if v >= 15}
+    assert ranked, "no round-1 article carried link-graph authority"
+
+
+def test_engine_link_rank_deterministic_across_runs(spark, tmp_path):
+    """Fixed-point arithmetic end-to-end: two independent runs assign
+    identical (url, priority) in every round."""
+    from datetime import datetime, timezone
+
+    from risjbot_spark.corpus import pages_df, url_for
+
+    corpus = pages_df(spark, 120, partitions=4)
+    seeds = spark.createDataFrame(
+        [(url_for(i), 0) for i in range(0, 40, 4)],
+        "url string, priority int")
+    outs = []
+    for wh in ("whA", "whB"):
+        eng = _lr_engine(spark, corpus, str(tmp_path / wh))
+        eng.run(seeds, rounds=2,
+                start_ts=datetime(2017, 4, 1, tzinfo=timezone.utc),
+                round_gap_secs=60)
+        outs.append((_round_priorities(eng, 0), _round_priorities(eng, 1)))
+    assert outs[0] == outs[1]
+
+
+def test_engine_link_rank_explicit_pin_survives(spark, tmp_path):
+    """A spider's hand-assigned priority 100 ('fetch me now') is never
+    lowered by authority — greatest() semantics."""
+    from datetime import datetime, timezone
+
+    from risjbot_spark.corpus import pages_df, url_for
+    from risjbot_spark.urlnorm import canonicalize_py
+
+    corpus = pages_df(spark, 120, partitions=4)
+    eng = _lr_engine(spark, corpus, str(tmp_path / "whp"))
+    pinned = url_for(0)
+    seeds = spark.createDataFrame(
+        [(pinned, 100)] + [(url_for(i), 0) for i in range(4, 40, 4)],
+        "url string, priority int")
+    eng.run(seeds, rounds=2,
+            start_ts=datetime(2017, 4, 1, tzinfo=timezone.utc),
+            round_gap_secs=60)
+    p1 = _round_priorities(eng, 1)
+    key = canonicalize_py(pinned)
+    if key in p1:  # refetched in round 1
+        assert p1[key] >= 100
+
+
+def test_engine_link_rank_cadence_skips_refresh(spark, tmp_path):
+    """link_rank_every=3 with 2 rounds: edges accumulate but no rank
+    snapshot is written, and rounds schedule without authority."""
+    import os
+
+    from datetime import datetime, timezone
+
+    from risjbot_spark.corpus import pages_df, url_for
+
+    corpus = pages_df(spark, 80, partitions=4)
+    eng = _lr_engine(spark, corpus, str(tmp_path / "whc"),
+                     link_rank_every=3)
+    seeds = spark.createDataFrame(
+        [(url_for(i), 0) for i in range(0, 24, 4)],
+        "url string, priority int")
+    eng.run(seeds, rounds=2,
+            start_ts=datetime(2017, 4, 1, tzinfo=timezone.utc),
+            round_gap_secs=60)
+    assert os.path.exists(os.path.join(str(tmp_path / "whc"), "link_edges"))
+    assert not os.path.exists(os.path.join(
+        str(tmp_path / "whc"), "link_ranks", "_SUCCESS"))
+    p1 = _round_priorities(eng, 1)
+    assert p1 and all(v == 0 for v in p1.values())

@@ -501,6 +501,18 @@ def main() -> None:
           and "hashpartitioning(_id" not in ps,
           "search-side assignment shuffle-free too")
 
+    # --- link_rank: each PageRank iteration truncates lineage (the same
+    # idiom as dedup_clusters' CC loop) — the final plan reads the
+    # checkpointed ranks RDD instead of a 3×-nested join tree, and every
+    # join in the final assembly is key-equi, never all-pairs
+    p = plan_of(QUERIES["link_rank"](spark, SF))
+    sections.append(("link_rank (fixed-point PageRank)", p))
+    check("link_rank", "Scan ExistingRDD" in p,
+          "per-iteration lineage truncated (ranks read from checkpoint)")
+    check("link_rank", "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p,
+          "rank joins are key-equi, never all-pairs")
+
     ok = all(c[1] for c in checks)
     lines = ["# PLANS — physical-plan audit\n",
              f"Generated by tools/explain_plans.py at sf dir `{SF}`.\n",
