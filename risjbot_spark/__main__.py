@@ -59,6 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a shuffle-join fetch instead of "
                         "broadcasting the frontier (pair with a bucketed "
                         "pages table); default: auto by frontier rows")
+    c.add_argument("--link-rank", action="store_true",
+                   help="prioritize the frontier by link-graph authority: "
+                        "fixed-point PageRank over committed outlinks, "
+                        "merged into priority (explicit pins still win)")
+    c.add_argument("--link-rank-every", type=int, default=1,
+                   help="rank-refresh cadence in rounds (with --link-rank)")
+    c.add_argument("--link-rank-iters", type=int, default=3,
+                   help="PageRank iterations per refresh (with --link-rank)")
     c.add_argument("--no-bucket-seen", action="store_true",
                    help="compact the seen base flat instead of bucketed "
                         "by url_hash")
@@ -286,6 +294,9 @@ def main(argv=None, spark=None) -> int:
         default_budget=args.budget,
         num_partitions=eff_partitions,
         follow_links=args.follow_links,
+        link_rank=args.link_rank,
+        link_rank_every=args.link_rank_every,
+        link_rank_iterations=args.link_rank_iters,
         robots_scale_path=args.robots_scale_path,
         broadcast_frontier=(None if args.no_broadcast_frontier is None
                             else not args.no_broadcast_frontier),

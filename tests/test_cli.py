@@ -204,3 +204,27 @@ def test_cli_stats(spark, tmp_path, capsys):
     rc = main(["stats", "--input", inp], spark=spark)
     assert rc == 0
     assert "n_docs=3" in capsys.readouterr().out
+
+
+def test_cli_link_rank_flags(spark, tmp_path):
+    """--link-rank reaches the config and produces the warehouse rank
+    state over a two-round link-following crawl."""
+    import os
+
+    from risjbot_spark.__main__ import main as cli_main
+
+    pages_path = str(tmp_path / "pagesLR")
+    pages_df(spark, 60, partitions=2).write.parquet(pages_path)
+    urls = [r["url"] for r in spark.read.parquet(pages_path)
+            .select("url").collect()]
+    seeds_path = tmp_path / "seedsLR.txt"
+    seeds_path.write_text("\n".join(urls[:12]) + "\n")
+    wh = str(tmp_path / "whLR")
+    rc = cli_main([
+        "crawl", "--pages", pages_path, "--seeds", str(seeds_path),
+        "--warehouse", wh, "--rounds", "2", "--partitions", "4",
+        "--follow-links", "--link-rank", "--link-rank-iters", "2",
+    ], spark=spark)
+    assert rc == 0
+    assert os.path.exists(os.path.join(wh, "link_edges"))
+    assert os.path.exists(os.path.join(wh, "link_ranks", "_SUCCESS"))
