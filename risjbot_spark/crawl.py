@@ -1308,12 +1308,30 @@ class CrawlEngine:
          .write.mode("append").parquet(self._link_edges_dir))
         if (round_no + 1) % max(1, self.cfg.link_rank_every) != 0:
             return
-        edges = self.spark.read.parquet(self._link_edges_dir).distinct()
-        ranks = link_graph_ranks(
-            edges, iterations=self.cfg.link_rank_iterations,
-            num_partitions=self.cfg.num_partitions,
-            checkpoint_dir=self.cfg.link_rank_checkpoint_dir or None)
-        ranks.write.mode("overwrite").parquet(self._link_ranks_dir)
+        # materialize the distinct graph BEFORE anything writes: the
+        # compaction below overwrites the very directory this plan
+        # reads, so the blocks must exist first (persist is
+        # MEMORY_AND_DISK — evicted blocks spill, never recompute
+        # against the deleted files)
+        edges = (self.spark.read.parquet(self._link_edges_dir)
+                 .distinct().persist())
+        try:
+            edges.count()
+            ranks = link_graph_ranks(
+                edges, iterations=self.cfg.link_rank_iterations,
+                num_partitions=self.cfg.num_partitions,
+                checkpoint_dir=self.cfg.link_rank_checkpoint_dir or None)
+            ranks.write.mode("overwrite").parquet(self._link_ranks_dir)
+            # compact the edge log to the distinct graph: refetch rounds
+            # re-append the same (src,dst) pairs every cycle, so without
+            # this the log — and every refresh's scan+distinct — grows
+            # O(rounds × outlinks) on a crawl whose distinct graph is
+            # static. Same idiom as the seen table's trim-round
+            # compaction; a crash mid-overwrite at worst loses edges
+            # already folded into the committed ranks snapshot.
+            edges.write.mode("overwrite").parquet(self._link_edges_dir)
+        finally:
+            edges.unpersist()
 
     # ------------------------------------------------------------------
     def export_jsonl(self, path: str, strip_raw_page: bool = True) -> None:

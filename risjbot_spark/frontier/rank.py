@@ -98,6 +98,12 @@ def link_graph_ranks(edges: DataFrame, *, src: str = "src",
     every operation is exact, so the result is independent of
     partitioning and parallelism (asserted in tests by re-running at a
     different layout)."""
+    if iterations < 1:
+        # 0 iterations would return the uniform initial mass for every
+        # node — prioritize_frontier would then map EVERY linked URL to
+        # priority scale/unit (= the reference's maximum hand-pin level),
+        # silently destroying pin precedence. Refuse instead.
+        raise ValueError(f"iterations must be >= 1 (got {iterations})")
     spark = edges.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -123,30 +129,36 @@ def link_graph_ranks(edges: DataFrame, *, src: str = "src",
 
     base = ((damping_den - damping_num) * scale) // damping_den
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
-    for _ in range(iterations):
-        share = (
-            ranks.join(outdeg, F.col("node") == F.col("deg_src"))
-            .select(F.col("deg_src").alias("src"),
-                    F.expr("rank div deg").cast("long").alias("share"))
-        )
-        contrib = (
-            e.join(share, "src")
-            .groupBy("dst").agg(F.sum("share").alias("inflow"))
-            .select(F.col("dst").alias("in_dst"), "inflow")
-        )
-        ranks = _truncate(
-            nodes.join(contrib, F.col("node") == F.col("in_dst"), "left")
-            .select(
-                "node",
-                (F.lit(base) + F.expr(
-                    f"({damping_num} * coalesce(inflow, 0L)) "
-                    f"div {damping_den}")).cast("long").alias("rank"),
+    try:
+        for _ in range(iterations):
+            share = (
+                ranks.join(outdeg, F.col("node") == F.col("deg_src"))
+                .select(F.col("deg_src").alias("src"),
+                        F.expr("rank div deg").cast("long").alias("share"))
             )
-        )
-    # the persisted inputs are only needed while iterating; release the
-    # executor memory before handing the (checkpoint-backed) result out
-    for df in (e, outdeg, nodes):
-        df.unpersist()
+            contrib = (
+                e.join(share, "src")
+                .groupBy("dst").agg(F.sum("share").alias("inflow"))
+                .select(F.col("dst").alias("in_dst"), "inflow")
+            )
+            ranks = _truncate(
+                nodes.join(contrib, F.col("node") == F.col("in_dst"),
+                           "left")
+                .select(
+                    "node",
+                    (F.lit(base) + F.expr(
+                        f"({damping_num} * coalesce(inflow, 0L)) "
+                        f"div {damping_den}")).cast("long").alias("rank"),
+                )
+            )
+    finally:
+        # the persisted inputs are only needed while iterating; release
+        # the executor memory before handing the (checkpoint-backed)
+        # result out — ALSO on a failing iteration, or a long-lived
+        # engine session leaks the cached edge list (the largest
+        # structure in the job) every failed refresh
+        for df in (e, outdeg, nodes):
+            df.unpersist()
     return ranks
 
 
@@ -156,21 +168,35 @@ def prioritize_frontier(frontier: DataFrame, ranks: DataFrame, *,
                         unit: int = 10_000) -> DataFrame:
     """Merge link-graph ranks into frontier priorities.
 
-    priority' = greatest(existing priority, rank div unit): explicit
-    spider priorities (the reference's 100-level "fetch me now" pins)
-    still win, while unpinned URLs get ordered by authority. `unit`
-    converts fixed-point rank mass into the scheduler's int scale —
-    the default maps one initial-page-mass (1e6) to priority 100,
-    the reference's highest hand-assigned level. Frontier URLs absent
-    from the graph keep their existing priority (left join)."""
-    r = ranks.select(F.col("node"),
-                     F.expr(f"rank div {unit}").cast("int").alias("_rp"))
+    For URLs in the graph, priority' = greatest(existing priority,
+    rank div unit): explicit spider priorities (the reference's
+    100-level "fetch me now" pins) still win, while unpinned URLs get
+    ordered by authority. `unit` converts fixed-point rank mass into
+    the scheduler's int scale — the default maps one initial-page-mass
+    (1e6) to priority 100, the reference's highest hand-assigned level.
+    Frontier URLs absent from the graph keep their existing priority
+    UNTOUCHED — including negative deprioritization pins and NULLs
+    (the left join's _rp is null, and the when() below never fires).
+
+    The merged priority is clamped to int32 max: a mega-hub's rank can
+    exceed 2^31×unit (~2.5e7 in-links at the defaults), and under
+    Spark 4's default ANSI mode an unclamped bigint→int cast would
+    throw CAST_OVERFLOW on exactly the most authoritative node —
+    killing every frontier assembly after the refresh that first
+    crossed the line."""
+    r = ranks.select(
+        F.col("node"),
+        F.least(F.expr(f"rank div {unit}"),
+                F.lit(2147483647).cast("long")).cast("int").alias("_rp"))
     out = (
         frontier.join(r, frontier[url_col] == r["node"], "left")
         .withColumn(
             priority_col,
-            F.greatest(F.coalesce(F.col(priority_col), F.lit(0)),
-                       F.coalesce(F.col("_rp"), F.lit(0))))
+            F.when(
+                F.col("_rp").isNotNull(),
+                F.greatest(F.coalesce(F.col(priority_col), F.lit(0)),
+                           F.col("_rp")),
+            ).otherwise(F.col(priority_col)))
         .drop("node", "_rp")
     )
     return out

@@ -208,13 +208,17 @@ def test_engine_link_rank_explicit_pin_survives(spark, tmp_path):
     seeds = spark.createDataFrame(
         [(pinned, 100)] + [(url_for(i), 0) for i in range(4, 40, 4)],
         "url string, priority int")
+    # round gap == refetchsecs so the round-0 fetch is refetch-eligible
+    # in round 1 — the pinned URL MUST appear in round 1 or the pin
+    # assertion is vacuous (a `if key in p1` guard here let a
+    # pin-lowering regression pass silently)
     eng.run(seeds, rounds=2,
             start_ts=datetime(2017, 4, 1, tzinfo=timezone.utc),
-            round_gap_secs=60)
+            round_gap_secs=3600)
     p1 = _round_priorities(eng, 1)
     key = canonicalize_py(pinned)
-    if key in p1:  # refetched in round 1
-        assert p1[key] >= 100
+    assert key in p1, "pinned URL missing from round 1 — test is vacuous"
+    assert p1[key] >= 100
 
 
 def test_engine_link_rank_cadence_skips_refresh(spark, tmp_path):
@@ -240,3 +244,68 @@ def test_engine_link_rank_cadence_skips_refresh(spark, tmp_path):
         str(tmp_path / "whc"), "link_ranks", "_SUCCESS"))
     p1 = _round_priorities(eng, 1)
     assert p1 and all(v == 0 for v in p1.values())
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+# ---------------------------------------------------------------------------
+
+def test_prioritize_clamps_mega_hub_to_int32(spark):
+    """A hub whose rank exceeds 2^31×unit must clamp, not throw
+    CAST_OVERFLOW under Spark 4's default ANSI mode (and not wrap
+    negative without it)."""
+    ranks = spark.createDataFrame(
+        [("hub", 2**31 * 10_000 + 123), ("leaf", 150_000)],
+        "node string, rank long")
+    frontier = spark.createDataFrame(
+        [("hub", 0), ("leaf", 0)], "url_canon string, priority int")
+    got = {r["url_canon"]: r["priority"]
+           for r in prioritize_frontier(frontier, ranks).collect()}
+    assert got["hub"] == 2**31 - 1
+    assert got["leaf"] == 15
+
+
+def test_prioritize_keeps_negative_priority_outside_graph(spark):
+    """A deliberately deprioritized URL (negative pin) absent from the
+    link graph keeps its negative priority — the merge must not
+    coalesce it up to 0."""
+    e = _edges(spark, [("a", "b")])
+    ranks = link_graph_ranks(e, iterations=1)
+    frontier = spark.createDataFrame(
+        [("buried", -10), ("b", -10)], "url_canon string, priority int")
+    got = {r["url_canon"]: r["priority"]
+           for r in prioritize_frontier(frontier, ranks).collect()}
+    assert got["buried"] == -10           # not in graph → untouched
+    assert got["b"] >= 15                 # in graph → authority wins
+
+
+def test_zero_iterations_rejected(spark):
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError, match="iterations"):
+        link_graph_ranks(e, iterations=0)
+
+
+def test_engine_compacts_edge_log_on_refresh(spark, tmp_path):
+    """Refetch rounds re-append identical edges; the refresh must fold
+    the log back to the distinct graph so it stays O(distinct edges),
+    and the post-compaction log must still produce the same ranks."""
+    import os
+
+    from datetime import datetime, timezone
+
+    from risjbot_spark.corpus import pages_df, url_for
+
+    corpus = pages_df(spark, 80, partitions=4)
+    eng = _lr_engine(spark, corpus, str(tmp_path / "whcomp"))
+    seeds = spark.createDataFrame(
+        [(url_for(i), 0) for i in range(0, 24, 4)],
+        "url string, priority int")
+    # gap == refetchsecs → every round refetches everything and would
+    # re-append the full edge set each time without compaction
+    eng.run(seeds, rounds=3,
+            start_ts=datetime(2017, 4, 1, tzinfo=timezone.utc),
+            round_gap_secs=3600)
+    log_dir = os.path.join(str(tmp_path / "whcomp"), "link_edges")
+    log = spark.read.parquet(log_dir)
+    assert log.count() == log.distinct().count(), \
+        "edge log carries duplicate rows after a compacting refresh"
