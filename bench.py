@@ -192,6 +192,7 @@ def main() -> None:
     bench_queries = [] if not run_suite else [
         "tpch_pricing", "region_revenue", "brand_supplier_revenue",
         "politeness_window", "customer_top_order", "sessionize",
+        "link_rank",
         "exact_dedup", "minhash_signature", "lsh_dup_pairs",
         "ngram_jaccard_pairs", "dedup_clusters", "incremental_dedup",
         "simhash_dup_pairs", "embedding_near_dup",
