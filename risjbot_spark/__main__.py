@@ -70,7 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--no-bucket-seen", action="store_true",
                    help="compact the seen base flat instead of bucketed "
                         "by url_hash")
-    c.add_argument("--bloom-backend", choices=["driver", "table", "auto"],
+    c.add_argument("--bloom-backend",
+                   choices=["driver", "table", "cuckoo", "auto"],
                    default="auto",
                    help="'table' keeps bloom bitmaps as a bucket-keyed "
                         "parquet table built/probed distributed (the "

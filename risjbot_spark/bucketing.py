@@ -54,6 +54,27 @@ def write_bucketed_pages(pages: DataFrame, table: str,
     )
 
 
+def register_bucketed_pages(spark: SparkSession, table: str,
+                            location: str, buckets: int = 64) -> None:
+    """Re-declare an EXISTING bucketed-pages directory as a catalog
+    table — the session catalog is in-memory, so a new process loses
+    the registration while the (possibly hundreds-of-GB) bucket files
+    survive on disk. Spark's datasource bucketing encodes the bucket id
+    in each file name (`..._00042.c000`), so an external CLUSTERED BY
+    declaration over the same location restores the full bucket spec:
+    the fetch join plans its single frontier-side Exchange exactly as
+    if this process had written the table (plan-asserted in tests).
+    The declaration must match the writer (write_bucketed_pages):
+    page_url bucket+sort column, same bucket count."""
+    df = spark.read.parquet(location)
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in df.schema.fields)
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING PARQUET "
+        f"CLUSTERED BY (page_url) SORTED BY (page_url) "
+        f"INTO {buckets} BUCKETS LOCATION '{location}'")
+
+
 def read_bucketed_pages(spark: SparkSession, table: str) -> DataFrame:
     """The bucketed pages view for CrawlEngine(pages=...): reading via
     the catalog preserves the bucket spec, so the engine's fetch join

@@ -102,11 +102,21 @@ class CrawlConfig:
     #   table, built/merged/probed distributed; the 10^10-key path (the
     #   driver holds only n_buckets/m/n_keys). Output-identical
     #   (parity-tested); per-round cost adds one small Spark job.
+    # "cuckoo": PartitionedCuckoo (frontier/cuckoo.py) — the north_star's
+    #   literal filter: driver-resident fingerprint tables that support
+    #   DELETION, so trim rounds remove trimmed keys from the filter
+    #   exactly instead of leaving false-positive fodder until a
+    #   rebuild. Explicit opt-in only (auto picks driver/table); size
+    #   cuckoo_slots_per_bucket for the expected live keys.
     # "auto": driver below driver_bloom_max_keys expected keys, table at
     #   or above it; a driver-backed warehouse that outgrows the budget
     #   is promoted to the table backend at the next engine construction
     #   (rebuild from the seen snapshot — durable, one-time).
     bloom_backend: str = "auto"
+    # cuckoo geometry: slots/shard (power of two; ×4 16-bit lanes each).
+    # Capacity ≈ n_buckets × slots × 4 × 0.84 live keys before the
+    # overfull() grow-4× rebuild.
+    cuckoo_slots_per_bucket: int = 1 << 13
     # partition-aligned bloom probe (bucket-shipped bitmaps via cogroup)
     # instead of broadcasting the whole filter — for when the filter
     # outgrows what executors can hold broadcast (the table backend
@@ -370,6 +380,26 @@ class CrawlEngine:
                         self.bloom.rebuild_from(
                             self.seen().select("url_hash"))
                         self._write_bloom_marker()
+            elif self.bloom_backend == "cuckoo":
+                from .frontier.cuckoo import PartitionedCuckoo
+
+                loaded = PartitionedCuckoo.load(self._bloom_dir)
+                self.bloom = loaded
+                if (self.bloom is not None
+                        and self._bloom_marker() != (cur, "cuckoo")):
+                    self.bloom = None
+                if self.bloom is None:
+                    # a stale checkpoint's grown geometry is still the
+                    # right geometry (same rationale as the bloom reload)
+                    nb = (loaded.n_buckets if loaded
+                          else self.cfg.bloom_buckets)
+                    slots = (loaded.slots if loaded
+                             else self.cfg.cuckoo_slots_per_bucket)
+                    if cur is not None:
+                        self.bloom = PartitionedCuckoo.from_seen(
+                            self.seen().select("url_hash"), nb, slots)
+                    else:
+                        self.bloom = PartitionedCuckoo(nb, slots)
             else:
                 loaded = (self._preloaded_bloom
                           if isinstance(self._preloaded_bloom,
@@ -575,12 +605,15 @@ class CrawlEngine:
                 "why": "explicit"}
             return self.cfg.bloom_aligned_probe
         bitmaps = getattr(self.bloom, "bitmaps", None)
-        if bitmaps is None:            # table backend: split IS aligned
+        tables = getattr(self.bloom, "tables", None)
+        if bitmaps is None and tables is None:
+            # table backend: split IS aligned
             val, why = False, "table backend probes aligned by design"
         else:
-            bm_bytes = len(bitmaps) * (self.bloom.m // 8)
+            shards = bitmaps if bitmaps is not None else tables
+            bm_bytes = len(shards) * (self.bloom.m // 8)
             val = bm_bytes > self.cfg.bloom_broadcast_max_bytes
-            why = (f"driver bitmaps ≈ {bm_bytes} B vs broadcast budget "
+            why = (f"driver filter ≈ {bm_bytes} B vs broadcast budget "
                    f"{self.cfg.bloom_broadcast_max_bytes}")
         self.backend_choices["bloom_aligned_probe"] = {
             "value": val, "auto": True, "why": why}
@@ -1169,6 +1202,7 @@ class CrawlEngine:
         # keep-forever), not a ZeroDivisionError
         compact = (cfg.trim_every > 0 and round_no > 0
                    and round_no % cfg.trim_every == 0)
+        trimmed_keys_df = None   # set on cuckoo-backend trim rounds
         if compact:
             if parts is not None:
                 # split-form MERGE: this round's resolved updates are
@@ -1198,8 +1232,20 @@ class CrawlEngine:
                 # pipeline recompute, and the protected set is exactly
                 # what this round requested even if the frontier
                 # assembly reads state the round has since committed.
-                new_seen = trim_seen(
-                    new_seen, requested_keys, cfg.refetch, round_ts)
+                if (self.bloom is not None
+                        and self.bloom_backend == "cuckoo"):
+                    # the cuckoo backend DELETES trimmed keys from the
+                    # filter (the capability the blooms lack) — keep the
+                    # deleted-key plan; it is collected after the seen
+                    # commit (its inputs are snapshot files that the
+                    # replace-commit does not remove)
+                    from .frontier.state import trim_seen_with_deletes
+
+                    new_seen, trimmed_keys_df = trim_seen_with_deletes(
+                        new_seen, requested_keys, cfg.refetch, round_ts)
+                else:
+                    new_seen = trim_seen(
+                        new_seen, requested_keys, cfg.refetch, round_ts)
             # base partitions by last-fetch day (the pruned trawl skips
             # day directories outside its window — SURVEY §4) and, on
             # the bucketed path, clusters by url_hash so next rounds'
@@ -1234,8 +1280,23 @@ class CrawlEngine:
         _mark("seen_merge_commit")
         if self.bloom is not None:
             # incremental, this round's keys only; small rounds update on
-            # the driver (no extra Spark job)
-            self.bloom.add_df(fetched_keys, driver_threshold=2_000_000)
+            # the driver (no extra Spark job). The cuckoo backend adds
+            # FIRST-fetch keys only: refetched keys are already in the
+            # filter, and the exactly-once insert discipline is what
+            # makes its deletions safe (frontier/cuckoo.py).
+            if self.bloom_backend == "cuckoo":
+                self.bloom.add_df(
+                    fetched_keys.filter(F.col("previousfetches") == 0))
+                if trimmed_keys_df is not None:
+                    import numpy as _np
+
+                    tk = _np.array(
+                        [r["url_hash"] for r in trimmed_keys_df.collect()],
+                        dtype="int64")
+                    if len(tk):
+                        self.bloom.delete_local(tk)
+            else:
+                self.bloom.add_df(fetched_keys, driver_threshold=2_000_000)
             if (cfg.bloom_backend == "auto"
                     and self.bloom_backend == "driver"
                     and self.bloom.n_keys > cfg.driver_bloom_max_keys):
@@ -1269,6 +1330,12 @@ class CrawlEngine:
                     self.bloom.rebuild_from(
                         self.seen().select("url_hash"),
                         bits_per_bucket=self.bloom.m * 4)
+                elif self.bloom_backend == "cuckoo":
+                    from .frontier.cuckoo import PartitionedCuckoo
+
+                    self.bloom = PartitionedCuckoo.from_seen(
+                        self.seen().select("url_hash"),
+                        self.bloom.n_buckets, self.bloom.slots * 4)
                 else:
                     self.bloom = PartitionedBloom.from_seen(
                         self.seen(), self.bloom.n_buckets, self.bloom.m * 4)

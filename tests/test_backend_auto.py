@@ -138,7 +138,7 @@ def test_aligned_probe_flips_on_bitmap_bytes(spark, tmp_path):
     eng.run_round(seeds, 1, T0 + timedelta(seconds=1))
     ch = eng.backend_choices["bloom_aligned_probe"]
     assert ch["value"] is True and ch["auto"] is True
-    assert "driver bitmaps" in ch["why"]
+    assert "driver filter" in ch["why"]
     assert eng.articles_table.read().count() == 30
 
 

@@ -72,3 +72,45 @@ def test_bucketed_engine_output_matches_broadcast_path(spark, bucketed_table,
         }
     assert outs["bucketed"] == outs["broadcast"]
     assert len(outs["bucketed"]) > 0
+
+
+def test_register_bucketed_pages_restores_bucket_spec(spark, bucketed_table,
+                                                      tmp_path):
+    """A new process loses the in-memory catalog but keeps the bucket
+    files; register_bucketed_pages over the surviving directory must
+    restore the bucket spec — same single-Exchange SMJ plan, same rows
+    — without rewriting anything."""
+    import shutil
+
+    from risjbot_spark.bucketing import register_bucketed_pages
+
+    src_loc = spark.sql(f"DESCRIBE TABLE EXTENDED {bucketed_table}") \
+        .filter("col_name = 'Location'").collect()[0]["data_type"] \
+        .removeprefix("file:")
+    copy = str(tmp_path / "pages_copy")
+    shutil.copytree(src_loc, copy)
+    register_bucketed_pages(spark, "bkt.pages_re", copy, buckets=8)
+    try:
+        orig = read_bucketed_pages(spark, bucketed_table)
+        re = read_bucketed_pages(spark, "bkt.pages_re")
+        assert re.count() == orig.count() == 80
+        fr = (with_canonical(pages_df(spark, 80, partitions=4)
+                             .select("url"))
+              .select("url_canon", "url_hash", "host"))
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            j = re.select("page_url", "warc_ts", "html").join(
+                fr, F.col("page_url") == fr.url_canon, "inner")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           old_thresh)
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        # external table: DROP removes only the catalog entry
+        spark.sql("DROP TABLE IF EXISTS bkt.pages_re")

@@ -87,6 +87,17 @@ def main() -> None:
             .write.mode("overwrite").parquet(pages_path)
 
     table = f"sp_pages_{N_PAGES}_{BUCKETS}"
+    if not spark.catalog.tableExists(table):
+        # a previous process's COMPLETED bucket files are reusable: the
+        # in-memory catalog forgot them, but re-declaring the location
+        # (register_bucketed_pages) restores the bucket spec without
+        # rebuilding tens of GB
+        prev = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            table.lower())
+        if os.path.exists(os.path.join(prev, "_SUCCESS")):
+            from risjbot_spark.bucketing import register_bucketed_pages
+            register_bucketed_pages(spark, table, prev, buckets=BUCKETS)
     if not spark.catalog.tableExists(table) \
             or spark.table(table).count() != N_PAGES:
         # the catalog is in-memory (fresh per process) but the warehouse
