@@ -76,8 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'table' keeps bloom bitmaps as a bucket-keyed "
                         "parquet table built/probed distributed (the "
                         "10^10-key path); 'driver' broadcasts them; "
-                        "'auto' (default) picks by key count vs the "
-                        "driver budget")
+                        "'cuckoo' uses a partitioned cuckoo filter that "
+                        "supports DELETION (trim rounds remove trimmed "
+                        "keys from the filter exactly; opt-in, sized by "
+                        "cuckoo_slots_per_bucket); 'auto' (default) "
+                        "picks driver/table by key count vs the driver "
+                        "budget")
     c.add_argument("--comments-host", default="",
                    help="chase viafoura comment threads for pages on "
                         "this host (e.g. liverpoolecho.co.uk) via the "

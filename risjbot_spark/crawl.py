@@ -396,6 +396,13 @@ class CrawlEngine:
                     slots = (loaded.slots if loaded
                              else self.cfg.cuckoo_slots_per_bucket)
                     if cur is not None:
+                        # size to the keys about to be inserted (the
+                        # table branch's _bloom_bits_for rationale): a
+                        # default-geometry build over a big existing
+                        # seen table would stash millions of keys on
+                        # the driver and burn grow-4× rebuilds
+                        n = self.seen().count()
+                        slots = self._cuckoo_slots_for(n, nb, slots)
                         self.bloom = PartitionedCuckoo.from_seen(
                             self.seen().select("url_hash"), nb, slots)
                     else:
@@ -569,6 +576,16 @@ class CrawlEngine:
         while m < need:
             m *= 4
         return m
+
+    def _cuckoo_slots_for(self, n_keys: int, n_buckets: int,
+                          floor_slots: int) -> int:
+        """slots/shard sized so n_keys fit under the 0.84 overfull load
+        (4 lanes per slot), power-of-two, floored at the configured or
+        checkpointed geometry — the cuckoo twin of _bloom_bits_for."""
+        slots = floor_slots
+        while n_buckets * slots * 4 * 0.84 < n_keys:
+            slots *= 4
+        return slots
 
     def _resolve_broadcast_frontier(self) -> bool:
         """Per-round broadcast-vs-SMJ choice for the fetch join when
@@ -1202,7 +1219,8 @@ class CrawlEngine:
         # keep-forever), not a ZeroDivisionError
         compact = (cfg.trim_every > 0 and round_no > 0
                    and round_no % cfg.trim_every == 0)
-        trimmed_keys_df = None   # set on cuckoo-backend trim rounds
+        trimmed_keys_df = None    # set on cuckoo-backend trim rounds
+        trimmed_keys_arr = None   # collected right after the commit
         if compact:
             if parts is not None:
                 # split-form MERGE: this round's resolved updates are
@@ -1261,6 +1279,18 @@ class CrawlEngine:
                 bucket_by="url_hash" if cfg.bucket_seen_base else None,
                 n_buckets=cfg.seen_buckets,
             )
+            if trimmed_keys_df is not None:
+                # cuckoo backend: pull the trimmed keys NOW — after the
+                # commit (the replace leaves prior snapshot files on
+                # disk) but BEFORE expire_snapshots below physically
+                # deletes the pre-compaction files this plan reads
+                # (expire_keep_last=1 made a post-expire collect throw
+                # FileNotFound on every trim round)
+                import numpy as _np
+
+                trimmed_keys_arr = _np.array(
+                    [r["url_hash"] for r in trimmed_keys_df.collect()],
+                    dtype="int64")
             if cfg.expire_keep_last > 0:
                 # maintenance rides the compaction commit: pre-compaction
                 # delta snapshots age out once K newer ones exist
@@ -1287,14 +1317,8 @@ class CrawlEngine:
             if self.bloom_backend == "cuckoo":
                 self.bloom.add_df(
                     fetched_keys.filter(F.col("previousfetches") == 0))
-                if trimmed_keys_df is not None:
-                    import numpy as _np
-
-                    tk = _np.array(
-                        [r["url_hash"] for r in trimmed_keys_df.collect()],
-                        dtype="int64")
-                    if len(tk):
-                        self.bloom.delete_local(tk)
+                if trimmed_keys_arr is not None and len(trimmed_keys_arr):
+                    self.bloom.delete_local(trimmed_keys_arr)
             else:
                 self.bloom.add_df(fetched_keys, driver_threshold=2_000_000)
             if (cfg.bloom_backend == "auto"

@@ -95,6 +95,24 @@ def _contains(table: np.ndarray, h: np.ndarray) -> np.ndarray:
     return hit
 
 
+def _probe_tables(tables: dict, stash: dict, h: np.ndarray,
+                  n_buckets: int) -> np.ndarray:
+    """Vectorized membership across shards + stash — the ONE probe body
+    behind _member_vec, split's pandas UDF and split_aligned (a probe
+    fix must not have three drift-prone copies)."""
+    out = np.zeros(len(h), dtype=bool)
+    buckets = np.mod(h, n_buckets)
+    for b in np.unique(buckets):
+        table = tables.get(int(b))
+        if table is None:
+            continue
+        idx = np.nonzero(buckets == b)[0]
+        out[idx] = _contains(table, h[idx])
+    if stash:
+        out |= np.isin(h, np.fromiter(stash.keys(), dtype=np.int64))
+    return out
+
+
 class PartitionedCuckoo:
     def __init__(self, n_buckets: int = 64, slots_per_bucket: int = 1 << 13):
         assert slots_per_bucket & (slots_per_bucket - 1) == 0, "power of two"
@@ -172,8 +190,12 @@ class PartitionedCuckoo:
         before and the caller can stash the new key without any other
         key losing membership."""
         slots = self.slots
-        i2 = i1 ^ int((np.uint64(fp) * np.uint64(0x9E3779B1))
-                      & np.uint64(slots - 1))
+
+        def alt(i: int, f: int) -> int:
+            return i ^ int(_fp_hash(np.array([f], dtype=np.uint16),
+                                    slots)[0])
+
+        i2 = alt(i1, fp)
         for idx in (i1, i2):
             row = table[idx]
             for lane in range(_ASSOC):
@@ -188,8 +210,7 @@ class PartitionedCuckoo:
             table[idx][lane] = cur
             trail.append((idx, lane, cur))
             cur = old
-            idx = idx ^ int((np.uint64(cur) * np.uint64(0x9E3779B1))
-                            & np.uint64(slots - 1))
+            idx = alt(idx, cur)
             row = table[idx]
             for ln in range(_ASSOC):
                 if row[ln] == 0:
@@ -212,11 +233,18 @@ class PartitionedCuckoo:
         inserted may be deleted (trim deletes rows that exist in the
         seen table) — deleting a never-inserted key could strip a
         colliding key's fingerprint and manufacture a false negative.
-        Returns the number of keys actually removed."""
+        Returns the number of keys actually removed.
+
+        fp/i1/i2 are batch-vectorized like add_local; only the
+        lane-clear itself is a Python step (it mutates one cell, and
+        two deletes may target the same row)."""
         self._invalidate_broadcast()
         h = np.asarray(hashes, dtype=np.int64)
         removed = 0
         buckets = np.mod(h, self.n_buckets)
+        fps = _fingerprints(h)
+        i1s = _row1(h, self.slots)
+        i2s = i1s ^ _fp_hash(fps, self.slots)
         for j in range(len(h)):
             key = int(h[j])
             if key in self.stash:
@@ -229,13 +257,9 @@ class PartitionedCuckoo:
             table = self.tables.get(int(buckets[j]))
             if table is None:
                 continue
-            arr = np.array([key], dtype=np.int64)
-            fp = int(_fingerprints(arr)[0])
-            i1 = int(_row1(arr, self.slots)[0])
-            i2 = i1 ^ int((np.uint64(fp) * np.uint64(0x9E3779B1))
-                          & np.uint64(self.slots - 1))
+            fp = int(fps[j])
             done = False
-            for idx in (i1, i2):
+            for idx in (int(i1s[j]), int(i2s[j])):
                 row = table[idx]
                 for lane in range(_ASSOC):
                     if row[lane] == fp:
@@ -263,41 +287,21 @@ class PartitionedCuckoo:
 
     # -- probe ------------------------------------------------------------
     def _member_vec(self, maps, stash, h: np.ndarray) -> np.ndarray:
-        out = np.zeros(len(h), dtype=bool)
-        buckets = np.mod(h, self.n_buckets)
-        for b in np.unique(buckets):
-            table = maps.get(int(b))
-            if table is None:
-                continue
-            idx = np.nonzero(buckets == b)[0]
-            out[idx] = _contains(table, h[idx])
-        if stash:
-            out |= np.isin(h, np.fromiter(stash.keys(), dtype=np.int64))
-        return out
+        return _probe_tables(maps, stash, h, self.n_buckets)
 
     def split(self, frontier: DataFrame, spark) -> tuple[DataFrame, DataFrame]:
         """→ (maybe_seen, definite_new); empty filter ⇒ everything new.
         Same contract as PartitionedBloom.split."""
         if not self.tables and not self.stash:
             return frontier.limit(0), frontier
-        nb, slots = self.n_buckets, self.slots
+        nb = self.n_buckets
         bc = self._broadcast(spark)
 
         @F.pandas_udf(T.BooleanType())
         def maybe_seen(url_hash: pd.Series) -> pd.Series:
             maps, stash = bc.value
-            h = url_hash.to_numpy()
-            out = np.zeros(len(h), dtype=bool)
-            buckets = np.mod(h, nb)
-            for b in np.unique(buckets):
-                table = maps.get(int(b))
-                if table is None:
-                    continue
-                idx = np.nonzero(buckets == b)[0]
-                out[idx] = _contains(table, h[idx])
-            if stash:
-                out |= np.isin(h, np.fromiter(stash.keys(), dtype=np.int64))
-            return pd.Series(out)
+            return pd.Series(
+                _probe_tables(maps, stash, url_hash.to_numpy(), nb))
 
         flagged = frontier.withColumn("_maybe", maybe_seen(F.col("url_hash")))
         return (flagged.filter(F.col("_maybe")).drop("_maybe"),

@@ -65,6 +65,17 @@ def test_rollback_on_full_preserves_membership():
     assert f._member_vec(f.tables, f.stash, ks).all()
 
 
+def test_delete_df_wraps_delete_local(spark):
+    f = PartitionedCuckoo(n_buckets=4, slots_per_bucket=1 << 8)
+    ks = _keys(400, seed=12)
+    f.add_local(ks)
+    df = spark.createDataFrame([(int(k),) for k in ks[:150]],
+                               "url_hash long")
+    assert f.delete_df(df) == 150
+    assert f.n_keys == 250
+    assert f._member_vec(f.tables, f.stash, ks[150:]).all()
+
+
 def test_save_load_roundtrip(tmp_path):
     f = PartitionedCuckoo(n_buckets=4, slots_per_bucket=1 << 8)
     ks = _keys(900, seed=5)
@@ -242,3 +253,34 @@ def test_engine_cuckoo_checkpoint_resume(spark, tmp_path):
     # second round via the resumed engine still works end-to-end
     e2.run(seeds, rounds=1, start_ts=start, round_gap_secs=3600)
     assert e2.articles_table.read().filter("round = 1").count() > 0
+
+
+def test_engine_cuckoo_trim_with_aggressive_expiry(spark, tmp_path):
+    """expire_keep_last=1 physically deletes pre-compaction snapshot
+    files right after the trim commit — the trimmed-key collect must
+    run BEFORE that (regression: a post-expire collect threw
+    FileNotFound on every trim round)."""
+    from datetime import datetime, timedelta, timezone
+
+    from risjbot_spark.corpus import pages_df, url_for
+    from risjbot_spark.crawl import CrawlConfig, CrawlEngine
+    from risjbot_spark.frontier.state import RefetchConfig
+
+    corpus = pages_df(spark, 60, partitions=4)
+    start = datetime(2017, 4, 1, tzinfo=timezone.utc)
+    cfg = CrawlConfig(
+        refetch=RefetchConfig(maxfetches=5, refetchsecs=3600,
+                              agelimit=4 * 3600, trimdb=True,
+                              refetchfromdb=False),
+        default_budget=1000, num_partitions=4, collect_lineage=False,
+        bloom_backend="cuckoo", trim_every=4, expire_keep_last=1)
+    eng = CrawlEngine(spark, str(tmp_path / "whx"), corpus, None, cfg)
+    seeds_a = spark.createDataFrame(
+        [(url_for(i), 0) for i in range(0, 20)], "url string, priority int")
+    seeds_b = spark.createDataFrame(
+        [(url_for(i), 0) for i in range(20, 40)], "url string, priority int")
+    eng.run_round(seeds_a, 0, start)
+    for r in range(1, 5):   # round 4 = trim + expire round
+        eng.run_round(seeds_b, r, start + timedelta(seconds=3600 * r))
+    n_seen = eng.seen().count()
+    assert eng.bloom.n_keys == n_seen   # filter tracks live keys

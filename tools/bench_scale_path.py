@@ -106,7 +106,13 @@ def main() -> None:
         leftover = os.path.join(
             spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
             table.lower())
-        if not spark.catalog.tableExists(table) and os.path.exists(leftover):
+        if spark.catalog.tableExists(table):
+            # a re-registered table that failed the count check above:
+            # drop the catalog entry too (an external-location table
+            # would otherwise make the overwrite saveAsTable collide
+            # with the still-populated location)
+            spark.sql(f"DROP TABLE {table}")
+        if os.path.exists(leftover):
             import shutil
             shutil.rmtree(leftover)
         # SPARK_GRAFT_SP_DIRECT=1: bucket-write straight from the
