@@ -204,6 +204,13 @@ class CrawlConfig:
     # this when your corpus has its own page_url with different
     # semantics.
     pages_precanonicalized: bool | None = None
+    # corpus-join dedup contract: the per-round survivor dedup exchanges
+    # the html-bearing join output (corpus-sized when a round fetches
+    # everything). True declares the pages table holds exactly ONE row
+    # per canonical URL (dedup happened at ingest — the production shape
+    # for a bucketed CC table), skipping that shuffle; output-identical
+    # under the guarantee. False (default) keeps the engine-side dedup.
+    pages_unique_per_url: bool = False
 
 
 class CrawlEngine:
@@ -1016,15 +1023,23 @@ class CrawlEngine:
             # deterministic survivor — newest warc_ts, content hash as
             # tiebreak (the reference fetches live: one response per
             # request). The dedup shuffles the JOIN OUTPUT, O(round
-            # keys), never the 100 TB pages side.
-            others = [c for c in fetched.columns
-                      if c not in ("url_hash", "_ord")]
-            fetched = (
-                fetched.withColumn(
-                    "_ord", F.struct(F.col("warc_ts"), F.md5("html")))
-                .groupBy("url_hash")
-                .agg(*[F.max_by(c, "_ord").alias(c) for c in others])
-            )
+            # keys), never the 100 TB pages side — but the rows carry
+            # the html payload, so at full-corpus rounds this exchange
+            # is corpus-sized. An ingest that already guarantees ONE
+            # row per canonical URL (dedup at ingest into the bucketed
+            # table — what a production CC pipeline does) can declare
+            # it with pages_unique_per_url=True and skip the shuffle
+            # entirely; output-identical under the guarantee
+            # (parity-tested).
+            if not cfg.pages_unique_per_url:
+                others = [c for c in fetched.columns
+                          if c not in ("url_hash", "_ord")]
+                fetched = (
+                    fetched.withColumn(
+                        "_ord", F.struct(F.col("warc_ts"), F.md5("html")))
+                    .groupBy("url_hash")
+                    .agg(*[F.max_by(c, "_ord").alias(c) for c in others])
+                )
             # corpus-join mode skips the salted shuffle unless asked
             # (salt>0) — it would only move the html payload
             if cfg.salt > 0:

@@ -789,3 +789,27 @@ def test_pages_precanonicalized_contract(spark, tmp_path):
                                    collect_lineage=False))
     eng2.run_round(seeds, 0, START)
     assert eng2.articles_table.read().count() == 0
+
+
+def test_pages_unique_per_url_skips_dedup_identically(spark, corpus,
+                                                      tmp_path):
+    """pages_unique_per_url=True (the dedup-at-ingest contract) must be
+    output-identical to the default engine-side dedup when the corpus
+    really is one row per canonical URL — and its fetch plan must not
+    contain the html-bearing url_hash exchange."""
+    seeds = spark.createDataFrame(
+        [(url_for(i), 0) for i in range(0, 80, 2)],
+        "url string, priority int")
+    outs = {}
+    for name, flag in (("dedup", False), ("unique", True)):
+        cfg = CrawlConfig(refetch=RefetchConfig(), default_budget=1000,
+                          num_partitions=4, collect_lineage=False,
+                          pages_unique_per_url=flag)
+        eng = CrawlEngine(spark, str(tmp_path / f"wh_{name}"), corpus,
+                          None, cfg)
+        eng.run(seeds, rounds=2, start_ts=START, round_gap_secs=10800)
+        outs[name] = {
+            (r["round"], r["url_canon"], r["headline"])
+            for r in eng.articles_table.read()
+            .select("round", "url_canon", "headline").collect()}
+    assert outs["dedup"] == outs["unique"] and outs["unique"]

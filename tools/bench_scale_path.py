@@ -151,13 +151,28 @@ def main() -> None:
             bloom_backend="table",       # distributed bitmaps
             broadcast_frontier=False,    # SMJ against the bucketed table
             bucket_seen_base=True,       # url_hash-bucketed seen compaction
+            # the generator emits exactly one row per URL and the
+            # bucketed ingest preserves that, so the engine can skip
+            # the corpus-sized html dedup exchange (the production
+            # dedup-at-ingest contract; parity-tested in test_crawl)
+            pages_unique_per_url=True,
         ),
     )
+    # SPARK_GRAFT_SP_PRUNE_ARTICLES=1: drop each committed round's
+    # article delta FILES after counting them — at 50M pages/round the
+    # accumulated deltas (~16 GB/round) are what stop fitting the
+    # sandbox disk alongside the 27 GB corpus. Counts accumulate
+    # driver-side first; the seen table (the crawl STATE) is untouched,
+    # and nothing in later bench rounds reads past article deltas
+    # (follow_links off). A real deployment keeps them in object
+    # storage.
+    prune_articles = os.environ.get("SPARK_GRAFT_SP_PRUNE_ARTICLES") == "1"
 
     start = datetime(2017, 4, 1, tzinfo=timezone.utc)
     timings, rss = {}, {}
     warm_best = None
     n_round0 = 0
+    pruned_total = 0
     for r in range(N_ROUNDS):
         t0 = time.monotonic()
         eng.run_round(seeds, r, start + timedelta(
@@ -170,8 +185,15 @@ def main() -> None:
             n_round0 = eng.articles_table.read().count()
         else:
             warm_best = dt if warm_best is None else min(warm_best, dt)
+        if prune_articles and r < N_ROUNDS - 1:
+            import shutil
+            delta = eng.last_delta_dir
+            pruned_total += spark.read.parquet(delta).count()
+            shutil.rmtree(delta, ignore_errors=True)
 
-    n_articles = eng.articles_table.read().count()
+    n_articles = (pruned_total + spark.read.parquet(
+        eng.last_delta_dir).count() if prune_articles
+        else eng.articles_table.read().count())
     out = {
         "metric": "scale_path_urls_per_sec_warm",
         "value": round(N_PAGES / warm_best, 1) if warm_best else None,
@@ -186,7 +208,8 @@ def main() -> None:
         "articles_total": n_articles,
         "cold_urls_per_sec": round(N_PAGES / timings["round_0"], 1),
         "config": "broadcast_frontier=False bloom_backend=table "
-                  "bucket_seen_base=True",
+                  "bucket_seen_base=True pages_unique_per_url=True"
+                  + (" prune_articles=True" if prune_articles else ""),
         "ts": datetime.now(timezone.utc).isoformat(),
     }
     line = json.dumps(out)
