@@ -1331,7 +1331,8 @@ class CrawlEngine:
             # makes its deletions safe (frontier/cuckoo.py).
             if self.bloom_backend == "cuckoo":
                 self.bloom.add_df(
-                    fetched_keys.filter(F.col("previousfetches") == 0))
+                    fetched_keys.filter(F.col("previousfetches") == 0),
+                    driver_threshold=2_000_000)
                 if trimmed_keys_arr is not None and len(trimmed_keys_arr):
                     self.bloom.delete_local(trimmed_keys_arr)
             else:
@@ -1405,7 +1406,20 @@ class CrawlEngine:
         iterates edge-sized shuffles only (frontier/rank.py scale
         notes). Runs after the seen commit: a crash here loses at most
         advisory priority signal, never crawl state."""
+        import shutil
+
         from .frontier.rank import link_graph_ranks, outlink_edges
+
+        # recover an interrupted compaction swap (below) before touching
+        # the log: a crash between the two renames leaves the old log
+        # parked at .trash with no live dir — restore it; a crash after
+        # the second rename leaves a redundant .trash — drop it
+        trash = self._link_edges_dir + ".trash"
+        if os.path.exists(trash):
+            if not os.path.exists(self._link_edges_dir):
+                os.rename(trash, self._link_edges_dir)
+            else:
+                shutil.rmtree(trash, ignore_errors=True)
 
         delta = self.spark.read.parquet(self.last_delta_dir)
         if "links" not in delta.columns:
@@ -1414,11 +1428,9 @@ class CrawlEngine:
          .write.mode("append").parquet(self._link_edges_dir))
         if (round_no + 1) % max(1, self.cfg.link_rank_every) != 0:
             return
-        # materialize the distinct graph BEFORE anything writes: the
-        # compaction below overwrites the very directory this plan
-        # reads, so the blocks must exist first (persist is
-        # MEMORY_AND_DISK — evicted blocks spill, never recompute
-        # against the deleted files)
+        # one distinct-graph materialization shared by the rank job and
+        # the compaction write (persist = compute once, spill not
+        # recompute)
         edges = (self.spark.read.parquet(self._link_edges_dir)
                  .distinct().persist())
         try:
@@ -1432,10 +1444,18 @@ class CrawlEngine:
             # re-append the same (src,dst) pairs every cycle, so without
             # this the log — and every refresh's scan+distinct — grows
             # O(rounds × outlinks) on a crawl whose distinct graph is
-            # static. Same idiom as the seen table's trim-round
-            # compaction; a crash mid-overwrite at worst loses edges
-            # already folded into the committed ranks snapshot.
-            edges.write.mode("overwrite").parquet(self._link_edges_dir)
+            # static. The compacted graph is written to a SIBLING temp
+            # dir and swapped in (the seen table's replace-commit
+            # idiom), never overwritten in place: an in-place overwrite
+            # deletes the source files this plan reads, and a lost
+            # executor's cache-block recompute against the deleted
+            # parquet would fail the job with the log truncated —
+            # permanently losing edges from pages never refetched.
+            tmp = self._link_edges_dir + ".compact.tmp"
+            edges.write.mode("overwrite").parquet(tmp)
+            os.rename(self._link_edges_dir, trash)
+            os.rename(tmp, self._link_edges_dir)
+            shutil.rmtree(trash, ignore_errors=True)
         finally:
             edges.unpersist()
 

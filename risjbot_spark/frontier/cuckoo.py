@@ -42,6 +42,20 @@ target load over 64 shards — the same footprint class as the default
 bloom). Partial-key cuckoo hashing: i2 = i1 XOR H(fp), so either
 candidate row is derivable from the other plus the stored fingerprint.
 
+Sizing guidance (when to pick cuckoo vs the blooms): the table-bloom
+backend is the 10^10-frontier default — the auto-selector never picks
+cuckoo; it is opt-in via bloom_backend="cuckoo". Choose cuckoo for
+TRIM-HEAVY workloads where deletion precision pays: long-running crawls
+whose trim rounds remove a meaningful share of the seen table between
+full rebuilds (with a bloom, every trimmed key lingers as a false
+positive until the next rebuild's full seen scan). Inserts above
+2M keys/round promote to a shard-parallel distributed delta build
+(add_df driver_threshold), so first-fetch-heavy rounds stay off the
+driver; deletes are exact and driver-side (trim deltas are small by
+construction — trim_every bounds them). If rounds are dominated by
+NEW-key discovery rather than trims, prefer the table bloom: its
+per-round cost is one bucketed merge with no eviction chains.
+
 Reference parity note: the reference keeps its seen set in sqlite
 (spmiddlewares/refetchcontrol.py) — no filter exists there to copy;
 this file implements the public cuckoo-filter construction on Spark
@@ -93,6 +107,31 @@ def _contains(table: np.ndarray, h: np.ndarray) -> np.ndarray:
     hit = (table[i1] == fp[:, None]).any(axis=1)
     hit |= (table[i2] == fp[:, None]).any(axis=1)
     return hit
+
+
+def _insert_shard(table: np.ndarray, pdf: pd.DataFrame, bucket: int,
+                  slots: int) -> pd.DataFrame:
+    """Executor-side shard build step shared by from_seen (fresh table)
+    and add_df's distributed delta path (copy of the live table):
+    insert every key of one bucket's pandas group into `table`,
+    stashing eviction-chain losers, and return the one-row
+    (bucket, table-bytes, stash-json, n) result frame."""
+    import json as _json
+
+    h = pdf["url_hash"].to_numpy()
+    fps = _fingerprints(h)
+    i1s = _row1(h, slots)
+    shard = PartitionedCuckoo(1, slots)    # reuse the rollback insert
+    stash: dict = {}
+    for j in range(len(h)):
+        if not shard._insert_one_safe(table, int(fps[j]), int(i1s[j])):
+            stash[int(h[j])] = stash.get(int(h[j]), 0) + 1
+    return pd.DataFrame({
+        "bucket": [bucket],
+        "table": [table.tobytes()],
+        "stash": [_json.dumps(stash)],
+        "n": [len(h)],
+    })
 
 
 def _probe_tables(tables: dict, stash: dict, h: np.ndarray,
@@ -274,12 +313,56 @@ class PartitionedCuckoo:
 
     def add_df(self, keys: DataFrame, driver_threshold: int = 0) -> None:
         """Insert url_hash keys from a DataFrame. Inserts are sequential
-        per shard (eviction chains mutate state), so keys are pulled to
-        the driver — per-round NEW-key deltas are small relative to the
-        table (the blooms' driver_threshold rationale). For bulk builds
-        use from_seen/rebuild, which parallelizes shard-per-task."""
+        per shard (eviction chains mutate state), so small deltas are
+        pulled to the driver and inserted locally — per-round NEW-key
+        deltas are usually small relative to the table (the blooms'
+        driver_threshold rationale).
+
+        Above `driver_threshold` keys (when set > 0) the insert promotes
+        to a distributed shard-delta build, mirroring
+        PartitionedBloom.add_df's promotion: the current shard tables
+        broadcast to the executors (64 shards × slots×4×2 B — ~4 MB at
+        the default geometry), one applyInPandas task per shard inserts
+        that shard's delta into a copy of its table, and the updated
+        (table, stash-delta) rows return to the driver. A 50M-URL
+        first-fetch round therefore never materializes its key set in
+        driver memory or runs a 50M-iteration driver loop."""
+        if driver_threshold and driver_threshold > 0:
+            n = keys.count()
+            if n > driver_threshold:
+                self._add_df_distributed(keys, n)
+                return
         pdf = keys.select("url_hash").toPandas()
         self.add_local(pdf["url_hash"].to_numpy())
+
+    def _add_df_distributed(self, keys: DataFrame, n: int) -> None:
+        self._invalidate_broadcast()
+        spark = keys.sparkSession
+        slots = self.slots
+        nb = self.n_buckets
+        tables_b = spark.sparkContext.broadcast(
+            {b: t.tobytes() for b, t in self.tables.items()})
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            b = int(pdf["bucket"].iloc[0])
+            raw = tables_b.value.get(b)
+            table = (np.frombuffer(raw, dtype=np.uint16)
+                     .reshape(slots, _ASSOC).copy()
+                     if raw is not None
+                     else np.zeros((slots, _ASSOC), dtype=np.uint16))
+            return _insert_shard(table, pdf, b, slots)
+
+        rows = (
+            keys.select(F.col("url_hash"),
+                        F.pmod(F.col("url_hash"),
+                               F.lit(nb)).alias("bucket"))
+            .groupBy("bucket")
+            .applyInPandas(
+                build, schema="bucket int, table binary, stash string, n long")
+            .collect()
+        )
+        self._absorb_shard_rows(rows)
+        tables_b.unpersist()
 
     def delete_df(self, keys: DataFrame) -> int:
         pdf = keys.select("url_hash").toPandas()
@@ -385,6 +468,19 @@ class PartitionedCuckoo:
                     self.tables[int(k[1:])] = z[k].copy()
         return self
 
+    def _absorb_shard_rows(self, rows) -> None:
+        """Replace shard tables / merge stash deltas / bump n_keys from
+        a collected list of (bucket, table, stash, n) build rows."""
+        import json as _json
+
+        slots = self.slots
+        for r in rows:
+            self.tables[r["bucket"]] = np.frombuffer(
+                r["table"], dtype=np.uint16).reshape(slots, _ASSOC).copy()
+            for k, v in _json.loads(r["stash"]).items():
+                self.stash[int(k)] = self.stash.get(int(k), 0) + v
+            self.n_keys += r["n"]
+
     @classmethod
     def from_seen(cls, seen: DataFrame, n_buckets: int = 64,
                   slots_per_bucket: int = 1 << 13) -> "PartitionedCuckoo":
@@ -397,22 +493,8 @@ class PartitionedCuckoo:
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             table = np.zeros((slots, _ASSOC), dtype=np.uint16)
-            h = pdf["url_hash"].to_numpy()
-            fps = _fingerprints(h)
-            i1s = _row1(h, slots)
-            shard = cls(1, slots)      # reuse the rollback insert
-            stash: dict[int, int] = {}
-            for j in range(len(h)):
-                if not shard._insert_one_safe(table, int(fps[j]),
-                                              int(i1s[j])):
-                    stash[int(h[j])] = stash.get(int(h[j]), 0) + 1
-            import json as _json
-            return pd.DataFrame({
-                "bucket": [int(pdf["bucket"].iloc[0])],
-                "table": [table.tobytes()],
-                "stash": [_json.dumps(stash)],
-                "n": [len(h)],
-            })
+            return _insert_shard(table, pdf, int(pdf["bucket"].iloc[0]),
+                                 slots)
 
         rows = (
             seen.select(F.col("url_hash"),
@@ -423,11 +505,5 @@ class PartitionedCuckoo:
                 build, schema="bucket int, table binary, stash string, n long")
             .collect()
         )
-        import json as _json
-        for r in rows:
-            self.tables[r["bucket"]] = np.frombuffer(
-                r["table"], dtype=np.uint16).reshape(slots, _ASSOC).copy()
-            for k, v in _json.loads(r["stash"]).items():
-                self.stash[int(k)] = self.stash.get(int(k), 0) + v
-            self.n_keys += r["n"]
+        self._absorb_shard_rows(rows)
         return self

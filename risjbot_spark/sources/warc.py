@@ -174,25 +174,51 @@ def build_warc_bytes(records: Iterable[bytes], *,
 # parsing (pure bytes -> iterator of dicts)
 # ---------------------------------------------------------------------------
 
+_GZ_FEED_MIN = 1 << 13      # first feed per member (8 KiB)
+_GZ_FEED_CHUNK = 1 << 20    # feed cap per call (1 MiB)
+
+
 def _iter_members(data: bytes) -> Iterator[bytes]:
     """Decompress a concatenated-gzip-member buffer one member at a
-    time (zlib unused_data resync); plain buffers pass through whole.
-    Tolerates a truncated trailing member (yields what decoded)."""
+    time; plain buffers pass through whole.  Tolerates a truncated
+    trailing member (yields what decoded).
+
+    Cost is O(total bytes), not O(members × file size): an integer
+    offset walks a memoryview and each decompressobj is fed bounded
+    chunks until its ``eof``; the offset then rewinds by
+    ``len(d.unused_data)`` (the tail of the final chunk that belongs
+    to the NEXT member).  The naive ``rest = d.unused_data`` resync
+    copies the whole remaining buffer once per member — hours for a
+    ~1 GB / 100k-member Common Crawl segment.  Chunks grow
+    geometrically per member (8 KiB → 1 MiB): ``unused_data`` is
+    itself a copy of the fed chunk's tail, so a fixed 1 MiB feed would
+    cost members × 1 MiB on CC's many-small-member files, while the
+    growing feed bounds the final-chunk copy to ~the member's own
+    size."""
     if not data.startswith(_GZ_MAGIC):
         yield data
         return
-    rest = data
-    while rest.startswith(_GZ_MAGIC):
+    view = memoryview(data)
+    n = len(data)
+    pos = 0
+    while pos + 2 <= n and data[pos:pos + 2] == _GZ_MAGIC:
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        parts: list = []
+        feed = _GZ_FEED_MIN
         try:
-            out = d.decompress(rest)
+            while not d.eof and pos < n:
+                chunk = view[pos:pos + feed]
+                parts.append(d.decompress(chunk))
+                pos += len(chunk)
+                feed = min(feed * 2, _GZ_FEED_CHUNK)
+            pos -= len(d.unused_data)
         except zlib.error:
             return
+        out = b"".join(parts)
         if out:
             yield out
         if not d.eof:           # truncated final member
             return
-        rest = d.unused_data
     # trailing non-gzip garbage is ignored (CC files never have any;
     # resyncing mid-stream without an index is what members are for)
 

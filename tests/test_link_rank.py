@@ -309,3 +309,40 @@ def test_engine_compacts_edge_log_on_refresh(spark, tmp_path):
     log = spark.read.parquet(log_dir)
     assert log.count() == log.distinct().count(), \
         "edge log carries duplicate rows after a compacting refresh"
+
+
+def test_edge_log_compaction_crash_recovery(spark, tmp_path):
+    """The compaction swap (tmp-write → rename old to .trash → rename
+    tmp in → drop .trash) must self-heal from either crash window: a
+    parked .trash with no live dir is restored; a leftover redundant
+    .trash next to a live dir is dropped. No edges are ever lost."""
+    import os
+    import shutil
+
+    from datetime import datetime, timezone
+
+    from risjbot_spark.corpus import pages_df, url_for
+
+    corpus = pages_df(spark, 60, partitions=4)
+    eng = _lr_engine(spark, corpus, str(tmp_path / "whcr"))
+    seeds = spark.createDataFrame(
+        [(url_for(i), 0) for i in range(0, 24, 4)],
+        "url string, priority int")
+    start = datetime(2017, 4, 1, tzinfo=timezone.utc)
+    eng.run_round(seeds, 0, start)
+    log_dir = eng._link_edges_dir
+    n_edges = spark.read.parquet(log_dir).distinct().count()
+    assert n_edges > 0
+
+    # crash window 1: old log parked at .trash, no live dir
+    os.rename(log_dir, log_dir + ".trash")
+    eng.run_round(seeds, 1, start.replace(hour=1))
+    assert os.path.exists(log_dir) and not os.path.exists(
+        log_dir + ".trash")
+    assert spark.read.parquet(log_dir).distinct().count() == n_edges
+
+    # crash window 2: compacted dir live, redundant .trash left behind
+    shutil.copytree(log_dir, log_dir + ".trash")
+    eng.run_round(seeds, 2, start.replace(hour=2))
+    assert not os.path.exists(log_dir + ".trash")
+    assert spark.read.parquet(log_dir).distinct().count() == n_edges

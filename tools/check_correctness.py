@@ -39,10 +39,13 @@ def canon_rows(cols, rows):
 def main(sf_dir: str, only: list[str]):
     # the driver calls __spark_entry__.queries()/oracle_sql(), which adds
     # the crawl-engine end-to-end queries on top of risjbot_spark.queries
-    # — check exactly that surface
+    # — check exactly that surface; --extended widens to the full 65-query
+    # surface including the entries retired from the driver's 50-row window
     import __spark_entry__ as entry
 
-    QUERIES = entry.queries()
+    extended = "--extended" in only
+    only = [n for n in only if n != "--extended"]
+    QUERIES = entry.queries_extended() if extended else entry.queries()
     ORACLE_SQL = entry.oracle_sql()
 
     # validate the subset BEFORE paying SparkSession startup: a typo'd
