@@ -67,6 +67,7 @@ class IVFStore(PinnedStore):
                  quantize: Optional[int] = None,
                  nprobe: Optional[int] = None,
                  rebuild_imbalance: Optional[float] = None,
+                 auto_rebuild: bool = False,
                  checkpoint_dir: Optional[str] = None,
                  adopt_tables: bool = False):
         super().__init__(
@@ -74,6 +75,13 @@ class IVFStore(PinnedStore):
             {"k": k, "iters": iters, "quantize": quantize,
              "nprobe": nprobe, "rebuild_imbalance": rebuild_imbalance},
             checkpoint_dir=checkpoint_dir, adopt_tables=adopt_tables)
+        # operational cadence, not pinned geometry (an old store's meta
+        # has no such key, and the right cadence can differ per caller):
+        # with auto_rebuild, add_batch runs the O(store) rebuild itself
+        # whenever the batch pushes imbalance past rebuild_imbalance —
+        # the same self-maintaining pattern as the MinHash store's
+        # compact_every
+        self.auto_rebuild = auto_rebuild
         if "counts" not in self._meta:
             self._meta["counts"] = {}
             self._save_meta()
@@ -155,7 +163,13 @@ class IVFStore(PinnedStore):
         """Assign new vectors to the EXISTING centroids (one broadcast
         argmin expression — O(batch), zero shuffle of the vector side)
         and append them to their clusters' partitions. Returns
-        {"assigned": ..., "imbalance": ..., "needs_rebuild": ...}."""
+        {"assigned": ..., "imbalance": ..., "needs_rebuild": ...,
+        "rebuilt": ...}.
+
+        With auto_rebuild=True (constructor), a batch that pushes
+        imbalance past rebuild_imbalance triggers rebuild() inline
+        AFTER the append commits — the batch is never lost to a rebuild
+        crash, and the reported imbalance is the post-rebuild one."""
         self._require_built("add_batch")
         self._pin_id_type(df, id_col)
         self._release_batch_intermediates()
@@ -168,8 +182,12 @@ class IVFStore(PinnedStore):
             self._merge_counts(assigned)
             self._record_table_state()
         self._consistent_commit(commit)
+        rebuilt = False
+        if self.auto_rebuild and self.needs_rebuild():
+            self.rebuild()
+            rebuilt = True
         return {"assigned": assigned, "imbalance": self.imbalance(),
-                "needs_rebuild": self.needs_rebuild()}
+                "needs_rebuild": self.needs_rebuild(), "rebuilt": rebuilt}
 
     def _require_built(self, op: str) -> None:
         # without centroids, assign_nearest's argmin over an EMPTY

@@ -173,6 +173,7 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
            classifier: "dict | None" = None,
            dsir: "dict | None" = None,
            near_dedup: "dict | None" = None,
+           span_dedup_after_near_dedup: bool = False,
            decontam_eval: "DataFrame | None" = None,
            decontam: "dict | None" = None,
            mix: "dict | None" = None,
@@ -206,6 +207,25 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
       near_dedup  → dedup.minhash_dedup geometry, plus optional
                     max_iters / checkpoint_dir for the component step;
                     survivors keep the smallest id per cluster
+
+    span_dedup_after_near_dedup=True moves the span_dedup stage from
+    its default early slot to AFTER near-dedup, so the gram-stream
+    window — the chain's single heaviest exchange — runs over the
+    survivor set only.  Budget math at 100 TB: span-strip shuffles one
+    row per token-gram, i.e. roughly (tokens × ~3 columns of 8-byte
+    hash/id/pos) ≈ 0.5–1× the corpus's text bytes through one exchange
+    (measured 9,738 docs/s at 10^6 docs on local[32],
+    BENCH/span_scale_1m.json).  If near-dedup drops 30–50% of a crawl
+    corpus (typical for CC-scale web text), survivor-first cuts that
+    dominant shuffle by the same fraction.  SEMANTIC difference, not
+    just cost: in the default order, span-stripping runs first and
+    near-dedup shingles the STRIPPED text (boilerplate-heavy near-dups
+    are easier to catch once shared spans are gone); survivor-first
+    dedups the raw text and only survivors get stripped — documents
+    whose similarity lived in the duplicated spans may escape
+    near-dedup.  Choose survivor-first when the span pass is the cost
+    driver and near-dup pairs are expected to be near-dups with or
+    without the shared spans.
       decontam    → textquality.decontaminate options + max_hit_frac
                     (docs with hit_frac ABOVE it are dropped; requires
                     decontam_eval, the evaluation-set DataFrame with
@@ -258,7 +278,7 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
     if pii is not None:
         d = _tq.pii_scrub(d, text_col, **{"with_counts": False, **pii})
         stages.append("pii_scrub")
-    if span_dedup is not None:
+    if span_dedup is not None and not span_dedup_after_near_dedup:
         d = _dedup.strip_duplicate_spans(d, id_col, text_col,
                                          **span_dedup)
         stages.append("span_dedup")
@@ -300,6 +320,13 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
         _clusters, d = _dedup.cluster_and_survivors(d, id_col, pairs,
                                                     **cc)
         _mark("after_near_dedup")
+    if span_dedup is not None and span_dedup_after_near_dedup:
+        # survivor-first ordering: the gram-stream exchange runs over
+        # the post-near-dedup corpus only (cost + semantics rationale
+        # in the docstring)
+        d = _dedup.strip_duplicate_spans(d, id_col, text_col,
+                                         **span_dedup)
+        stages.append("span_dedup")
     if decontam_eval is not None:
         _pin()
         dc = dict(decontam or {})

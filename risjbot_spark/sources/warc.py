@@ -376,19 +376,83 @@ def records_to_pages(rec: DataFrame) -> DataFrame:
 
 
 def read_warc(spark: SparkSession, path: str, *,
-              glob: str | None = None) -> DataFrame:
-    """Distributed WARC reader: one task per file, zero shuffle.
+              glob: str | None = None,
+              split_by_cdx: bool = False,
+              split_bytes: int = 128 << 20) -> DataFrame:
+    """Distributed WARC reader.
 
-    `binaryFile` hands each task (path, content) — whole-file because
-    per-record gzip members are not splittable without a side index;
-    CC sizes files (~1 GB) for exactly this.  Column pruning applies
-    downstream: select only url/warc_ts and the payload bytes never
-    cross an exchange."""
+    Default mode: one task per file, zero shuffle.  `binaryFile` hands
+    each task (path, content) — whole-file because per-record gzip
+    members are not splittable without a side index; CC sizes files
+    (~1 GB) for exactly this.  Column pruning applies downstream:
+    select only url/warc_ts and the payload bytes never cross an
+    exchange.
+
+    split_by_cdx=True: when `.cdx` sidecars exist (write_warc writes
+    one per part), the member byte extents make large files splittable
+    — see read_warc_splits.  Removes the one-task-per-file ceiling for
+    skewed segment sizes (>1 task/GB)."""
+    if split_by_cdx:
+        return read_warc_splits(spark, path, split_bytes=split_bytes)
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     files = reader.load(path).select("path", "content")
     return parse_records_df(files, data_col="content", name_col="path")
+
+
+def read_warc_splits(spark: SparkSession, path: str, *,
+                     split_bytes: int = 128 << 20,
+                     cdx_glob: str = "*.cdx") -> DataFrame:
+    """CDX-driven splittable WARC reader: offset-range tasks instead of
+    whole files.
+
+    The `.cdx` sidecar records every member's (offset, length) extent,
+    so a file splits on exact member boundaries: members bucket by
+    ``floor(offset / split_bytes)``, each bucket's task seeks to its
+    min offset and reads through its max end — byte ranges never
+    overlap and never cut a member, so the union of all splits parses
+    to EXACTLY the rows of the whole-file read (tests assert row-level
+    identity).  Split planning is itself a distributed job over the
+    tiny index text — no driver-side file listing or collect.
+
+    Contract: returns the CDX-INDEXED records. write_warc's sidecars
+    index every member, so for archives this engine wrote (or any
+    complete index) the result equals read_warc's; a foreign index
+    that omits record types (some CC CDXes skip request records) omits
+    those members here too.
+
+    `path` must be the directory holding the .warc.gz parts and their
+    sidecars, openable from executors (same contract as write_warc)."""
+    import os as _os
+
+    base_dir = path
+    splits = (
+        read_cdx(spark, path, glob=cdx_glob)
+        .groupBy(
+            "file",
+            F.floor(F.col("offset") / F.lit(int(split_bytes)))
+             .alias("split_id"))
+        .agg(F.min("offset").alias("start"),
+             F.max(F.col("offset") + F.col("length")).alias("end"))
+        # one shuffle over split SPECS (a few rows per GB of archive),
+        # never over record bytes; spreads splits across executors
+        .repartition("file", "split_id")
+    )
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                fpath = _os.path.join(base_dir, str(r["file"]))
+                with open(fpath, "rb") as fh:
+                    fh.seek(int(r["start"]))
+                    data = fh.read(int(r["end"]) - int(r["start"]))
+                # "file:" + abspath matches binaryFile's path format so
+                # split and whole-file reads are row-identical
+                yield from record_chunks(
+                    data, file="file:" + _os.path.abspath(fpath))
+
+    return splits.mapInPandas(_read, schema=WARC_RECORD_SCHEMA)
 
 
 def pages_from_warc(spark: SparkSession, path: str, *,

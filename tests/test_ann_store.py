@@ -115,3 +115,48 @@ def test_imbalance_counts_empty_clusters(spark, tmp_path):
     st.build(df, "vec_id", "embedding")
     assert st.imbalance() > 4.0 and st.needs_rebuild()
     st.close()
+
+
+def test_auto_rebuild_fires_once_and_recall_recovers(spark, tmp_path):
+    """auto_rebuild=True: a skew-inducing batch stream triggers EXACTLY
+    one inline rebuild (the batch that crosses the threshold), the
+    post-rebuild imbalance is back under it, and search recall vs the
+    brute-force truth recovers to the freshly-built level."""
+    def blob(base, lo, hi):
+        # points around axis `base` of a 4-d space, deterministic jitter
+        rows = []
+        for i in range(lo, hi):
+            v = [0.05 * ((i * 7 + d) % 5) for d in range(4)]
+            v[base] += 10.0
+            rows.append((i, v))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    st = IVFStore(spark, str(tmp_path / "ivf"), k=3,
+                  rebuild_imbalance=1.5, auto_rebuild=True)
+    st.build(blob(0, 0, 60).union(blob(1, 100, 160))
+             .union(blob(2, 200, 260)), "vec_id", "embedding")
+
+    rebuilds = []
+    # batch 1 drops 120 vectors into a region no built centroid covers
+    # (axis 3): assignment-only adds dump them all into ONE stale
+    # cluster → imbalance crosses 1.5 → inline rebuild re-separates;
+    # batch 2 is small and in-distribution and must NOT re-trigger
+    for batch in (blob(3, 300, 420), blob(1, 500, 530)):
+        out = st.add_batch(batch, "vec_id", "embedding")
+        rebuilds.append(out["rebuilt"])
+        if out["rebuilt"]:
+            assert out["imbalance"] <= 1.5 + 1e-9
+            assert not out["needs_rebuild"]
+    assert rebuilds == [True, False], rebuilds
+
+    # recall recovery: IVF probe vs brute-force cosine truth over the
+    # full stored set (the rebuilt centroids re-separate the blobs)
+    stored = st.vectors()
+    q = spark.createDataFrame(
+        [([10.0, 0.0, 0.05, 0.1],)], "qv array<double>")
+    truth = {r["vec_id"] for r in ann.brute_topk(
+        stored, "vec_id", "vec", q, k=10).collect()}
+    got = {r["vec_id"] for r in st.search(q, nprobe=1, k=10).collect()}
+    assert len(truth & got) / len(truth) >= 0.9
+    st.close()

@@ -274,3 +274,56 @@ def test_curate_dsir_stage(spark):
     assert "after_dsir" in res.stages
     with pytest.raises(ValueError, match="target"):
         pipeline.curate(raw, "pk", "body", dsir={"min_score": 0.0})
+
+
+def test_curate_span_dedup_ordering_option(spark):
+    """span_dedup runs early by default, after near-dedup with
+    span_dedup_after_near_dedup=True — and the ordering is visible in
+    both the stage list and the semantics: the shared span between the
+    near-dup pair is what makes them near-dups here, so the
+    survivor-first order (raw-text dedup) still collapses the pair,
+    while in both orders the surviving text is span-stripped."""
+    # texts dominated by a shared repeated span: raw-text 3-gram
+    # Jaccard ≈ 0.8 (near-dups), but once the duplicated span is
+    # stripped the residues ("ending" vs "closing") share nothing
+    span = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    rows = [
+        ("s01", f"{span}ending", "en"),
+        ("s02", f"{span}closing", "en"),
+        ("s03", "independent text about glaciers carving deep valleys "
+                "over millennia of slow ice flow", "en"),
+    ]
+    corpus = spark.createDataFrame(rows, "pk string, body string, lg string")
+
+    early = pipeline.curate(
+        corpus, "pk", "body",
+        span_dedup={"k": 8},
+        near_dedup={"ngram": 3, "threshold": 0.5},
+    )
+    late = pipeline.curate(
+        corpus, "pk", "body",
+        span_dedup={"k": 8},
+        near_dedup={"ngram": 3, "threshold": 0.5},
+        span_dedup_after_near_dedup=True,
+    )
+    assert early.stages.index("span_dedup") < \
+        early.stages.index("after_near_dedup")
+    assert late.stages.index("span_dedup") > \
+        late.stages.index("after_near_dedup")
+
+    e_rows = {r["pk"]: r["body"] for r in early.docs.collect()}
+    l_rows = {r["pk"]: r["body"] for r in late.docs.collect()}
+    # both orders keep s03 untouched
+    assert e_rows["s03"] == l_rows["s03"] == rows[2][1]
+    # early order: span-strip runs first, so near-dedup sees the
+    # residues — no longer near-dups → BOTH survive (the documented
+    # semantic difference)
+    assert sorted(e_rows) == ["s01", "s02", "s03"]
+    # survivor-first: raw texts ARE near-dups (the shared span
+    # dominates) → one survivor (smallest id), stripped afterwards
+    assert sorted(l_rows) == ["s01", "s03"]
+    # in both orders the surviving s01 keeps exactly ONE copy of the
+    # tripled span (Lee et al. keep the first occurrence)
+    for out in (e_rows["s01"], l_rows["s01"]):
+        assert out.split().count("alpha") == 1
+        assert out.split()[-1] == "ending"

@@ -407,3 +407,47 @@ def test_robots_from_pages_lenient_decode_and_scheme_case(spark):
     assert set(got) == {"l1.org", "up.org"}
     assert got["l1.org"] == "User-agent: *\nDisallow: /caf�"
     assert got["up.org"] == "User-agent: *\nDisallow: /x"
+
+
+def test_split_by_cdx_rows_identical_to_unsplit(spark, tmp_path):
+    """read_warc(split_by_cdx=True) must parse EXACTLY the rows of the
+    whole-file read, and a small split_bytes must plan >1 split per
+    file (the one-task-per-file ceiling is gone)."""
+    pages = _mk_pages(40)
+    df = spark.createDataFrame(
+        [(u, t, b) for u, t, b in pages],
+        "url string, warc_ts timestamp, payload binary")
+    out = str(tmp_path / "seg")
+    W.write_warc(df, out, n_files=2).collect()
+
+    def canon(rows):
+        return sorted(
+            (r["file"].split("/")[-1], r["rec_type"], r["url"],
+             r["warc_ts"], r["content_type"], r["http_status"],
+             r["lang"], bytes(r["payload"]))
+            for r in rows)
+
+    whole = canon(W.read_warc(spark, out, glob="*.warc.gz").collect())
+    split = canon(W.read_warc(spark, out, split_by_cdx=True,
+                              split_bytes=512).collect())
+    assert split == whole and len(whole) == 40
+
+    # >1 split per file at this split_bytes: count planned split specs
+    idx = W.read_cdx(spark, out)
+    from pyspark.sql import functions as F
+    n_splits = (idx.groupBy("file",
+                            F.floor(F.col("offset") / 512))
+                .count().count())
+    n_files = idx.select("file").distinct().count()
+    assert n_files == 2 and n_splits > n_files
+
+    # big split_bytes degrades to one split per file, still identical
+    one = canon(W.read_warc(spark, out, split_by_cdx=True).collect())
+    assert one == whole
+
+    # pages mapping parity through the split reader
+    got = {r["url"]: bytes(r["html"])
+           for r in W.records_to_pages(
+               W.read_warc(spark, out, split_by_cdx=True,
+                           split_bytes=512)).collect()}
+    assert got == {u: b for u, t, b in pages}
