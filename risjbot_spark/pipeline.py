@@ -135,6 +135,7 @@ class CurationResult:
     stages: "list[str]" = field(default_factory=list)
     observations: "dict[str, Observation]" = field(default_factory=dict)
     persisted: "list[DataFrame]" = field(default_factory=list)
+    stage_dfs: "dict[str, DataFrame]" = field(default_factory=dict)
 
     def unpersist(self) -> None:
         for df in self.persisted:
@@ -144,24 +145,48 @@ class CurationResult:
                 pass
         self.persisted.clear()
 
-    def report(self, *, run: bool = True) -> "dict[str, int]":
+    def report(self, *, run: bool = True,
+               exact: bool = False) -> "dict[str, int]":
         """Per-stage surviving-row counts. With run=True (default) a
         single count() materializes the plan so every Observation
         fires; pass run=False if you already ran an action on `docs`
         (a write, a count) — the counters kept that first action's
-        values and this just reads them."""
+        values and this just reads them.
+
+        exact=True counts each recorded stage DataFrame with its own
+        count() job instead of reading Observations — one extra job per
+        stage, but immune to the CollectMetrics re-instantiation issue
+        (a chain with two or more self-referencing stages — span-strip
+        plus near-dedup — can leave upstream observation rows empty
+        even across pinned boundaries).  With curate(persist=True) the
+        counts reuse the pinned caches, so the extra jobs are scans of
+        materialized blocks, not recomputes."""
+        if exact:
+            return {name: df.count()
+                    for name, df in self.stage_dfs.items()}
         if run:
             self.docs.count()
         out: "dict[str, int]" = {}
         for name, o in self.observations.items():
-            # AQE can replace an all-empty subtree's CollectMetrics
-            # with EmptyRelation, leaving the Observation row empty —
-            # same failure mode crawl.py's lineage resolve guards; an
-            # eliminated counter means zero rows flowed through it
             try:
                 out[name] = int(o.get["rows"])
             except Exception:
-                out[name] = 0
+                # Observation.get's Python-side row pickling
+                # (PythonSQLUtils.toPyRow) hits an AssertionError when
+                # the observed node was DUPLICATED in the executed plan
+                # — a stage that references its input more than once
+                # (span-strip's flag+rebuild sides) re-instantiates
+                # every upstream CollectMetrics.  The JVM-side row is
+                # still correct (single `rows` long); read it directly.
+                try:
+                    out[name] = int(o._jo.getRow().get(0))
+                except Exception:
+                    # AQE can replace an all-empty subtree's
+                    # CollectMetrics with EmptyRelation, leaving the row
+                    # truly absent — same failure mode crawl.py's
+                    # lineage resolve guards; an eliminated counter
+                    # means zero rows flowed through it
+                    out[name] = 0
         return out
 
 
@@ -236,9 +261,15 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
 
     persist=True pins the corpus (MEMORY_AND_DISK — spills, never
     recomputes) at each boundary a later stage references more than
-    once: before near-dedup (the shingle pipeline AND the survivor
+    once: before span-strip (two gram-stream scans + the doc rebuild
+    read it), before near-dedup (the shingle pipeline AND the survivor
     anti-join both read it) and before decontamination (the overlap
-    join and the final filter both read it).  MEASURE before flipping
+    join and the final filter both read it).  Observe-lineage caveat:
+    with persist=False and a span_dedup stage, the counters observed
+    UPSTREAM of span-strip can come back 0 — the stage re-instantiates
+    every upstream CollectMetrics and AQE may leave the observation's
+    row empty; persist=True makes every counter fire exactly once at
+    its cache boundary, so lineage is exact.  MEASURE before flipping
     it: at bench scale (6k docs) the materialization overhead LOSES to
     recompute (41 s vs 27 s, A/B'd in one session) because the
     upstream chain is a cheap pruned scan; it wins when the upstream
@@ -256,6 +287,7 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
     stages: "list[str]" = []
     obs: "dict[str, Observation]" = {}
     persisted: "list[DataFrame]" = []
+    stage_dfs: "dict[str, DataFrame]" = {}
 
     def _pin() -> None:
         nonlocal d
@@ -266,6 +298,7 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
     def _mark(name: str) -> None:
         nonlocal d
         stages.append(name)
+        stage_dfs[name] = d
         if observe:
             o = Observation()
             d = d.observe(o, F.count(F.lit(1)).alias("rows"))
@@ -273,12 +306,23 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
 
     _mark("input")
     if boilerplate is not None:
+        # boilerplate-strip reads its input twice (line-frequency set +
+        # doc rebuild) — pin for the same single-materialization /
+        # exact-lineage reasons as the span stage below
+        _pin()
         d = _tq.strip_boilerplate(d, text_col, **boilerplate)
         stages.append("boilerplate_strip")
     if pii is not None:
         d = _tq.pii_scrub(d, text_col, **{"with_counts": False, **pii})
         stages.append("pii_scrub")
     if span_dedup is not None and not span_dedup_after_near_dedup:
+        # span-strip references its input THREE times (two gram-stream
+        # scans + the doc rebuild); _pin makes those reads share one
+        # materialization — and, with observe=True, keeps the upstream
+        # Observation counters readable: re-instantiated CollectMetrics
+        # under AQE can leave an observation's row empty, while a
+        # cached boundary fires each counter exactly once
+        _pin()
         d = _dedup.strip_duplicate_spans(d, id_col, text_col,
                                          **span_dedup)
         stages.append("span_dedup")
@@ -323,7 +367,8 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
     if span_dedup is not None and span_dedup_after_near_dedup:
         # survivor-first ordering: the gram-stream exchange runs over
         # the post-near-dedup corpus only (cost + semantics rationale
-        # in the docstring)
+        # in the docstring); same pin rationale as the early slot
+        _pin()
         d = _dedup.strip_duplicate_spans(d, id_col, text_col,
                                          **span_dedup)
         stages.append("span_dedup")
@@ -352,4 +397,4 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
         stages.append("split")
     _mark("output")
     return CurationResult(docs=d, stages=stages, observations=obs,
-                          persisted=persisted)
+                          persisted=persisted, stage_dfs=stage_dfs)

@@ -327,3 +327,26 @@ def test_curate_span_dedup_ordering_option(spark):
     for out in (e_rows["s01"], l_rows["s01"]):
         assert out.split().count("alpha") == 1
         assert out.split()[-1] == "ending"
+
+
+def test_report_exact_survives_double_self_reference(spark):
+    """A chain with BOTH self-referencing heavies (span-strip AND
+    near-dedup) can leave upstream Observation rows empty (documented
+    CollectMetrics re-instantiation limit); report(exact=True) must
+    still return true per-stage counts."""
+    res = pipeline.curate(
+        _corpus(spark), "pk", "body",
+        span_dedup={"k": 8},
+        quality={"max_dup_ngram_frac": 0.2, "max_top_token_frac": 0.3,
+                 "min_distinct_ratio": 0.3},
+        near_dedup={"ngram": 3, "threshold": 0.5},
+        persist=True,
+    )
+    res.docs.count()
+    exact = res.report(exact=True)
+    res.unpersist()
+    assert exact["input"] == 8
+    assert 0 < exact["output"] <= exact["after_quality"] <= 8
+    # exact mode covers exactly the counter-marked stages (transform
+    # stages like span_dedup have no counter in either mode)
+    assert set(exact) == set(res.observations)
