@@ -327,15 +327,21 @@ class PartitionedCuckoo:
         (table, stash-delta) rows return to the driver. A 50M-URL
         first-fetch round therefore never materializes its key set in
         driver memory or runs a 50M-iteration driver loop."""
+        keys = keys.select("url_hash")
         if driver_threshold and driver_threshold > 0:
-            n = keys.count()
-            if n > driver_threshold:
-                self._add_df_distributed(keys, n)
+            # single-evaluation sizing (PartitionedBloom.add_df's
+            # idiom): pull at most threshold+1 rows — the overflow row
+            # detects "too big" without a separate count() pass, and
+            # under the threshold the pull IS the delta to insert
+            pdf = keys.limit(driver_threshold + 1).toPandas()
+            if len(pdf) > driver_threshold:
+                self._add_df_distributed(keys)
                 return
-        pdf = keys.select("url_hash").toPandas()
+        else:
+            pdf = keys.toPandas()
         self.add_local(pdf["url_hash"].to_numpy())
 
-    def _add_df_distributed(self, keys: DataFrame, n: int) -> None:
+    def _add_df_distributed(self, keys: DataFrame) -> None:
         self._invalidate_broadcast()
         spark = keys.sparkSession
         slots = self.slots

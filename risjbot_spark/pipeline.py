@@ -158,9 +158,12 @@ class CurationResult:
         stage, but immune to the CollectMetrics re-instantiation issue
         (a chain with two or more self-referencing stages — span-strip
         plus near-dedup — can leave upstream observation rows empty
-        even across pinned boundaries).  With curate(persist=True) the
-        counts reuse the pinned caches, so the extra jobs are scans of
-        materialized blocks, not recomputes."""
+        even across pinned boundaries).  With curate(persist=True)
+        stages downstream of a pinned boundary count off the cached
+        blocks rather than recomputing; the 'input' stage is recorded
+        BEFORE the observe wrapper (the cached node is the wrapped
+        child, which the cache manager won't substitute here), so its
+        count re-scans the raw source once."""
         if exact:
             return {name: df.count()
                     for name, df in self.stage_dfs.items()}

@@ -391,9 +391,13 @@ def read_warc(spark: SparkSession, path: str, *,
     split_by_cdx=True: when `.cdx` sidecars exist (write_warc writes
     one per part), the member byte extents make large files splittable
     — see read_warc_splits.  Removes the one-task-per-file ceiling for
-    skewed segment sizes (>1 task/GB)."""
+    skewed segment sizes (>1 task/GB).  `glob` restricts which .warc.gz
+    members are read in this mode too (matched against the CDX `file`
+    column); a directory with NO sidecars raises rather than silently
+    returning zero rows."""
     if split_by_cdx:
-        return read_warc_splits(spark, path, split_bytes=split_bytes)
+        return read_warc_splits(spark, path, split_bytes=split_bytes,
+                                member_glob=glob)
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
@@ -403,40 +407,61 @@ def read_warc(spark: SparkSession, path: str, *,
 
 def read_warc_splits(spark: SparkSession, path: str, *,
                      split_bytes: int = 128 << 20,
-                     cdx_glob: str = "*.cdx") -> DataFrame:
+                     cdx_glob: str = "*.cdx",
+                     member_glob: str | None = None) -> DataFrame:
     """CDX-driven splittable WARC reader: offset-range tasks instead of
     whole files.
 
     The `.cdx` sidecar records every member's (offset, length) extent,
     so a file splits on exact member boundaries: members bucket by
-    ``floor(offset / split_bytes)``, each bucket's task seeks to its
-    min offset and reads through its max end — byte ranges never
-    overlap and never cut a member, so the union of all splits parses
-    to EXACTLY the rows of the whole-file read (tests assert row-level
-    identity).  Split planning is itself a distributed job over the
-    tiny index text — no driver-side file listing or collect.
+    ``floor(offset / split_bytes)``; within a bucket, extents that sit
+    back-to-back merge into one contiguous span, so a task does one
+    seek+read per span (one per bucket for a complete index).  Byte
+    ranges never overlap and never cut a member.  Split planning is
+    itself a distributed job over the tiny index text — no driver-side
+    file listing or collect; only extent STRUCTS shuffle (a few KB per
+    GB of archive), never record bytes.
 
-    Contract: returns the CDX-INDEXED records. write_warc's sidecars
-    index every member, so for archives this engine wrote (or any
-    complete index) the result equals read_warc's; a foreign index
-    that omits record types (some CC CDXes skip request records) omits
-    those members here too.
+    Contract: returns EXACTLY the CDX-indexed records, invariant to
+    split_bytes.  write_warc's sidecars index every member, so for
+    archives this engine wrote (or any complete index) the result
+    equals read_warc's (tests assert row-level identity); a foreign
+    index that omits record types (some CC CDXes skip request records)
+    omits those members here too — an unindexed member is never read,
+    even when it sits between two indexed ones, because spans only
+    merge across extents that are exactly adjacent.
+
+    `member_glob` restricts reads to matching .warc.gz file names (the
+    CDX `file` column).  A directory with no matching `.cdx` sidecars
+    raises ValueError — silently returning zero rows would read as an
+    empty archive.
 
     `path` must be the directory holding the .warc.gz parts and their
     sidecars, openable from executors (same contract as write_warc)."""
+    import fnmatch
     import os as _os
 
     base_dir = path
+    index = read_cdx(spark, path, glob=cdx_glob)
+    # cheap existence probe over the tiny index text: one row suffices
+    if not index.limit(1).take(1):
+        raise ValueError(
+            f"split_by_cdx: no {cdx_glob!r} sidecars under {path!r} — "
+            "write_warc(cdx=True) writes them; use split_by_cdx=False "
+            "for whole-file reads")
+    if member_glob:
+        index = index.filter(
+            F.col("file").rlike("^" + fnmatch.translate(member_glob)))
     splits = (
-        read_cdx(spark, path, glob=cdx_glob)
+        index
         .groupBy(
             "file",
             F.floor(F.col("offset") / F.lit(int(split_bytes)))
              .alias("split_id"))
-        .agg(F.min("offset").alias("start"),
-             F.max(F.col("offset") + F.col("length")).alias("end"))
-        # one shuffle over split SPECS (a few rows per GB of archive),
-        # never over record bytes; spreads splits across executors
+        .agg(F.sort_array(F.collect_list(F.struct("offset", "length")))
+              .alias("extents"))
+        # one shuffle over split SPECS, never over record bytes;
+        # spreads splits across executors
         .repartition("file", "split_id")
     )
 
@@ -444,13 +469,24 @@ def read_warc_splits(spark: SparkSession, path: str, *,
         for pdf in batches:
             for _, r in pdf.iterrows():
                 fpath = _os.path.join(base_dir, str(r["file"]))
+                # merge exactly-adjacent extents into contiguous spans:
+                # a gap means an unindexed member — skip it by seeking
+                spans: list[list[int]] = []
+                for e in r["extents"]:
+                    off, ln = int(e["offset"]), int(e["length"])
+                    if spans and spans[-1][1] == off:
+                        spans[-1][1] = off + ln
+                    else:
+                        spans.append([off, off + ln])
                 with open(fpath, "rb") as fh:
-                    fh.seek(int(r["start"]))
-                    data = fh.read(int(r["end"]) - int(r["start"]))
-                # "file:" + abspath matches binaryFile's path format so
-                # split and whole-file reads are row-identical
-                yield from record_chunks(
-                    data, file="file:" + _os.path.abspath(fpath))
+                    for start, end in spans:
+                        fh.seek(start)
+                        data = fh.read(end - start)
+                        # "file:" + abspath matches binaryFile's path
+                        # format so split and whole-file reads are
+                        # row-identical
+                        yield from record_chunks(
+                            data, file="file:" + _os.path.abspath(fpath))
 
     return splits.mapInPandas(_read, schema=WARC_RECORD_SCHEMA)
 

@@ -152,12 +152,13 @@ def test_add_df_promotes_to_distributed_above_threshold(spark):
     d2_df = spark.createDataFrame([(int(k),) for k in d2], "url_hash long")
     f_dist.add_df(d2_df, driver_threshold=1_000_000)
     assert f_dist._member_vec(f_dist.tables, f_dist.stash, d2).all()
-    # deletes still remove exactly the distributed-added keys
+    # deletes still remove exactly the distributed-added keys; colliding
+    # fingerprints may still probe true (false positives are allowed —
+    # the hard guarantee is the REMAINING keys keep membership), but at
+    # this load the FP rate over 100 deleted keys stays well under half
     assert f_dist.delete_local(delta[:100]) == 100
-    assert not f_dist._member_vec(
-        f_dist.tables, f_dist.stash, delta[:100]).any() or True
-    # (colliding fingerprints may still probe true — false positives are
-    # allowed; the guarantee is the REMAINING keys keep membership)
+    gone = f_dist._member_vec(f_dist.tables, f_dist.stash, delta[:100])
+    assert int(gone.sum()) < 50
     rest = np.concatenate([base, delta[100:], d2])
     assert f_dist._member_vec(f_dist.tables, f_dist.stash, rest).all()
 

@@ -451,3 +451,64 @@ def test_split_by_cdx_rows_identical_to_unsplit(spark, tmp_path):
                W.read_warc(spark, out, split_by_cdx=True,
                            split_bytes=512)).collect()}
     assert got == {u: b for u, t, b in pages}
+
+def test_split_by_cdx_incomplete_index_exact_and_invariant(spark, tmp_path):
+    """A foreign CDX that indexes only SOME members (e.g. CC indexes
+    that skip request records): the split reader returns EXACTLY the
+    indexed records — an unindexed member is never parsed even when it
+    sits between two indexed ones — and the row set is invariant to
+    split_bytes."""
+    import pathlib
+
+    pages = _mk_pages(12)
+    df = spark.createDataFrame(
+        [(u, t, b) for u, t, b in pages],
+        "url string, warc_ts timestamp, payload binary")
+    out = str(tmp_path / "seg")
+    W.write_warc(df, out, n_files=1).collect()
+
+    cdx_path = next(pathlib.Path(out).glob("*.cdx"))
+    lines = cdx_path.read_text().splitlines()
+    assert len(lines) == 12
+    # drop every third member from the index, including interior ones
+    kept = [ln for i, ln in enumerate(lines) if i % 3 != 1]
+    cdx_path.write_text("\n".join(kept) + "\n")
+    kept_urls = {ln.split(" ")[2] for ln in kept}
+
+    def urls(rows):
+        return sorted(r["url"] for r in rows)
+
+    tiny = urls(W.read_warc(spark, out, split_by_cdx=True,
+                            split_bytes=512).collect())
+    big = urls(W.read_warc(spark, out, split_by_cdx=True).collect())
+    assert tiny == big == sorted(kept_urls)
+    assert len(tiny) == len(kept) < 12
+
+
+def test_split_by_cdx_honors_glob_and_raises_without_index(spark, tmp_path):
+    import pathlib
+
+    pages = _mk_pages(20)
+    df = spark.createDataFrame(
+        [(u, t, b) for u, t, b in pages],
+        "url string, warc_ts timestamp, payload binary")
+    out = str(tmp_path / "seg")
+    W.write_warc(df, out, n_files=2).collect()
+    parts = sorted(p.name for p in pathlib.Path(out).glob("*.warc.gz"))
+    assert len(parts) == 2
+
+    # glob restricts the split read to the matching part file
+    only = W.read_warc(spark, out, glob=parts[0], split_by_cdx=True)
+    whole = W.read_warc(spark, out, glob=parts[0])
+    assert (sorted(r["url"] for r in only.collect())
+            == sorted(r["url"] for r in whole.collect()))
+    assert 0 < only.count() < 20
+
+    # a directory with no sidecars raises instead of returning 0 rows
+    bare = str(tmp_path / "bare")
+    for p in pathlib.Path(out).glob("*.warc.gz"):
+        dest = pathlib.Path(bare) / p.name
+        dest.parent.mkdir(exist_ok=True)
+        dest.write_bytes(p.read_bytes())
+    with pytest.raises(ValueError, match="no '\\*\\.cdx' sidecars"):
+        W.read_warc(spark, bare, split_by_cdx=True).collect()
