@@ -513,6 +513,32 @@ def main() -> None:
           and "BroadcastNestedLoopJoin" not in p,
           "rank joins are key-equi, never all-pairs")
 
+    # --- CDX-split WARC read: split planning shuffles only extent
+    # STRUCTS parsed from the tiny .cdx text (groupBy + spread
+    # repartition = 2 exchanges); record bytes enter the plan ONLY
+    # inside the MapInPandas range reader — no binaryFile scan, no
+    # exchange above the parse
+    from risjbot_spark.sources import warc as _W
+    _wdir = tempfile.mkdtemp(prefix="plans_warc_")
+    _wpages = spark.createDataFrame(
+        [(f"https://ex{i}.org/a", datetime(2026, 1, 1, tzinfo=timezone.utc),
+          b"<html>%d</html>" % i) for i in range(30)],
+        "url string, warc_ts timestamp, payload binary")
+    _W.write_warc(_wpages, _wdir, n_files=2).collect()
+    p = plan_of(_W.read_warc(spark, _wdir, split_by_cdx=True,
+                             split_bytes=512))
+    sections.append(("warc_cdx_split_read (offset-range tasks)", p))
+    check("warc_cdx_split_read",
+          len(re.findall(r"Exchange \(\d+\)", p)) == 1
+          and "hashpartitioning(file" in p,
+          "ONE exchange, over extent specs keyed (file, split_id) — "
+          "the spread repartition collapses into the groupBy "
+          "partitioning; record bytes never cross an exchange")
+    check("warc_cdx_split_read",
+          "MapInPandas" in p and "binaryFile" not in p,
+          "ranges read inside the Arrow task off the .cdx index — the "
+          "whole-file binaryFile scan is gone")
+
     ok = all(c[1] for c in checks)
     lines = ["# PLANS — physical-plan audit\n",
              f"Generated by tools/explain_plans.py at sf dir `{SF}`.\n",
