@@ -332,14 +332,18 @@ class PartitionedCuckoo:
             # single-evaluation sizing (PartitionedBloom.add_df's
             # idiom): pull at most threshold+1 rows — the overflow row
             # detects "too big" without a separate count() pass, and
-            # under the threshold the pull IS the delta to insert
-            pdf = keys.limit(driver_threshold + 1).toPandas()
-            if len(pdf) > driver_threshold:
+            # under the threshold the pull IS the delta to insert.
+            # toArrow, not toPandas: the pickle collect path peaks at
+            # ~400 B/row of driver RSS (measured 680 MB for a 2M-long
+            # sizing pull); the Arrow batch transfer is ~8 B/row
+            arr = (keys.limit(driver_threshold + 1).toArrow()
+                   .column("url_hash").to_numpy())
+            if len(arr) > driver_threshold:
                 self._add_df_distributed(keys)
                 return
         else:
-            pdf = keys.toPandas()
-        self.add_local(pdf["url_hash"].to_numpy())
+            arr = keys.toArrow().column("url_hash").to_numpy()
+        self.add_local(arr)
 
     def _add_df_distributed(self, keys: DataFrame) -> None:
         self._invalidate_broadcast()
@@ -371,8 +375,9 @@ class PartitionedCuckoo:
         tables_b.unpersist()
 
     def delete_df(self, keys: DataFrame) -> int:
-        pdf = keys.select("url_hash").toPandas()
-        return self.delete_local(pdf["url_hash"].to_numpy())
+        arr = (keys.select("url_hash").toArrow()
+               .column("url_hash").to_numpy())
+        return self.delete_local(arr)
 
     # -- probe ------------------------------------------------------------
     def _member_vec(self, maps, stash, h: np.ndarray) -> np.ndarray:
