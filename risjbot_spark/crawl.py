@@ -1301,11 +1301,12 @@ class CrawlEngine:
                 # deletes the pre-compaction files this plan reads
                 # (expire_keep_last=1 made a post-expire collect throw
                 # FileNotFound on every trim round)
-                import numpy as _np
-
-                trimmed_keys_arr = _np.array(
-                    [r["url_hash"] for r in trimmed_keys_df.collect()],
-                    dtype="int64")
+                # Arrow batch transfer, not row pickling — trim deltas
+                # are bounded by trim_every but can still reach millions
+                # of keys on a big table
+                trimmed_keys_arr = (trimmed_keys_df
+                                    .select("url_hash").toArrow()
+                                    .column("url_hash").to_numpy())
             if cfg.expire_keep_last > 0:
                 # maintenance rides the compaction commit: pre-compaction
                 # delta snapshots age out once K newer ones exist
