@@ -460,9 +460,16 @@ def read_warc_splits(spark: SparkSession, path: str, *,
              .alias("split_id"))
         .agg(F.sort_array(F.collect_list(F.struct("offset", "length")))
               .alias("extents"))
-        # one shuffle over split SPECS, never over record bytes;
-        # spreads splits across executors
-        .repartition("file", "split_id")
+        # one shuffle over split SPECS, never over record bytes. The
+        # partition count MUST be explicit: the spec rows are a few KB,
+        # so AQE's small-partition coalescing would otherwise fuse ALL
+        # splits into one task (measured: a 36-split read ran serially,
+        # slower than the whole-file mode it exists to beat) — AQE
+        # optimizes for shuffle bytes and can't see that each spec row
+        # fans out into megabytes of range-read work downstream
+        .repartition(
+            max(2 * spark.sparkContext.defaultParallelism, 16),
+            "file", "split_id")
     )
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -529,11 +529,11 @@ def main() -> None:
                              split_bytes=512))
     sections.append(("warc_cdx_split_read (offset-range tasks)", p))
     check("warc_cdx_split_read",
-          len(re.findall(r"Exchange \(\d+\)", p)) == 1
+          len(re.findall(r"Exchange \(\d+\)", p)) == 2
           and "hashpartitioning(file" in p,
-          "ONE exchange, over extent specs keyed (file, split_id) — "
-          "the spread repartition collapses into the groupBy "
-          "partitioning; record bytes never cross an exchange")
+          "exchanges move only extent SPECS (groupBy + the explicit "
+          "task-spread repartition that keeps AQE from fusing the "
+          "splits into one task); record bytes never cross an exchange")
     check("warc_cdx_split_read",
           "MapInPandas" in p and "binaryFile" not in p,
           "ranges read inside the Arrow task off the .cdx index — the "
