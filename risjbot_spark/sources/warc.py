@@ -405,10 +405,28 @@ def read_warc(spark: SparkSession, path: str, *,
     return parse_records_df(files, data_col="content", name_col="path")
 
 
+def _split_task_partitions(spark: SparkSession,
+                           requested: int | None) -> int:
+    """Task count for the CDX-split spec spread.
+
+    Target 2× the executor core count so split tasks saturate the
+    cluster even with stragglers.  `sparkContext` is unavailable on
+    Spark Connect sessions — fall back to the (always conf-readable)
+    shuffle partition count, which operators size to the cluster."""
+    if requested is not None:
+        return max(int(requested), 1)
+    try:
+        cores = 2 * spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
+        cores = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(cores, 16)
+
+
 def read_warc_splits(spark: SparkSession, path: str, *,
                      split_bytes: int = 128 << 20,
                      cdx_glob: str = "*.cdx",
-                     member_glob: str | None = None) -> DataFrame:
+                     member_glob: str | None = None,
+                     task_partitions: int | None = None) -> DataFrame:
     """CDX-driven splittable WARC reader: offset-range tasks instead of
     whole files.
 
@@ -466,10 +484,12 @@ def read_warc_splits(spark: SparkSession, path: str, *,
         # splits into one task (measured: a 36-split read ran serially,
         # slower than the whole-file mode it exists to beat) — AQE
         # optimizes for shuffle bytes and can't see that each spec row
-        # fans out into megabytes of range-read work downstream
-        .repartition(
-            max(2 * spark.sparkContext.defaultParallelism, 16),
-            "file", "split_id")
+        # fans out into megabytes of range-read work downstream.
+        # Round-robin (no columns), not hash: each group is one row, so
+        # hashing (file, split_id) would stack ~1/e of the splits onto
+        # shared tasks by collision while leaving others empty —
+        # round-robin guarantees one split per task up to the count
+        .repartition(_split_task_partitions(spark, task_partitions))
     )
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -44,7 +44,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     from risjbot_spark.sources import warc as W
 
-    seg = "/tmp/warc_split_bench_seg"
+    # size params in the cache path: a re-run with different n_pages/
+    # page_kb builds fresh instead of tripping the count assert below
+    seg = f"/tmp/warc_split_bench_seg_{n_pages}x{page_kb}"
     if not os.path.exists(os.path.join(seg, "_DONE")):
         # deterministic poorly-compressing payloads so the archive has
         # real bulk: per-page sha2-chained hex blocks (64 B each),

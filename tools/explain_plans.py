@@ -530,10 +530,12 @@ def main() -> None:
     sections.append(("warc_cdx_split_read (offset-range tasks)", p))
     check("warc_cdx_split_read",
           len(re.findall(r"Exchange \(\d+\)", p)) == 2
-          and "hashpartitioning(file" in p,
-          "exchanges move only extent SPECS (groupBy + the explicit "
-          "task-spread repartition that keeps AQE from fusing the "
-          "splits into one task); record bytes never cross an exchange")
+          and "hashpartitioning(file" in p
+          and re.search(r"(?i)roundrobin", p) is not None,
+          "exchanges move only extent SPECS (groupBy hash + the "
+          "explicit ROUND-ROBIN task spread — one split per task, no "
+          "hash-collision stacking, AQE can't fuse it); record bytes "
+          "never cross an exchange")
     check("warc_cdx_split_read",
           "MapInPandas" in p and "binaryFile" not in p,
           "ranges read inside the Arrow task off the .cdx index — the "
