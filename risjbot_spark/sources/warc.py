@@ -378,7 +378,8 @@ def records_to_pages(rec: DataFrame) -> DataFrame:
 def read_warc(spark: SparkSession, path: str, *,
               glob: str | None = None,
               split_by_cdx: bool = False,
-              split_bytes: int = 128 << 20) -> DataFrame:
+              split_bytes: int = 128 << 20,
+              task_partitions: int | None = None) -> DataFrame:
     """Distributed WARC reader.
 
     Default mode: one task per file, zero shuffle.  `binaryFile` hands
@@ -393,11 +394,13 @@ def read_warc(spark: SparkSession, path: str, *,
     — see read_warc_splits.  Removes the one-task-per-file ceiling for
     skewed segment sizes (>1 task/GB).  `glob` restricts which .warc.gz
     members are read in this mode too (matched against the CDX `file`
-    column); a directory with NO sidecars raises rather than silently
-    returning zero rows."""
+    column); `task_partitions` overrides the split-task spread count
+    (defaults to 2× executor cores); a directory with NO sidecars
+    raises rather than silently returning zero rows."""
     if split_by_cdx:
         return read_warc_splits(spark, path, split_bytes=split_bytes,
-                                member_glob=glob)
+                                member_glob=glob,
+                                task_partitions=task_partitions)
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
@@ -519,12 +522,19 @@ def read_warc_splits(spark: SparkSession, path: str, *,
 
 
 def pages_from_warc(spark: SparkSession, path: str, *,
-                    glob: str | None = None) -> DataFrame:
+                    glob: str | None = None,
+                    split_by_cdx: bool = False,
+                    split_bytes: int = 128 << 20,
+                    task_partitions: int | None = None) -> DataFrame:
     """WARC segments -> the engine's input table (PAGES_SCHEMA:
     url, warc_ts, html, text, lang) via records_to_pages.  A crawl
     that has both responses and conversions joins them by url
-    downstream; most runs read one kind."""
-    return records_to_pages(read_warc(spark, path, glob=glob))
+    downstream; most runs read one kind.  split_by_cdx / split_bytes /
+    task_partitions as in read_warc (offset-range tasks off the .cdx
+    sidecars — >1 task/GB on skewed segments)."""
+    return records_to_pages(read_warc(
+        spark, path, glob=glob, split_by_cdx=split_by_cdx,
+        split_bytes=split_bytes, task_partitions=task_partitions))
 
 
 # ---------------------------------------------------------------------------

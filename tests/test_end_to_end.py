@@ -32,8 +32,12 @@ def test_warc_to_crawl_to_curate_to_shards(spark, tmp_path):
                       F.col("html").alias("payload")),
         seg_dir, n_files=4).collect()
 
-    # 2. ingest: byte-identical pages table back out of the archive
-    pages = W.pages_from_warc(spark, seg_dir, glob="*.warc.gz")
+    # 2. ingest: byte-identical pages table back out of the archive —
+    # via the CDX-split offset-range path (write_warc wrote sidecars),
+    # so the splittable reader is exercised through the whole journey;
+    # tiny split_bytes forces real multi-split planning even at n=60
+    pages = W.pages_from_warc(spark, seg_dir, glob="*.warc.gz",
+                              split_by_cdx=True, split_bytes=4096)
     got = {r["url"]: bytes(r["html"]) for r in pages.collect()}
     want = {r["url"]: bytes(r["html"])
             for r in origin.select("url", "html").collect()}
