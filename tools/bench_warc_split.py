@@ -15,6 +15,11 @@ exists for.  Also asserts the two reads return identical record counts
 (row-level identity is pytest-gated in tests/test_warc.py).
 
 Run: python tools/bench_warc_split.py [n_pages] [page_kb] [out.json]
+                                      [n_files]
+
+n_files=1 is the headline shape: ONE ~0.5 GB file on 32 cores — the
+whole-file mode is a single serial task there, so the split speedup
+approaches the task-count ratio instead of 2-file's modest 2x ceiling.
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ def main() -> int:
     page_kb = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     out_path = (sys.argv[3] if len(sys.argv) > 3
                 else os.path.join(REPO, "BENCH", "warc_split.json"))
+    n_files = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     spark = (SparkSession.builder.master("local[32]")
              .config("spark.sql.shuffle.partitions", "32")
              .config("spark.driver.memory", "10g")
@@ -46,7 +52,7 @@ def main() -> int:
 
     # size params in the cache path: a re-run with different n_pages/
     # page_kb builds fresh instead of tripping the count assert below
-    seg = f"/tmp/warc_split_bench_seg_{n_pages}x{page_kb}"
+    seg = f"/tmp/warc_split_bench_seg_{n_pages}x{page_kb}x{n_files}"
     if not os.path.exists(os.path.join(seg, "_DONE")):
         # deterministic poorly-compressing payloads so the archive has
         # real bulk: per-page sha2-chained hex blocks (64 B each),
@@ -64,7 +70,7 @@ def main() -> int:
                      F.col("id").cast("string")).alias("url"),
             F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
             payload.alias("payload"))
-        W.write_warc(pages, seg, n_files=2).collect()
+        W.write_warc(pages, seg, n_files=n_files).collect()
         open(os.path.join(seg, "_DONE"), "w").close()
     total_mb = sum(os.path.getsize(os.path.join(seg, f))
                    for f in os.listdir(seg) if f.endswith(".warc.gz")) / 2**20
@@ -91,14 +97,14 @@ def main() -> int:
         "unit": "x (whole-file / split wall)",
         "archive_mb": round(total_mb, 1),
         "n_records": n_pages,
-        "n_files": 2,
+        "n_files": n_files,
         "split_bytes": split_bytes,
         "n_split_tasks": n_tasks,
         "whole_file_secs": round(t_whole, 2),
         "split_secs": round(t_split, 2),
         "records_per_sec_split": round(n_pages / t_split, 1),
         "ts": datetime.now(timezone.utc).isoformat(),
-        "config": "local[32]; 2-file segment; split_bytes=8MiB",
+        "config": f"local[32]; {n_files}-file segment; split_bytes=8MiB",
     }
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
