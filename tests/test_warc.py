@@ -452,6 +452,27 @@ def test_split_by_cdx_rows_identical_to_unsplit(spark, tmp_path):
                            split_bytes=512)).collect()}
     assert got == {u: b for u, t, b in pages}
 
+def test_split_by_cdx_task_partitions_override(spark, tmp_path):
+    """task_partitions pins the split-task spread count (the Spark
+    Connect escape hatch — no sparkContext needed) without changing
+    the rows."""
+    pages = _mk_pages(24)
+    df = spark.createDataFrame(
+        [(u, t, b) for u, t, b in pages],
+        "url string, warc_ts timestamp, payload binary")
+    out = str(tmp_path / "seg")
+    W.write_warc(df, out, n_files=2).collect()
+
+    rd = W.read_warc(spark, out, split_by_cdx=True, split_bytes=512,
+                     task_partitions=7)
+    assert rd.rdd.getNumPartitions() == 7
+    assert sorted(r["url"] for r in rd.collect()) == sorted(
+        u for u, _, _ in pages)
+    # default path: sized from the session, at least 16
+    assert (W.read_warc(spark, out, split_by_cdx=True, split_bytes=512)
+            .rdd.getNumPartitions() >= 16)
+
+
 def test_split_by_cdx_incomplete_index_exact_and_invariant(spark, tmp_path):
     """A foreign CDX that indexes only SOME members (e.g. CC indexes
     that skip request records): the split reader returns EXACTLY the
