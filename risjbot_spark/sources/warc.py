@@ -43,7 +43,7 @@ from datetime import datetime, timezone
 from typing import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -421,7 +421,12 @@ def _split_task_partitions(spark: SparkSession,
     try:
         cores = 2 * spark.sparkContext.defaultParallelism
     except Exception:  # Spark Connect: no sparkContext
-        cores = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        try:
+            cores = int(spark.conf.get("spark.sql.shuffle.partitions",
+                                       "200"))
+        except (TypeError, ValueError):
+            # e.g. AQE auto-optimized shuffle reports "auto"
+            cores = 200
     return max(cores, 16)
 
 
@@ -481,18 +486,29 @@ def read_warc_splits(spark: SparkSession, path: str, *,
              .alias("split_id"))
         .agg(F.sort_array(F.collect_list(F.struct("offset", "length")))
               .alias("extents"))
-        # one shuffle over split SPECS, never over record bytes. The
-        # partition count MUST be explicit: the spec rows are a few KB,
-        # so AQE's small-partition coalescing would otherwise fuse ALL
-        # splits into one task (measured: a 36-split read ran serially,
-        # slower than the whole-file mode it exists to beat) — AQE
-        # optimizes for shuffle bytes and can't see that each spec row
-        # fans out into megabytes of range-read work downstream.
-        # Round-robin (no columns), not hash: each group is one row, so
-        # hashing (file, split_id) would stack ~1/e of the splits onto
-        # shared tasks by collision while leaving others empty —
-        # round-robin guarantees one split per task up to the count
-        .repartition(_split_task_partitions(spark, task_partitions))
+        # spread the split SPECS across tasks — only spec structs ever
+        # shuffle, never record bytes. The partition count MUST be
+        # explicit: the spec rows are a few KB, so AQE's small-partition
+        # coalescing would otherwise fuse ALL splits into one task
+        # (measured: a 36-split read ran serially, slower than the
+        # whole-file mode it exists to beat) — AQE optimizes for shuffle
+        # bytes and can't see that each spec row fans out into megabytes
+        # of range-read work downstream. The assignment must also be
+        # DETERMINISTIC-BALANCED: hashing (file, split_id) — one row per
+        # group — stacks ~1/e of the splits onto shared tasks by
+        # collision, and bare round-robin only balances when AQE has
+        # coalesced the groupBy output to a single upstream partition
+        # (each upstream partition round-robins from its own random
+        # start). A global row_number over the tiny spec set (the
+        # single-partition window is fine: specs are KBs even for a
+        # 100 TB archive) + repartitionByRange yields contiguous
+        # ±1-balanced chunks regardless of AQE or upstream layout.
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.orderBy("file", "split_id")))
+        .repartitionByRange(
+            _split_task_partitions(spark, task_partitions), F.col("_rn"))
+        .drop("_rn")
     )
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

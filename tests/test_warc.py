@@ -468,9 +468,17 @@ def test_split_by_cdx_task_partitions_override(spark, tmp_path):
     assert rd.rdd.getNumPartitions() == 7
     assert sorted(r["url"] for r in rd.collect()) == sorted(
         u for u, _, _ in pages)
-    # default path: sized from the session, at least 16
-    assert (W.read_warc(spark, out, split_by_cdx=True, split_bytes=512)
-            .rdd.getNumPartitions() >= 16)
+    # default path: range spread caps at the split-group count when
+    # that's below the session-sized target — one split per task,
+    # no empty padding partitions
+    from pyspark.sql import functions as F
+    n_groups = (W.read_cdx(spark, out)
+                .groupBy("file", F.floor(F.col("offset") / 512))
+                .count().count())
+    got = (W.read_warc(spark, out, split_by_cdx=True, split_bytes=512)
+           .rdd.getNumPartitions())
+    assert got == min(n_groups, max(
+        2 * spark.sparkContext.defaultParallelism, 16))
 
 
 def test_split_by_cdx_incomplete_index_exact_and_invariant(spark, tmp_path):

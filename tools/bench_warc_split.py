@@ -84,12 +84,17 @@ def main() -> int:
     W.read_warc(spark, seg, glob="*.warc.gz").count()
     n_whole, t_whole = timed(W.read_warc(spark, seg, glob="*.warc.gz"))
     split_bytes = 8 << 20
-    n_split, t_split = timed(W.read_warc(spark, seg, split_by_cdx=True,
-                                         split_bytes=split_bytes))
+    split_df = W.read_warc(spark, seg, split_by_cdx=True,
+                           split_bytes=split_bytes)
+    n_split, t_split = timed(split_df)
     assert n_whole == n_split == n_pages, (n_whole, n_split)
-    n_tasks = (W.read_cdx(spark, seg)
-               .groupBy("file", F.floor(F.col("offset") / split_bytes))
-               .count().count())
+    n_groups = (W.read_cdx(spark, seg)
+                .groupBy("file", F.floor(F.col("offset") / split_bytes))
+                .count().count())
+    # ACTUAL concurrency: the range spread caps tasks at its partition
+    # count, so reporting the raw group count would overstate the
+    # parallelism the speedup was measured at
+    n_tasks = min(n_groups, split_df.rdd.getNumPartitions())
 
     result = {
         "metric": "warc_split_read_speedup",
@@ -99,6 +104,7 @@ def main() -> int:
         "n_records": n_pages,
         "n_files": n_files,
         "split_bytes": split_bytes,
+        "n_split_groups": n_groups,
         "n_split_tasks": n_tasks,
         "whole_file_secs": round(t_whole, 2),
         "split_secs": round(t_split, 2),

@@ -529,13 +529,14 @@ def main() -> None:
                              split_bytes=512))
     sections.append(("warc_cdx_split_read (offset-range tasks)", p))
     check("warc_cdx_split_read",
-          len(re.findall(r"Exchange \(\d+\)", p)) == 2
+          len(re.findall(r"Exchange \(\d+\)", p)) == 3
           and "hashpartitioning(file" in p
-          and re.search(r"(?i)roundrobin", p) is not None,
+          and re.search(r"(?i)rangepartitioning\(_rn", p) is not None,
           "exchanges move only extent SPECS (groupBy hash + the "
-          "explicit ROUND-ROBIN task spread — one split per task, no "
-          "hash-collision stacking, AQE can't fuse it); record bytes "
-          "never cross an exchange")
+          "KB-sized single-partition row_number window + the explicit "
+          "RANGE spread on _rn — contiguous ±1-balanced split tasks "
+          "regardless of AQE, no hash-collision stacking); record "
+          "bytes never cross an exchange")
     check("warc_cdx_split_read",
           "MapInPandas" in p and "binaryFile" not in p,
           "ranges read inside the Arrow task off the .cdx index — the "
