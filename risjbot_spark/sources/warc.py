@@ -234,9 +234,14 @@ def _parse_header_block(block: bytes) -> dict:
     return headers
 
 
-def _split_http_envelope(body: bytes) -> tuple[int | None, dict, bytes]:
+def _split_http_envelope(body: bytes, *, with_headers: bool = True,
+                         ) -> tuple[int | None, dict, bytes]:
     """HTTP response envelope -> (status, headers, payload). Returns
-    (None, {}, body) when the body is not an HTTP message."""
+    (None, {}, body) when the body is not an HTTP message.
+
+    with_headers=False skips building the header dict (returns {}) —
+    the hot parse path only needs status+payload, and the dict build
+    is ~10% of per-record parse time."""
     if not body.startswith(b"HTTP/"):
         return None, {}, body
     head, sep, payload = body.partition(CRLF + CRLF)
@@ -247,7 +252,9 @@ def _split_http_envelope(body: bytes) -> tuple[int | None, dict, bytes]:
         status = int(lines[0].split()[1])
     except (IndexError, ValueError):
         return None, {}, body
-    return status, _parse_header_block(CRLF.join(lines[1:])), payload
+    headers = (_parse_header_block(CRLF.join(lines[1:]))
+               if with_headers else {})
+    return status, headers, payload
 
 
 def parse_warc_bytes(data: bytes, *, file: str = "") -> Iterator[dict]:
@@ -288,10 +295,19 @@ def parse_warc_bytes(data: bytes, *, file: str = "") -> Iterator[dict]:
             raw_date = headers.get("warc-date")
             ts = None
             if raw_date:
-                try:
-                    ts = datetime.strptime(
-                        raw_date, "%Y-%m-%dT%H:%M:%SZ")
-                except ValueError:
+                # fast path for the spec's fixed-width form
+                # YYYY-MM-DDTHH:MM:SSZ — strptime is ~8x slower and was
+                # ~20% of whole-record parse time
+                if (len(raw_date) == 20 and raw_date[10] == "T"
+                        and raw_date.endswith("Z")):
+                    try:
+                        ts = datetime(
+                            int(raw_date[0:4]), int(raw_date[5:7]),
+                            int(raw_date[8:10]), int(raw_date[11:13]),
+                            int(raw_date[14:16]), int(raw_date[17:19]))
+                    except ValueError:
+                        ts = None
+                if ts is None:
                     try:
                         ts = datetime.fromisoformat(
                             raw_date.replace("Z", "+00:00")
@@ -302,7 +318,8 @@ def parse_warc_bytes(data: bytes, *, file: str = "") -> Iterator[dict]:
             status = None
             payload = body
             if content_type.startswith("application/http"):
-                status, _http_headers, payload = _split_http_envelope(body)
+                status, _, payload = _split_http_envelope(
+                    body, with_headers=False)
             yield {
                 "file": file,
                 "rec_type": rec_type,
