@@ -857,3 +857,187 @@ def robots_from_pages(pages: DataFrame) -> DataFrame:
                     ord_.alias("_ord"))
             .groupBy("host")
             .agg(F.max_by("robots_txt", "_ord").alias("robots_txt")))
+
+
+# ---------------------------------------------------------------------------
+# Two-level CDX cluster index (Common Crawl's layout for point lookups
+# into a multi-PB archive: globally SORTED cdx shards plus a tiny
+# `cluster.idx` secondary index listing every Nth key — a URL resolves
+# with two seeks and ZERO Spark jobs.  Public layout reference: the
+# commoncrawl cc-index buckets ship exactly this shape — sorted
+# cdx-NNNNN.gz parts + cluster.idx.)
+# ---------------------------------------------------------------------------
+
+CDX_CLUSTER_MANIFEST_SCHEMA = T.StructType([
+    T.StructField("file", T.StringType()),
+    T.StructField("n_lines", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("first_key", T.StringType()),
+    T.StructField("last_key", T.StringType()),
+])
+
+
+def _cluster_sorted_index(idx: DataFrame, *, shards: int) -> DataFrame:
+    """The global-sort plan write_cdx_cluster executes (exposed for the
+    plan audit): ONE range exchange over index structs — never payload
+    bytes.  Ties on (urlkey, ts) break by offset so re-runs produce
+    byte-identical shards."""
+    return (idx
+            .repartitionByRange(int(shards), "urlkey", "cdx_ts", "offset")
+            .sortWithinPartitions("urlkey", "cdx_ts", "offset"))
+
+
+def write_cdx_cluster(spark: SparkSession, archive_dir: str,
+                      out_dir: str, *, shards: int = 64,
+                      block: int = 3000,
+                      cdx_glob: str = "*.cdx") -> DataFrame:
+    """Build the two-level index from an archive's per-part sidecars:
+    `out_dir/cdx-NNNNN` shards globally sorted by (urlkey, ts, offset)
+    and `out_dir/cluster.idx` with one line per `block` records.
+
+    The build is the canonical distributed sorted-index pattern: ONE
+    range exchange over index STRUCTS (a few bytes per archived
+    record — never payload bytes), each task streaming its sorted
+    slice straight to its shard file while sampling every block-th
+    line into the secondary index.  Shard lines use the exact sidecar
+    line format, so `read_cdx(out_dir, glob="cdx-*")` reads the
+    clustered index distributed too.
+
+    `out_dir` must be a directory openable from executors (same
+    contract as write_warc).  Returns the per-shard manifest.
+    Lookups: `cdx_cluster_lookup` (driver-side, no Spark jobs)."""
+    import glob as _glob
+    import os as _os
+
+    idx = read_cdx(spark, archive_dir, glob=cdx_glob)
+    if not idx.limit(1).take(1):
+        raise ValueError(
+            f"write_cdx_cluster: no {cdx_glob!r} sidecars under "
+            f"{archive_dir!r} — write_warc(cdx=True) writes them")
+
+    _os.makedirs(out_dir, exist_ok=True)
+    # stale-output cleanup, the write_warc idiom: a previous build with
+    # MORE shards would otherwise leave orphans that poison lookups
+    for old in (_glob.glob(_os.path.join(out_dir, "cdx-*"))
+                + _glob.glob(_os.path.join(out_dir, "cluster.idx"))
+                + _glob.glob(_os.path.join(out_dir, ".cluster-*.part*"))):
+        _os.remove(old)
+
+    n_block = int(block)
+    if n_block < 1:
+        raise ValueError("block must be >= 1")
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = f"cdx-{pid:05d}"
+        path = _os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        n_lines = 0
+        n_bytes = 0
+        first_key = last_key = None
+        cluster: list[str] = []
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    line = (f"{r.urlkey} {r.cdx_ts} {r.url} "
+                            f"{r.offset} {r.length} {r.file}\n")
+                    if n_lines % n_block == 0:
+                        cluster.append(
+                            f"{r.urlkey} {r.cdx_ts}\t{name}\t"
+                            f"{n_bytes}\n")
+                    fh.write(line)
+                    n_bytes += len(line.encode("utf-8"))
+                    n_lines += 1
+                    if first_key is None:
+                        first_key = r.urlkey
+                    last_key = r.urlkey
+        if n_lines == 0:
+            _os.remove(tmp)
+            yield pd.DataFrame(
+                [], columns=[f.name for f in
+                             CDX_CLUSTER_MANIFEST_SCHEMA.fields])
+            return
+        _os.replace(tmp, path)
+        cname = _os.path.join(out_dir, f".cluster-{pid:05d}.part")
+        with open(cname + ".tmp", "w", encoding="utf-8") as fh:
+            fh.writelines(cluster)
+        _os.replace(cname + ".tmp", cname)
+        yield pd.DataFrame(
+            [(name, n_lines, n_bytes, first_key, last_key)],
+            columns=[f.name for f in CDX_CLUSTER_MANIFEST_SCHEMA.fields])
+
+    manifest = (
+        _cluster_sorted_index(idx, shards=shards)
+        .mapInPandas(_write, schema=CDX_CLUSTER_MANIFEST_SCHEMA)
+    ).collect()
+
+    # assemble cluster.idx from the per-shard samples, in shard order
+    # (shard files are range-partitioned, so concatenation IS the
+    # global order); driver cost is O(records / block) — tiny
+    parts = sorted(_glob.glob(_os.path.join(out_dir, ".cluster-*.part")))
+    with open(_os.path.join(out_dir, "cluster.idx.tmp"), "w",
+              encoding="utf-8") as out:
+        for p in parts:
+            with open(p, encoding="utf-8") as fh:
+                out.write(fh.read())
+            _os.remove(p)
+    _os.replace(_os.path.join(out_dir, "cluster.idx.tmp"),
+                _os.path.join(out_dir, "cluster.idx"))
+    return spark.createDataFrame(manifest, CDX_CLUSTER_MANIFEST_SCHEMA)
+
+
+def cdx_cluster_lookup(out_dir: str, url: str, *,
+                       newest_only: bool = False) -> list[dict]:
+    """Point lookup against a write_cdx_cluster index — pure driver
+    code, zero Spark jobs, two seeks: binary-search `cluster.idx` for
+    the candidate block, then scan forward from the last block whose
+    first key sorts strictly below the target (equal keys can straddle
+    block and shard boundaries) until the sorted stream passes the
+    target.  Returns CDX rows (urlkey, cdx_ts, url, offset, length,
+    file), oldest capture first; [] when the URL was never archived."""
+    import bisect
+    import os as _os
+
+    key = surt_key(url)
+    cpath = _os.path.join(out_dir, "cluster.idx")
+    entries: list[tuple[str, str, int]] = []  # (first_key, shard, off)
+    with open(cpath, encoding="utf-8") as fh:
+        for line in fh:
+            head, shard, off = line.rstrip("\n").split("\t")
+            entries.append((head.split(" ", 1)[0], shard, int(off)))
+    if not entries:
+        return []
+    # start at the last block whose first key < target (a block whose
+    # first key == target may continue a run begun in the previous one)
+    i = bisect.bisect_left([e[0] for e in entries], key)
+    start = max(0, i - 1)
+    out: list[dict] = []
+    for j in range(start, len(entries)):
+        first_key, shard, off = entries[j]
+        if first_key > key:
+            break
+        end = (entries[j + 1][2]
+               if j + 1 < len(entries) and entries[j + 1][1] == shard
+               else None)
+        # binary mode: cluster offsets are BYTE offsets, and text-mode
+        # seek to an arbitrary byte lands mid-codepoint on non-ASCII keys
+        with open(_os.path.join(out_dir, shard), "rb") as fh:
+            fh.seek(off)
+            raw = fh.read() if end is None else fh.read(end - off)
+        done = False
+        for line in raw.decode("utf-8").splitlines():
+            urlkey, ts, u, offset, length, fname = line.split(" ", 5)
+            if urlkey > key:
+                done = True
+                break
+            if urlkey == key:
+                out.append({"urlkey": urlkey, "cdx_ts": ts, "url": u,
+                            "offset": int(offset),
+                            "length": int(length), "file": fname})
+        if done:
+            break
+    if newest_only and out:
+        out = [max(out, key=lambda r: r["cdx_ts"])]
+    return out

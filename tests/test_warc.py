@@ -541,3 +541,83 @@ def test_split_by_cdx_honors_glob_and_raises_without_index(spark, tmp_path):
         dest.write_bytes(p.read_bytes())
     with pytest.raises(ValueError, match="no '\\*\\.cdx' sidecars"):
         W.read_warc(spark, bare, split_by_cdx=True).collect()
+
+
+def test_cdx_cluster_build_and_lookup(spark, tmp_path):
+    """Two-level cluster index: globally sorted shards + cluster.idx;
+    driver-side point lookups agree with the full index for every url,
+    including multi-capture runs that straddle block/shard boundaries."""
+    import pathlib
+    rows = []
+    for i in range(60):
+        rows.append((f"https://ex{i % 7}.org/p/{i}", _ts(i),
+                     f"<html>{i}</html>".encode()))
+    # one hot url with many captures — forces an equal-key run across
+    # block boundaries at block=4
+    for j in range(10):
+        rows.append(("https://hot.org/page", _ts(100 + j),
+                     f"<html>capture {j}</html>".encode()))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload binary")
+    seg = str(tmp_path / "seg")
+    W.write_warc(df, seg, n_files=3).collect()
+
+    out = str(tmp_path / "cluster")
+    man = W.write_cdx_cluster(spark, seg, out, shards=4, block=4)
+    shards = sorted(r["file"] for r in man.collect())
+    assert shards and all(s.startswith("cdx-") for s in shards)
+    assert (pathlib.Path(out) / "cluster.idx").exists()
+
+    # the clustered shards are themselves a readable CDX, same row set
+    base = {(r["urlkey"], r["cdx_ts"], r["offset"], r["length"], r["file"])
+            for r in W.read_cdx(spark, seg).collect()}
+    clus = {(r["urlkey"], r["cdx_ts"], r["offset"], r["length"], r["file"])
+            for r in W.read_cdx(spark, out, glob="cdx-*").collect()}
+    assert clus == base and len(base) == 70
+
+    # global sortedness across shard-file concatenation
+    lines = []
+    for s in shards:
+        lines += (pathlib.Path(out) / s).read_text().splitlines()
+    keys = [(ln.split(" ")[0], ln.split(" ")[1]) for ln in lines]
+    assert keys == sorted(keys)
+
+    # every url resolves identically to the full index; a url with one
+    # capture, the hot url, and a never-archived url
+    idx_rows = W.read_cdx(spark, seg).collect()
+    by_url = {}
+    for r in idx_rows:
+        by_url.setdefault(r["url"], set()).add(
+            (r["cdx_ts"], r["offset"], r["length"], r["file"]))
+    for url, want in by_url.items():
+        got = {(r["cdx_ts"], r["offset"], r["length"], r["file"])
+               for r in W.cdx_cluster_lookup(out, url)}
+        assert got == want, url
+    assert len(W.cdx_cluster_lookup(out, "https://hot.org/page")) == 10
+    assert W.cdx_cluster_lookup(out, "https://never.example/x") == []
+
+    # newest_only picks the max capture timestamp
+    newest = W.cdx_cluster_lookup(out, "https://hot.org/page",
+                                  newest_only=True)
+    assert len(newest) == 1
+    assert newest[0]["cdx_ts"] == max(
+        t for t, *_ in by_url["https://hot.org/page"])
+
+    # the looked-up extent serves the record bytes (two-seek fetch)
+    ext = newest[0]
+    rec = W.fetch_record(str(pathlib.Path(seg) / ext["file"]),
+                         ext["offset"], ext["length"])
+    assert rec["url"] == "https://hot.org/page"
+    assert bytes(rec["payload"]) == b"<html>capture 9</html>"
+
+    # rebuild is byte-identical (deterministic index)
+    import hashlib
+    def digest():
+        h = hashlib.sha256()
+        for s in sorted(pathlib.Path(out).glob("cdx-*")):
+            h.update(s.read_bytes())
+        h.update((pathlib.Path(out) / "cluster.idx").read_bytes())
+        return h.hexdigest()
+    d1 = digest()
+    W.write_cdx_cluster(spark, seg, out, shards=4, block=4)
+    assert digest() == d1

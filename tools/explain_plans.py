@@ -542,6 +542,20 @@ def main() -> None:
           "ranges read inside the Arrow task off the .cdx index — the "
           "whole-file binaryFile scan is gone")
 
+    # --- CDX cluster index build: the global sort that backs the
+    # two-level point-lookup index moves index STRUCTS through exactly
+    # one range exchange; no payload bytes, no binaryFile scan
+    p = plan_of(_W._cluster_sorted_index(_W.read_cdx(spark, _wdir),
+                                         shards=4))
+    sections.append(("warc_cdx_cluster_build (global sorted shards)", p))
+    check("warc_cdx_cluster_build",
+          len(re.findall(r"Exchange \(\d+\)", p)) == 1
+          and re.search(r"(?i)rangepartitioning\(urlkey", p) is not None
+          and "binaryFile" not in p,
+          "ONE range exchange over index structs (urlkey, ts, offset) "
+          "builds the globally sorted shards; payload bytes never "
+          "enter the plan")
+
     ok = all(c[1] for c in checks)
     lines = ["# PLANS — physical-plan audit\n",
              f"Generated by tools/explain_plans.py at sf dir `{SF}`.\n",
