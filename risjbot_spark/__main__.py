@@ -142,6 +142,28 @@ def build_parser() -> argparse.ArgumentParser:
                          "source,lang); one corpus-wide row if omitted")
     st.add_argument("--out", default=None,
                     help="also write the table as JSON here")
+
+    cx = sub.add_parser(
+        "cdx",
+        help="two-level CDX cluster index: `build` globally sorts an "
+             "archive's sidecars into cdx shards + cluster.idx (one "
+             "Spark range exchange); `lookup` resolves a URL with two "
+             "seeks and ZERO Spark jobs")
+    cx.add_argument("action", choices=["build", "lookup"])
+    cx.add_argument("--index", required=True,
+                    help="cluster index directory (build output / "
+                         "lookup input)")
+    cx.add_argument("--archive", default=None,
+                    help="WARC segment dir with .cdx sidecars "
+                         "(build; lookup --fetch reads records there)")
+    cx.add_argument("--shards", type=int, default=64)
+    cx.add_argument("--block", type=int, default=3000)
+    cx.add_argument("--url", default=None, help="lookup target")
+    cx.add_argument("--newest", action="store_true",
+                    help="newest capture only")
+    cx.add_argument("--fetch", action="store_true",
+                    help="also fetch the matched record(s) and print "
+                         "type/status/payload size (needs --archive)")
     return p
 
 
@@ -271,6 +293,49 @@ def main(argv=None, spark=None) -> int:
                 _json.dump(rows, f, indent=2, default=str)
         if own_session:
             spark.stop()
+        return 0
+
+    if args.cmd == "cdx":
+        import os as _os
+
+        from .sources import warc as _warc
+
+        if args.action == "build":
+            if not args.archive:
+                raise SystemExit("cdx build needs --archive")
+            spark = spark or _session()
+            man = _warc.write_cdx_cluster(
+                spark, args.archive, args.index,
+                shards=args.shards, block=args.block).collect()
+            print(f"cluster index -> {args.index}: "
+                  f"{len(man)} shards, "
+                  f"{sum(r['n_lines'] for r in man)} records")
+            if own_session:
+                spark.stop()
+            return 0
+        # lookup: pure driver code — deliberately NO SparkSession, the
+        # point of the two-level index is point reads without a job
+        if not args.url:
+            raise SystemExit("cdx lookup needs --url")
+        hits = _warc.cdx_cluster_lookup(args.index, args.url,
+                                        newest_only=args.newest)
+        for h in hits:
+            line = (f"{h['cdx_ts']} {h['file']} "
+                    f"{h['offset']}+{h['length']}")
+            if args.fetch:
+                if not args.archive:
+                    raise SystemExit("cdx lookup --fetch needs "
+                                     "--archive")
+                rec = _warc.fetch_record(
+                    _os.path.join(args.archive, h["file"]),
+                    h["offset"], h["length"])
+                line += (f" {rec['rec_type']}"
+                         f" status={rec['http_status']}"
+                         f" payload={len(rec['payload'])}B")
+            print(line)
+        if not hits:
+            print("no captures")
+            return 1
         return 0
 
     # crawl

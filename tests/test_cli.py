@@ -228,3 +228,34 @@ def test_cli_link_rank_flags(spark, tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(wh, "link_edges"))
     assert os.path.exists(os.path.join(wh, "link_ranks", "_SUCCESS"))
+
+
+def test_cli_cdx_build_and_lookup(spark, tmp_path, capsys):
+    from risjbot_spark.sources import warc as W
+    from datetime import datetime
+    rows = [(f"https://ex{i % 3}.org/p/{i}",
+             datetime(2026, 1, 1, 0, 0, i % 60),
+             f"<html>{i}</html>".encode()) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload binary")
+    seg = str(tmp_path / "seg")
+    W.write_warc(df, seg, n_files=2).collect()
+    cidx = str(tmp_path / "cidx")
+
+    rc = main(["cdx", "build", "--archive", seg, "--index", cidx,
+               "--shards", "3", "--block", "4"], spark=spark)
+    assert rc == 0
+    assert "cluster index ->" in capsys.readouterr().out
+
+    # lookup runs WITHOUT a SparkSession (spark=None) — zero jobs
+    rc = main(["cdx", "lookup", "--index", cidx,
+               "--url", "https://ex1.org/p/4", "--newest",
+               "--fetch", "--archive", seg])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "status=200" in out and "+"  in out
+
+    rc = main(["cdx", "lookup", "--index", cidx,
+               "--url", "https://never.example/x"])
+    assert rc == 1
+    assert "no captures" in capsys.readouterr().out
