@@ -49,6 +49,10 @@ from pyspark.sql import types as T
 
 CRLF = b"\r\n"
 _GZ_MAGIC = b"\x1f\x8b"
+# the spec's fixed-width WARC-Date form, guarded strictly (see the
+# parse fast path): digits and separators both checked
+_WARC_DATE_RE = re.compile(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$",
+                           re.ASCII)
 
 # Parsed-record rows (superset of PAGES_SCHEMA: rec_type/content_type
 # let callers keep request/metadata records when they want them).
@@ -297,9 +301,12 @@ def parse_warc_bytes(data: bytes, *, file: str = "") -> Iterator[dict]:
             if raw_date:
                 # fast path for the spec's fixed-width form
                 # YYYY-MM-DDTHH:MM:SSZ — strptime is ~8x slower and was
-                # ~20% of whole-record parse time
-                if (len(raw_date) == 20 and raw_date[10] == "T"
-                        and raw_date.endswith("Z")):
+                # ~20% of whole-record parse time. The anchored regex
+                # guard (C-level, ~strptime/15) keeps the slicing as
+                # strict as strptime was: separators AND digits checked,
+                # so a malformed 20-char date still yields ts=None
+                # instead of silently mis-parsing
+                if _WARC_DATE_RE.match(raw_date):
                     try:
                         ts = datetime(
                             int(raw_date[0:4]), int(raw_date[5:7]),
@@ -868,6 +875,11 @@ def robots_from_pages(pages: DataFrame) -> DataFrame:
 # cdx-NNNNN.gz parts + cluster.idx.)
 # ---------------------------------------------------------------------------
 
+# cdx_cluster_lookup's parsed-cluster.idx memo: {(path, mtime_ns,
+# size): (entries, first_keys)}; single-slot — lookups target one
+# index at a time and a 1M-line parse is the cost being amortized
+_CLUSTER_IDX_CACHE: dict = {}
+
 CDX_CLUSTER_MANIFEST_SCHEMA = T.StructType([
     T.StructField("file", T.StringType()),
     T.StructField("n_lines", T.LongType()),
@@ -880,11 +892,20 @@ CDX_CLUSTER_MANIFEST_SCHEMA = T.StructType([
 def _cluster_sorted_index(idx: DataFrame, *, shards: int) -> DataFrame:
     """The global-sort plan write_cdx_cluster executes (exposed for the
     plan audit): ONE range exchange over index structs — never payload
-    bytes.  Ties on (urlkey, ts) break by offset so re-runs produce
-    byte-identical shards."""
+    bytes.  Ties on (urlkey, ts) break by offset, so the concatenated
+    LINE SEQUENCE (the index content lookups read) is deterministic.
+    Per-shard byte identity additionally requires stable range BOUNDS:
+    exact below RangePartitioner's sampling threshold (the tests'
+    regime); at sampling scale two builds may cut shard boundaries
+    differently — same global order, different cdx-NNNNN splits."""
+    # (urlkey, ts, offset, file) is a TOTAL order — one file cannot
+    # hold two records at one offset — so the global line sequence is
+    # fully determined even when case-variant urls share a urlkey+ts
+    # across different part files
     return (idx
-            .repartitionByRange(int(shards), "urlkey", "cdx_ts", "offset")
-            .sortWithinPartitions("urlkey", "cdx_ts", "offset"))
+            .repartitionByRange(int(shards),
+                                "urlkey", "cdx_ts", "offset", "file")
+            .sortWithinPartitions("urlkey", "cdx_ts", "offset", "file"))
 
 
 def write_cdx_cluster(spark: SparkSession, archive_dir: str,
@@ -938,7 +959,10 @@ def write_cdx_cluster(spark: SparkSession, archive_dir: str,
         n_bytes = 0
         first_key = last_key = None
         cluster: list[str] = []
-        with open(tmp, "w", encoding="utf-8") as fh:
+        # newline="" everywhere: cluster.idx stores BYTE offsets
+        # computed from the encoded lines — platform newline
+        # translation would silently shift every offset after block 0
+        with open(tmp, "w", encoding="utf-8", newline="") as fh:
             for pdf in batches:
                 for r in pdf.itertuples(index=False):
                     line = (f"{r.urlkey} {r.cdx_ts} {r.url} "
@@ -961,7 +985,8 @@ def write_cdx_cluster(spark: SparkSession, archive_dir: str,
             return
         _os.replace(tmp, path)
         cname = _os.path.join(out_dir, f".cluster-{pid:05d}.part")
-        with open(cname + ".tmp", "w", encoding="utf-8") as fh:
+        with open(cname + ".tmp", "w", encoding="utf-8",
+                  newline="") as fh:
             fh.writelines(cluster)
         _os.replace(cname + ".tmp", cname)
         yield pd.DataFrame(
@@ -978,9 +1003,9 @@ def write_cdx_cluster(spark: SparkSession, archive_dir: str,
     # global order); driver cost is O(records / block) — tiny
     parts = sorted(_glob.glob(_os.path.join(out_dir, ".cluster-*.part")))
     with open(_os.path.join(out_dir, "cluster.idx.tmp"), "w",
-              encoding="utf-8") as out:
+              encoding="utf-8", newline="") as out:
         for p in parts:
-            with open(p, encoding="utf-8") as fh:
+            with open(p, encoding="utf-8", newline="") as fh:
                 out.write(fh.read())
             _os.remove(p)
     _os.replace(_os.path.join(out_dir, "cluster.idx.tmp"),
@@ -996,22 +1021,39 @@ def cdx_cluster_lookup(out_dir: str, url: str, *,
     first key sorts strictly below the target (equal keys can straddle
     block and shard boundaries) until the sorted stream passes the
     target.  Returns CDX rows (urlkey, cdx_ts, url, offset, length,
-    file), oldest capture first; [] when the URL was never archived."""
+    file), oldest capture first; [] when the URL was never archived.
+
+    cluster.idx is parsed once and memoized by (path, mtime, size) —
+    at CC scale (3B records / block=3000 → ~1M lines) the first lookup
+    pays the ~1 s load, batch lookups after it pay only the two seeks;
+    a rebuild (new mtime/size) invalidates the cache."""
     import bisect
     import os as _os
 
-    key = surt_key(url)
+    # the index was keyed over the WRITER'S header-safe form of the
+    # url (percent-encoded IRIs, encoded spaces) — key the probe
+    # identically or archived non-ASCII urls silently miss
+    key = surt_key(_header_safe_uri(url))
     cpath = _os.path.join(out_dir, "cluster.idx")
-    entries: list[tuple[str, str, int]] = []  # (first_key, shard, off)
-    with open(cpath, encoding="utf-8") as fh:
-        for line in fh:
-            head, shard, off = line.rstrip("\n").split("\t")
-            entries.append((head.split(" ", 1)[0], shard, int(off)))
+    st = _os.stat(cpath)
+    cache_key = (cpath, st.st_mtime_ns, st.st_size)
+    cached = _CLUSTER_IDX_CACHE.get(cache_key)
+    if cached is None:
+        entries: list[tuple[str, str, int]] = []  # (first_key, shard, off)
+        with open(cpath, encoding="utf-8", newline="\n") as fh:
+            for line in fh:
+                head, shard, off = line.rstrip("\n").split("\t")
+                entries.append((head.split(" ", 1)[0], shard, int(off)))
+        firsts = [e[0] for e in entries]
+        _CLUSTER_IDX_CACHE.clear()   # hold ONE index at a time
+        _CLUSTER_IDX_CACHE[cache_key] = (entries, firsts)
+    else:
+        entries, firsts = cached
     if not entries:
         return []
     # start at the last block whose first key < target (a block whose
     # first key == target may continue a run begun in the previous one)
-    i = bisect.bisect_left([e[0] for e in entries], key)
+    i = bisect.bisect_left(firsts, key)
     start = max(0, i - 1)
     out: list[dict] = []
     for j in range(start, len(entries)):

@@ -621,3 +621,54 @@ def test_cdx_cluster_build_and_lookup(spark, tmp_path):
     d1 = digest()
     W.write_cdx_cluster(spark, seg, out, shards=4, block=4)
     assert digest() == d1
+
+
+def test_warc_date_malformed_20char_yields_none():
+    """A 20-char date with corrupt separators must NOT satisfy the
+    fixed-width fast path: ts falls back and ends None, as strptime
+    behaved."""
+    evil = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://a.org/x\r\n"
+            b"WARC-Date: 2026=01/01T00:00:00Z\r\n"
+            b"Content-Length: 4\r\n\r\nbody\r\n\r\n")
+    rows = list(W.parse_warc_bytes(evil))
+    assert rows[0]["warc_ts"] is None
+    ok = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+          b"WARC-Target-URI: https://a.org/x\r\n"
+          b"WARC-Date: 2026-01-02T03:04:05Z\r\n"
+          b"Content-Length: 4\r\n\r\nbody\r\n\r\n")
+    assert list(W.parse_warc_bytes(ok))[0]["warc_ts"] == datetime(
+        2026, 1, 2, 3, 4, 5)
+
+
+def test_split_http_envelope_with_headers():
+    body = (b"HTTP/1.1 301 Moved\r\nLocation: https://b.org/\r\n"
+            b"X-Thing: v\r\n\r\npayload")
+    status, headers, payload = W._split_http_envelope(body)
+    assert status == 301
+    assert headers == {"location": "https://b.org/", "x-thing": "v"}
+    assert payload == b"payload"
+    s2, h2, p2 = W._split_http_envelope(body, with_headers=False)
+    assert (s2, h2, p2) == (301, {}, b"payload")
+
+
+def test_cdx_cluster_lookup_nonascii_and_space_urls(spark, tmp_path):
+    """The index keys over the WRITER'S header-safe (percent-encoded)
+    url form; the lookup must key its probe identically or archived
+    IRIs / space-bearing urls silently miss."""
+    rows = [("https://ex.org/päge", _ts(1), b"<html>a</html>"),
+            ("https://ex.org/a b", _ts(2), b"<html>b</html>"),
+            ("https://ex.org/plain", _ts(3), b"<html>c</html>")]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload binary")
+    seg = str(tmp_path / "seg")
+    W.write_warc(df, seg, n_files=1).collect()
+    out = str(tmp_path / "cidx")
+    W.write_cdx_cluster(spark, seg, out, shards=2, block=2)
+    for url, _, payload in rows:
+        hits = W.cdx_cluster_lookup(out, url)
+        assert len(hits) == 1, url
+        import pathlib
+        rec = W.fetch_record(str(pathlib.Path(seg) / hits[0]["file"]),
+                             hits[0]["offset"], hits[0]["length"])
+        assert bytes(rec["payload"]) == payload
