@@ -73,6 +73,13 @@ def main() -> int:
             for r in (W.read_cdx(spark, seg)
                       .filter(F.col("url").isin(urls)).collect())}
 
+    # first lookup pays the one-time cluster.idx parse (memoized by
+    # path+mtime+size); report it separately from the steady state
+    t0 = time.perf_counter()
+    first = W.cdx_cluster_lookup(cidx, urls[0])
+    cold_us = (time.perf_counter() - t0) * 1e6
+    assert len(first) == 1
+
     lat_us = []
     for u in urls:
         t0 = time.perf_counter()
@@ -93,6 +100,7 @@ def main() -> int:
         "n_records": n_pages,
         "n_shards": len(man),
         "block": 3000,
+        "lookup_cold_us": round(cold_us, 1),
         "lookup_p50_us": round(statistics.median(lat_us), 1),
         "lookup_p99_us": round(lat_us[int(len(lat_us) * 0.99) - 1], 1),
         "lookup_miss_us": round(miss_us, 1),
