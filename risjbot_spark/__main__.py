@@ -158,6 +158,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "(build; lookup --fetch reads records there)")
     cx.add_argument("--shards", type=int, default=64)
     cx.add_argument("--block", type=int, default=3000)
+    cx.add_argument("--compress", action="store_true",
+                    help="block-aligned gzip shard members (CC's "
+                         "gzipped cc-index shape); lookups still two "
+                         "seeks, decompressing one member")
     cx.add_argument("--url", default=None, help="lookup target")
     cx.add_argument("--newest", action="store_true",
                     help="newest capture only")
@@ -306,7 +310,8 @@ def main(argv=None, spark=None) -> int:
             spark = spark or _session()
             man = _warc.write_cdx_cluster(
                 spark, args.archive, args.index,
-                shards=args.shards, block=args.block).collect()
+                shards=args.shards, block=args.block,
+                compress=args.compress).collect()
             print(f"cluster index -> {args.index}: "
                   f"{len(man)} shards, "
                   f"{sum(r['n_lines'] for r in man)} records")

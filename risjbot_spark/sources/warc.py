@@ -911,10 +911,12 @@ def _cluster_sorted_index(idx: DataFrame, *, shards: int) -> DataFrame:
 def write_cdx_cluster(spark: SparkSession, archive_dir: str,
                       out_dir: str, *, shards: int = 64,
                       block: int = 3000,
+                      compress: bool = False,
                       cdx_glob: str = "*.cdx") -> DataFrame:
     """Build the two-level index from an archive's per-part sidecars:
-    `out_dir/cdx-NNNNN` shards globally sorted by (urlkey, ts, offset)
-    and `out_dir/cluster.idx` with one line per `block` records.
+    `out_dir/cdx-NNNNN[.gz]` shards globally sorted by (urlkey, ts,
+    offset) and `out_dir/cluster.idx` with one line per `block`
+    records.
 
     The build is the canonical distributed sorted-index pattern: ONE
     range exchange over index STRUCTS (a few bytes per archived
@@ -922,11 +924,20 @@ def write_cdx_cluster(spark: SparkSession, archive_dir: str,
     slice straight to its shard file while sampling every block-th
     line into the secondary index.  Shard lines use the exact sidecar
     line format, so `read_cdx(out_dir, glob="cdx-*")` reads the
-    clustered index distributed too.
+    clustered index distributed too (Spark's text source decompresses
+    .gz shards by extension).
+
+    compress=True writes BLOCK-ALIGNED gzip members — each cluster
+    block is its own deterministic (mtime=0) gzip member, the same
+    trick the archive files use for records — so cluster.idx offsets
+    keep pointing at seekable boundaries and a lookup still costs two
+    seeks, decompressing exactly one ~block-line member (CC ships its
+    public cc-index cdx parts gzipped the same way).
 
     `out_dir` must be a directory openable from executors (same
-    contract as write_warc).  Returns the per-shard manifest.
-    Lookups: `cdx_cluster_lookup` (driver-side, no Spark jobs)."""
+    contract as write_warc).  Returns the per-shard manifest
+    (n_bytes = on-disk bytes).  Lookups: `cdx_cluster_lookup`
+    (driver-side, no Spark jobs)."""
     import glob as _glob
     import os as _os
 
@@ -952,31 +963,47 @@ def write_cdx_cluster(spark: SparkSession, archive_dir: str,
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        name = f"cdx-{pid:05d}"
+        name = f"cdx-{pid:05d}" + (".gz" if compress else "")
         path = _os.path.join(out_dir, name)
         tmp = path + ".tmp"
         n_lines = 0
         n_bytes = 0
         first_key = last_key = None
         cluster: list[str] = []
-        # newline="" everywhere: cluster.idx stores BYTE offsets
-        # computed from the encoded lines — platform newline
-        # translation would silently shift every offset after block 0
-        with open(tmp, "w", encoding="utf-8", newline="") as fh:
+        buf: list[bytes] = []
+        # binary writes throughout: cluster.idx stores BYTE offsets —
+        # platform newline translation would silently shift every
+        # offset after block 0
+        with open(tmp, "wb") as fh:
+
+            def _flush() -> None:
+                nonlocal n_bytes
+                if not buf:
+                    return
+                data = b"".join(buf)
+                out_bytes = gzip_member(data) if compress else data
+                fh.write(out_bytes)
+                n_bytes += len(out_bytes)
+                buf.clear()
+
             for pdf in batches:
                 for r in pdf.itertuples(index=False):
-                    line = (f"{r.urlkey} {r.cdx_ts} {r.url} "
-                            f"{r.offset} {r.length} {r.file}\n")
                     if n_lines % n_block == 0:
+                        # member/block boundary: finalize the previous
+                        # block FIRST so n_bytes is this block's start
+                        _flush()
                         cluster.append(
                             f"{r.urlkey} {r.cdx_ts}\t{name}\t"
                             f"{n_bytes}\n")
-                    fh.write(line)
-                    n_bytes += len(line.encode("utf-8"))
+                    buf.append(
+                        (f"{r.urlkey} {r.cdx_ts} {r.url} "
+                         f"{r.offset} {r.length} {r.file}\n")
+                        .encode("utf-8"))
                     n_lines += 1
                     if first_key is None:
                         first_key = r.urlkey
                     last_key = r.urlkey
+            _flush()
         if n_lines == 0:
             _os.remove(tmp)
             yield pd.DataFrame(
@@ -1068,6 +1095,10 @@ def cdx_cluster_lookup(out_dir: str, url: str, *,
         with open(_os.path.join(out_dir, shard), "rb") as fh:
             fh.seek(off)
             raw = fh.read() if end is None else fh.read(end - off)
+        if raw[:2] == _GZ_MAGIC:
+            # compress=True index: the span is exactly one block-aligned
+            # gzip member (the next cluster entry starts the next one)
+            raw = b"".join(_iter_members(raw))
         done = False
         for line in raw.decode("utf-8").splitlines():
             urlkey, ts, u, offset, length, fname = line.split(" ", 5)

@@ -672,3 +672,68 @@ def test_cdx_cluster_lookup_nonascii_and_space_urls(spark, tmp_path):
         rec = W.fetch_record(str(pathlib.Path(seg) / hits[0]["file"]),
                              hits[0]["offset"], hits[0]["length"])
         assert bytes(rec["payload"]) == payload
+
+
+def test_cdx_cluster_compressed(spark, tmp_path):
+    """compress=True: block-aligned gzip members — cluster.idx offsets
+    stay seekable, a lookup decompresses exactly one member, Spark
+    still reads the shards distributed (by .gz extension), and results
+    match the uncompressed index exactly."""
+    import pathlib
+    rows = [(f"https://ex{i % 5}.org/p/{i}", _ts(i),
+             f"<html>{i}</html>".encode()) for i in range(40)]
+    for j in range(6):
+        rows.append(("https://hot.org/page", _ts(100 + j),
+                     f"<html>c{j}</html>".encode()))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload binary")
+    seg = str(tmp_path / "seg")
+    W.write_warc(df, seg, n_files=2).collect()
+
+    plain = str(tmp_path / "plain")
+    gz = str(tmp_path / "gz")
+    W.write_cdx_cluster(spark, seg, plain, shards=3, block=4)
+    man = W.write_cdx_cluster(spark, seg, gz, shards=3, block=4,
+                              compress=True)
+    names = [r["file"] for r in man.collect()]
+    assert names and all(n.endswith(".gz") for n in names)
+
+    # every shard is a concatenation of valid gzip members whose
+    # decompressed text equals lines; compressed is smaller on disk
+    tot_gz = tot_plain = 0
+    plain_text = b""
+    for p in sorted(pathlib.Path(plain).glob("cdx-*")):
+        tot_plain += p.stat().st_size
+        plain_text += p.read_bytes()
+    gz_text = b""
+    for n in names:
+        p = pathlib.Path(gz) / n
+        tot_gz += p.stat().st_size
+        data = p.read_bytes()
+        assert data[:2] == b"\x1f\x8b"
+        # members decode individually and concatenate to the exact
+        # uncompressed shard text
+        gz_text += b"".join(W._iter_members(data))
+    assert gz_text == plain_text
+    assert tot_gz < tot_plain
+
+    # distributed read of the gz shards equals the base index
+    base = {(r["urlkey"], r["cdx_ts"], r["offset"], r["length"], r["file"])
+            for r in W.read_cdx(spark, seg).collect()}
+    got = {(r["urlkey"], r["cdx_ts"], r["offset"], r["length"], r["file"])
+           for r in W.read_cdx(spark, gz, glob="cdx-*").collect()}
+    assert got == base and len(base) == 46
+
+    # lookup parity: compressed == uncompressed for every url
+    for url in {u for u, _, _ in rows}:
+        a = W.cdx_cluster_lookup(plain, url)
+        b = W.cdx_cluster_lookup(gz, url)
+        assert a == b and a, url
+    assert W.cdx_cluster_lookup(gz, "https://no.example/") == []
+
+    # fetch through the compressed index round-trips payload bytes
+    hit = W.cdx_cluster_lookup(gz, "https://hot.org/page",
+                               newest_only=True)[0]
+    rec = W.fetch_record(str(pathlib.Path(seg) / hit["file"]),
+                         hit["offset"], hit["length"])
+    assert bytes(rec["payload"]) == b"<html>c5</html>"
