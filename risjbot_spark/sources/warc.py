@@ -977,11 +977,15 @@ def write_cdx_cluster(spark: SparkSession, archive_dir: str,
         with open(tmp, "wb") as fh:
 
             def _flush() -> None:
+                # compress only: close the current block's gzip member.
+                # The plain path streams each line straight to disk —
+                # buffering would make per-task memory O(block) lines
+                # for no reason (block can be sized very large to
+                # shrink cluster.idx on huge archives)
                 nonlocal n_bytes
                 if not buf:
                     return
-                data = b"".join(buf)
-                out_bytes = gzip_member(data) if compress else data
+                out_bytes = gzip_member(b"".join(buf))
                 fh.write(out_bytes)
                 n_bytes += len(out_bytes)
                 buf.clear()
@@ -995,10 +999,14 @@ def write_cdx_cluster(spark: SparkSession, archive_dir: str,
                         cluster.append(
                             f"{r.urlkey} {r.cdx_ts}\t{name}\t"
                             f"{n_bytes}\n")
-                    buf.append(
-                        (f"{r.urlkey} {r.cdx_ts} {r.url} "
-                         f"{r.offset} {r.length} {r.file}\n")
-                        .encode("utf-8"))
+                    enc = (f"{r.urlkey} {r.cdx_ts} {r.url} "
+                           f"{r.offset} {r.length} {r.file}\n"
+                           ).encode("utf-8")
+                    if compress:
+                        buf.append(enc)
+                    else:
+                        fh.write(enc)
+                        n_bytes += len(enc)
                     n_lines += 1
                     if first_key is None:
                         first_key = r.urlkey
@@ -1098,7 +1106,16 @@ def cdx_cluster_lookup(out_dir: str, url: str, *,
         if raw[:2] == _GZ_MAGIC:
             # compress=True index: the span is exactly one block-aligned
             # gzip member (the next cluster entry starts the next one)
-            raw = b"".join(_iter_members(raw))
+            decoded = b"".join(_iter_members(raw))
+            if not decoded:
+                # _iter_members tolerates truncation (it must, for
+                # archive tails) — but an index shard that decodes to
+                # NOTHING is corruption, and returning [] here would
+                # read as "url never archived"
+                raise ValueError(
+                    f"corrupt cluster shard {shard!r}: gzip member at "
+                    f"byte {off} failed to decode")
+            raw = decoded
         done = False
         for line in raw.decode("utf-8").splitlines():
             urlkey, ts, u, offset, length, fname = line.split(" ", 5)

@@ -737,3 +737,22 @@ def test_cdx_cluster_compressed(spark, tmp_path):
     rec = W.fetch_record(str(pathlib.Path(seg) / hit["file"]),
                          hit["offset"], hit["length"])
     assert bytes(rec["payload"]) == b"<html>c5</html>"
+
+
+def test_cdx_cluster_compressed_corruption_raises(spark, tmp_path):
+    """A damaged .gz shard must fail LOUDLY — returning [] would be
+    indistinguishable from 'url never archived'."""
+    import pathlib
+    rows = [(f"https://ex.org/p/{i}", _ts(i), b"<html/>")
+            for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload binary")
+    seg = str(tmp_path / "seg")
+    W.write_warc(df, seg, n_files=1).collect()
+    out = str(tmp_path / "cidx")
+    W.write_cdx_cluster(spark, seg, out, shards=1, block=4,
+                        compress=True)
+    shard = next(pathlib.Path(out).glob("cdx-*.gz"))
+    shard.write_bytes(b"\x1f\x8b" + b"\x00" * 30)  # truncated garbage
+    with pytest.raises(ValueError, match="corrupt cluster shard"):
+        W.cdx_cluster_lookup(out, "https://ex.org/p/1")
