@@ -56,7 +56,11 @@ BUCKETS = int(os.environ.get("SPARK_GRAFT_RK_BUCKETS", "64"))
 BUDGET = int(os.environ.get("SPARK_GRAFT_RK_BUDGET",
                             str(max(1, (N_PAGES * 12) // 100))))
 GAP_SECS = 3600          # round clock advance (resume re-anchors on it)
-OUT = os.path.join(REPO, "BENCH", "resume_kill_1m.json")
+# the artifact name carries the corpus size: the docstring's smaller
+# example must never clobber the committed 1M receipt
+OUT = os.path.join(REPO, "BENCH",
+                   "resume_kill_1m.json" if N_PAGES == 1_000_000
+                   else f"resume_kill_{N_PAGES}.json")
 
 
 def _rss_mb() -> float:
@@ -94,7 +98,12 @@ def _engine(spark, wh):
     from risjbot_spark.frontier.state import RefetchConfig
     from pyspark.sql import functions as F
 
-    table = f"rk_pages_{N_PAGES}_{BUCKETS}"
+    # SAME table name as tools/bench_scale_path.py (identical ingest
+    # contract), so a corpus one tool built the other reuses instead of
+    # duplicating a 1M-page bucketed table in the shared warehouse; the
+    # register-or-rebuild dance below mirrors that file's (the
+    # canonical copy, with the LOCATION_ALREADY_EXISTS rationale)
+    table = f"sp_pages_{N_PAGES}_{BUCKETS}"
     loc = os.path.join(
         spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
         table.lower())
@@ -209,14 +218,22 @@ def child_phase2(wh: str) -> None:
     missing = (eng.pages.join(
         arts.select(F.col("url_canon").alias("page_url")),
         "page_url", "left_anti"))
-    verdicts = missing.withColumn(
+    # ONE extraction pass over the missing set: both numbers fall out
+    # of a single groupBy, so the pandas UDF doesn't run twice
+    by_status = {r["status"]: r["count"] for r in missing.withColumn(
         "article", extract_article_udf(
             F.col("html"), F.col("page_url"),
             F.date_format("warc_ts", HTTP_DATE_FMT),
             F.lit(None).cast("string"))).select("article.status")
-    report["missing_urls"] = verdicts.count()
-    report["missing_non_fake404"] = verdicts.filter(
-        F.col("status") != "fake404").count()
+        .groupBy("status").count().collect()}
+    report["missing_urls"] = sum(by_status.values())
+    report["missing_non_fake404"] = sum(
+        n for s, n in by_status.items() if s != "fake404")
+    # the other side of set equality: no fake-404 page may have been
+    # COMMITTED (a recovery path that replayed a round past the items
+    # filter would show up here, not in the missing set)
+    report["committed_fake404"] = arts.filter(
+        F.col("status") == "fake404").count()
     report["driver_rss_mb"] = round(_rss_mb(), 1)
     print("PHASE2 " + json.dumps(report), flush=True)
 
@@ -230,6 +247,12 @@ def _run_leg(frac: float, env: dict) -> dict:
         [sys.executable, os.path.abspath(__file__), "--child1", wh],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         start_new_session=True, cwd=REPO, env=env)
+    def _kill_group() -> None:
+        try:
+            os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass            # child (and so its group) already gone
+
     kill_after_round = 1
     killed_at = None
     try:
@@ -237,49 +260,89 @@ def _run_leg(frac: float, env: dict) -> dict:
             line = line.strip()
             if not line.startswith("{"):
                 continue
-            ev = json.loads(line)
+            try:
+                ev = json.loads(line)
+            except ValueError:
+                continue    # line truncated by the kill mid-print
             if ev.get("event") != "round_done":
                 continue
             leg["phase1_rounds"].append(ev)
             if ev["round"] == kill_after_round:
                 delay = ev["secs"] * frac
                 time.sleep(delay)
-                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                _kill_group()
                 killed_at = round(delay, 3)
                 break
     finally:
         if p.poll() is None:
+            _kill_group()
+        # drain lines the child printed before the SIGKILL landed: a
+        # long sleep can overshoot into round 3+, and dropping the
+        # buffered round_done events would misdocument WHICH commit
+        # boundary the kill exercised (phase2's resume_from_round is
+        # the authoritative cross-check)
+        for line in p.stdout:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
             try:
-                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
-            except ProcessLookupError:
-                pass
+                ev = json.loads(line)
+            except ValueError:
+                continue
+            if ev.get("event") == "round_done":
+                leg["phase1_rounds"].append(ev)
         p.wait()
-    leg["killed_secs_into_round_2"] = killed_at
+    leg["kill_delay_after_round1_commit_secs"] = killed_at
+    leg["rounds_committed_before_kill"] = (
+        max((ev["round"] for ev in leg["phase1_rounds"]), default=None))
     if killed_at is None:
         leg["error"] = "phase1 never reached the kill point"
+        leg["warehouse_kept"] = wh
         return leg
 
-    p2 = subprocess.run(
+    # phase 2 in its own session too: on timeout the group kill takes
+    # the Spark JVM down with the Python child instead of orphaning it
+    p2 = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--child2", wh],
-        capture_output=True, text=True, cwd=REPO, env=env, timeout=3600)
-    if p2.returncode != 0:
-        leg["error"] = p2.stderr[-2000:]
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True, cwd=REPO, env=env)
+    try:
+        out2, err2 = p2.communicate(timeout=3600)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(os.getpgid(p2.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        p2.wait()
+        leg["error"] = "phase2 timed out after 3600s"
+        leg["warehouse_kept"] = wh
         return leg
-    for line in p2.stdout.splitlines():
+    if p2.returncode != 0:
+        leg["error"] = err2[-2000:]
+        leg["warehouse_kept"] = wh
+        return leg
+    for line in out2.splitlines():
         if line.startswith("PHASE2 "):
             leg["phase2"] = json.loads(line[len("PHASE2 "):])
     ph2 = leg.get("phase2", {})
-    # exactly-once over the EXTRACTABLE corpus: no duplicates, and the
-    # only uncommitted URLs are the fake-404 pages (which by design
-    # retry forever and never commit)
+    # exactly-once over the EXTRACTABLE corpus, both directions of the
+    # set equality: no duplicates, every uncommitted URL verified
+    # fake-404, no fake-404 committed, and the two sets partition the
+    # corpus exactly
     leg["invariant_exactly_once"] = (
         ph2.get("duplicate_urls") == 0
         and ph2.get("final_articles") == ph2.get("distinct_urls")
         and ph2.get("missing_non_fake404") == 0
+        and ph2.get("committed_fake404") == 0
         and ph2.get("final_articles", 0) + ph2.get("missing_urls", 0)
         == N_PAGES)
-    import shutil
-    shutil.rmtree(wh, ignore_errors=True)
+    if leg["invariant_exactly_once"]:
+        import shutil
+        shutil.rmtree(wh, ignore_errors=True)
+    else:
+        # a FAILED run's warehouse is the forensic evidence (duplicated
+        # commits, snapshot manifests) — never delete it
+        leg["warehouse_kept"] = wh
     return leg
 
 
