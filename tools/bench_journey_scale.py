@@ -1,0 +1,146 @@
+"""End-to-end journey receipt: WARC segment → extracted articles →
+curated corpus → deterministic training shards, at 10^5-10^6 pages.
+
+Every stage here has its own scale receipt (CDX-split reads:
+warc_split.json; extraction: the crawl benches; curation chain:
+curate_1m.json; shard writer: pytest) — this tool proves the COMPOSED
+path a real user runs: ingest a Common-Crawl-style archive in the
+format CC actually ships (per-member-gzip .warc.gz + .cdx sidecars),
+extract with the site-aware vectorized UDF, curate (heuristic quality
+gate + MinHash/LSH near-dedup + survivors), and land training shards
+with a footer-derived manifest, reporting per-phase wall time, row
+counts, and driver RSS.
+
+Two timed actions drive the whole journey (everything else stays lazy):
+
+  phase A  articles.parquet  <- extract(records_to_pages(
+                                  read_warc(split_by_cdx=True)))
+  phase B  shards/           <- write_training_shards(curate(articles))
+
+Archive construction (the INPUT — a crawl would have produced it) is
+reported but not part of the journey time.
+
+    python tools/bench_journey_scale.py [n_pages] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import shutil
+import sys
+import tempfile
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def main() -> int:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+    out_path = (sys.argv[2] if len(sys.argv) > 2
+                else os.path.join(REPO, "BENCH", "journey_scale.json"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("risjbot-journey")
+             .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from risjbot_spark.corpus import pages_df
+    from risjbot_spark.pipeline import curate
+    from risjbot_spark.schema import HTTP_DATE_FMT
+    from risjbot_spark.shards import write_training_shards
+    from risjbot_spark.sources import warc as W
+    from risjbot_spark.udfs import extract_article_udf
+
+    out: dict = {
+        "metric": "journey_pages_per_sec_end_to_end",
+        "unit": "pages/sec",
+        "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "n_pages": n_pages, "cpus": cpus,
+        "pipeline": ("warc(split_by_cdx) -> records_to_pages -> "
+                     "extract_article_udf -> curate(quality, "
+                     "minhash near-dedup) -> training shards"),
+    }
+
+    # ---- input archive (not the journey: a crawl produced it). Cached
+    # by size so re-runs skip the rebuild.
+    seg = f"/tmp/journey_seg_{n_pages}"
+    t0 = time.monotonic()
+    if not os.path.exists(os.path.join(seg, "_DONE")):
+        corpus_parts = max(16, min(256, n_pages // 250))
+        pages = pages_df(spark, n_pages, partitions=corpus_parts).select(
+            "url", "warc_ts", F.col("html").alias("payload"))
+        W.write_warc(pages, seg, n_files=16).collect()
+        open(os.path.join(seg, "_DONE"), "w").close()
+    out["archive_build_secs"] = round(time.monotonic() - t0, 2)
+    out["archive_mb"] = round(sum(
+        os.path.getsize(os.path.join(seg, f)) for f in os.listdir(seg)
+        if f.endswith(".warc.gz")) / 2**20, 1)
+
+    work = tempfile.mkdtemp(prefix="risjbot_journey_")
+    articles_path = os.path.join(work, "articles")
+    shards_path = os.path.join(work, "shards")
+
+    # ---- phase A: ingest + extract, ONE action (parquet write)
+    t0 = time.monotonic()
+    ingested = W.records_to_pages(
+        W.read_warc(spark, seg, split_by_cdx=True, split_bytes=32 << 20))
+    arts = (ingested
+            .withColumn("article", extract_article_udf(
+                F.col("html"), F.col("url"),
+                F.date_format("warc_ts", HTTP_DATE_FMT),
+                F.lit(None).cast("string")))
+            .select("warc_ts", "article.*")   # NewsItem carries its url
+            .filter((F.col("status") != "fake404")
+                    & F.col("bodytext").isNotNull()))
+    arts.write.mode("overwrite").parquet(articles_path)
+    out["extract_secs"] = round(time.monotonic() - t0, 2)
+    articles = spark.read.parquet(articles_path)
+    out["n_articles"] = articles.count()
+
+    # ---- phase B: curate + shard, ONE action (the shard write drives
+    # the lazy curation chain)
+    t0 = time.monotonic()
+    cur = curate(articles.select("url", "bodytext"), "url", "bodytext",
+                 quality={},
+                 near_dedup={},     # minhash_dedup's default geometry
+                 observe=False)
+    manifest = write_training_shards(
+        cur.docs, shards_path, n_shards=64, id_col="url")
+    out["curate_shard_secs"] = round(time.monotonic() - t0, 2)
+    # shard row counts come from parquet footers driver-side — the
+    # manifest doubles as the journey's output audit
+    out["n_curated"] = sum(manifest["rows"].values())
+    out["n_shards"] = manifest["n_shards"]
+    out["journey_secs"] = round(
+        out["extract_secs"] + out["curate_shard_secs"], 2)
+    out["value"] = round(n_pages / out["journey_secs"], 1)
+    out["driver_rss_mb"] = round(_rss_mb(), 1)
+
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
