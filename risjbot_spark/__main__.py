@@ -322,15 +322,16 @@ def main(argv=None, spark=None) -> int:
         # point of the two-level index is point reads without a job
         if not args.url:
             raise SystemExit("cdx lookup needs --url")
+        if args.fetch and not args.archive:
+            # validate BEFORE the lookup: a no-capture URL would
+            # otherwise mask the usage error behind "no captures"
+            raise SystemExit("cdx lookup --fetch needs --archive")
         hits = _warc.cdx_cluster_lookup(args.index, args.url,
                                         newest_only=args.newest)
         for h in hits:
             line = (f"{h['cdx_ts']} {h['file']} "
                     f"{h['offset']}+{h['length']}")
             if args.fetch:
-                if not args.archive:
-                    raise SystemExit("cdx lookup --fetch needs "
-                                     "--archive")
                 rec = _warc.fetch_record(
                     _os.path.join(args.archive, h["file"]),
                     h["offset"], h["length"])

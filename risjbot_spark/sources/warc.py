@@ -320,7 +320,17 @@ def parse_warc_bytes(data: bytes, *, file: str = "") -> Iterator[dict]:
                             raw_date.replace("Z", "+00:00")
                         ).astimezone(timezone.utc).replace(tzinfo=None)
                     except ValueError:
-                        ts = None
+                        # last resort: strptime tolerates non-padded
+                        # fields (2026-1-2T3:04:05Z) that both the
+                        # fixed-width regex and fromisoformat reject —
+                        # sloppy third-party writers emit them, and the
+                        # fast path must not be STRICTER than the
+                        # strptime it replaced
+                        try:
+                            ts = datetime.strptime(
+                                raw_date, "%Y-%m-%dT%H:%M:%SZ")
+                        except ValueError:
+                            ts = None
             content_type = headers.get("content-type", "")
             status = None
             payload = body
@@ -947,13 +957,36 @@ def write_cdx_cluster(spark: SparkSession, archive_dir: str,
             f"write_cdx_cluster: no {cdx_glob!r} sidecars under "
             f"{archive_dir!r} — write_warc(cdx=True) writes them")
 
-    _os.makedirs(out_dir, exist_ok=True)
-    # stale-output cleanup, the write_warc idiom: a previous build with
-    # MORE shards would otherwise leave orphans that poison lookups
-    for old in (_glob.glob(_os.path.join(out_dir, "cdx-*"))
-                + _glob.glob(_os.path.join(out_dir, "cluster.idx"))
-                + _glob.glob(_os.path.join(out_dir, ".cluster-*.part*"))):
-        _os.remove(old)
+    import shutil as _shutil
+
+    # Build into a SIBLING dir and atomically swap at the end (the
+    # edge-log replace-commit idiom): this index serves live point
+    # lookups, so a rebuild that dies mid-sort must never have
+    # destroyed the previous good index.  The swap also supersedes the
+    # old in-place stale-file cleanup — a fresh build dir can't carry
+    # orphan shards from a previous larger-shard-count build.
+    build_dir = out_dir.rstrip("/") + ".build"
+    trash_dir = out_dir.rstrip("/") + ".trash"
+    # recover an interrupted previous swap: a crash between the two
+    # renames leaves the old index parked at .trash with no live dir
+    if _os.path.exists(trash_dir):
+        if not _os.path.exists(out_dir):
+            _os.rename(trash_dir, out_dir)
+        else:
+            _shutil.rmtree(trash_dir, ignore_errors=True)
+    if _os.path.exists(out_dir):
+        stray = [e for e in _os.listdir(out_dir)
+                 if not (e.startswith("cdx-") or e == "cluster.idx"
+                         or e.startswith(".cluster-"))]
+        if stray:
+            # refuse rather than rename a user's co-located data away
+            raise ValueError(
+                f"write_cdx_cluster: {out_dir!r} contains non-index "
+                f"entries {stray[:5]!r} — the rebuild swaps the WHOLE "
+                f"directory; point out_dir at a dedicated index dir")
+    if _os.path.exists(build_dir):
+        _shutil.rmtree(build_dir)
+    _os.makedirs(build_dir)
 
     n_block = int(block)
     if n_block < 1:
@@ -964,7 +997,7 @@ def write_cdx_cluster(spark: SparkSession, archive_dir: str,
 
         pid = TaskContext.get().partitionId()
         name = f"cdx-{pid:05d}" + (".gz" if compress else "")
-        path = _os.path.join(out_dir, name)
+        path = _os.path.join(build_dir, name)
         tmp = path + ".tmp"
         n_lines = 0
         n_bytes = 0
@@ -1019,7 +1052,7 @@ def write_cdx_cluster(spark: SparkSession, archive_dir: str,
                              CDX_CLUSTER_MANIFEST_SCHEMA.fields])
             return
         _os.replace(tmp, path)
-        cname = _os.path.join(out_dir, f".cluster-{pid:05d}.part")
+        cname = _os.path.join(build_dir, f".cluster-{pid:05d}.part")
         with open(cname + ".tmp", "w", encoding="utf-8",
                   newline="") as fh:
             fh.writelines(cluster)
@@ -1036,15 +1069,22 @@ def write_cdx_cluster(spark: SparkSession, archive_dir: str,
     # assemble cluster.idx from the per-shard samples, in shard order
     # (shard files are range-partitioned, so concatenation IS the
     # global order); driver cost is O(records / block) — tiny
-    parts = sorted(_glob.glob(_os.path.join(out_dir, ".cluster-*.part")))
-    with open(_os.path.join(out_dir, "cluster.idx.tmp"), "w",
+    parts = sorted(_glob.glob(_os.path.join(build_dir, ".cluster-*.part")))
+    with open(_os.path.join(build_dir, "cluster.idx.tmp"), "w",
               encoding="utf-8", newline="") as out:
         for p in parts:
             with open(p, encoding="utf-8", newline="") as fh:
                 out.write(fh.read())
             _os.remove(p)
-    _os.replace(_os.path.join(out_dir, "cluster.idx.tmp"),
-                _os.path.join(out_dir, "cluster.idx"))
+    _os.replace(_os.path.join(build_dir, "cluster.idx.tmp"),
+                _os.path.join(build_dir, "cluster.idx"))
+    # the swap: two renames; lookups against the old index stay valid
+    # to the last instant, and a crash between them is recovered by the
+    # next build (old index restored from .trash above)
+    if _os.path.exists(out_dir):
+        _os.rename(out_dir, trash_dir)
+    _os.rename(build_dir, out_dir)
+    _shutil.rmtree(trash_dir, ignore_errors=True)
     return spark.createDataFrame(manifest, CDX_CLUSTER_MANIFEST_SCHEMA)
 
 

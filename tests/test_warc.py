@@ -756,3 +756,69 @@ def test_cdx_cluster_compressed_corruption_raises(spark, tmp_path):
     shard.write_bytes(b"\x1f\x8b" + b"\x00" * 30)  # truncated garbage
     with pytest.raises(ValueError, match="corrupt cluster shard"):
         W.cdx_cluster_lookup(out, "https://ex.org/p/1")
+
+
+def test_sloppy_warc_date_still_parses():
+    """The fixed-width fast path must not be STRICTER than the strptime
+    it replaced: non-padded date fields (out of spec, but emitted by
+    sloppy writers and accepted by the old code) still parse."""
+    raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://a.org/x\r\n"
+           b"WARC-Date: 2026-1-2T3:04:05Z\r\n"
+           b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+    rows = list(W.parse_warc_bytes(raw))
+    assert rows and rows[0]["warc_ts"] == datetime(2026, 1, 2, 3, 4, 5)
+
+
+def test_cluster_rebuild_failure_preserves_live_index(
+        spark, tmp_path, monkeypatch):
+    """The index serves LIVE point lookups: a rebuild that dies
+    mid-build must leave the previous good index fully intact (the
+    build-into-sibling + atomic-swap idiom)."""
+    import pathlib
+    rows = [(f"https://ex.org/p/{i}", _ts(i), b"<html/>")
+            for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload binary")
+    seg = str(tmp_path / "seg")
+    W.write_warc(df, seg, n_files=2).collect()
+    out = str(tmp_path / "cidx")
+    W.write_cdx_cluster(spark, seg, out, shards=2, block=4)
+    assert W.cdx_cluster_lookup(out, "https://ex.org/p/3")
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated mid-build failure")
+
+    monkeypatch.setattr(W, "_cluster_sorted_index", _boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        W.write_cdx_cluster(spark, seg, out, shards=2, block=4)
+    monkeypatch.undo()
+    # the live index never went away
+    assert (pathlib.Path(out) / "cluster.idx").exists()
+    assert W.cdx_cluster_lookup(out, "https://ex.org/p/3")
+    # and a subsequent rebuild succeeds and leaves no droppings
+    W.write_cdx_cluster(spark, seg, out, shards=3, block=4)
+    assert W.cdx_cluster_lookup(out, "https://ex.org/p/3")
+    assert not pathlib.Path(out + ".build").exists()
+    assert not pathlib.Path(out + ".trash").exists()
+    # the rebuild with MORE shards left no stale smaller-build shard
+    names = sorted(p.name for p in pathlib.Path(out).glob("cdx-*"))
+    assert names == [f"cdx-{i:05d}" for i in range(3)]
+
+
+def test_cluster_out_dir_with_stray_files_refused(spark, tmp_path):
+    """The atomic rebuild swaps the WHOLE directory — refuse loudly if
+    out_dir holds anything that is not index output, instead of
+    renaming a user's co-located data away."""
+    rows = [(f"https://ex.org/p/{i}", _ts(i), b"<html/>")
+            for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload binary")
+    seg = str(tmp_path / "seg")
+    W.write_warc(df, seg, n_files=1).collect()
+    out = tmp_path / "cidx"
+    out.mkdir()
+    (out / "keep.txt").write_text("user data")
+    with pytest.raises(ValueError, match="non-index entries"):
+        W.write_cdx_cluster(spark, seg, str(out), shards=1, block=4)
+    assert (out / "keep.txt").read_text() == "user data"
