@@ -945,9 +945,12 @@ def write_cdx_cluster(spark: SparkSession, archive_dir: str,
     public cc-index cdx parts gzipped the same way).
 
     `out_dir` must be a directory openable from executors (same
-    contract as write_warc).  Returns the per-shard manifest
-    (n_bytes = on-disk bytes).  Lookups: `cdx_cluster_lookup`
-    (driver-side, no Spark jobs)."""
+    contract as write_warc); the build actually writes into the
+    SIBLING `out_dir + ".build"` (same filesystem) and atomically
+    swaps it in, so a rebuild that dies mid-build never touches the
+    live index and the swap is recovered on the next build.  Returns
+    the per-shard manifest (n_bytes = on-disk bytes).  Lookups:
+    `cdx_cluster_lookup` (driver-side, no Spark jobs)."""
     import glob as _glob
     import os as _os
 
