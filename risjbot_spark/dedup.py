@@ -141,6 +141,68 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def doc_shingle_arrays(df: DataFrame, id_col: str, text_col: str,
+                       *, ngram: int = 3) -> DataFrame:
+    """Per-doc distinct-shingle ARRAYS (id, sh) computed entirely
+    per-row — the ZERO-EXCHANGE twin of
+    `shingle_arrays(distinct_shingles(...))`.
+
+    Every consumer of the shingle table is a per-document function
+    (min-md5 per permutation, simhash votes, pairwise Jaccard), so the
+    global `(id, s).distinct()` exchange — and the `groupBy(id)`
+    collect that re-shuffles the exploded stream back into arrays —
+    buy nothing: `array_distinct` over the same zip-of-shifted-slices
+    construction yields the identical per-doc set without a single
+    row leaving its partition.  At 10^6+ docs the exploded pipeline
+    shuffles the raw shingle-string stream (~tokens × bytes/shingle)
+    once per consumer; measured at 1M synthetic news docs it spilled
+    past a 75 GB /tmp budget, while this path's only exchanges are the
+    band join and the verify join.  Docs with no shingles (text
+    shorter than `ngram` tokens) are dropped, matching the exploded
+    pipeline where they simply have no rows."""
+    slices = ", ".join(
+        f"slice(toks, {i + 1}, size(toks)-{ngram - 1})"
+        for i in range(ngram))
+    z = F.expr(
+        f"CASE WHEN size(toks) >= {ngram} THEN arrays_zip({slices}) "
+        "ELSE array() END")
+    fields = ", ".join(f"t.`{i}`" for i in range(ngram))
+    return (
+        df.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
+        .withColumn("_z", z)
+        .select(id_col, F.array_distinct(F.expr(
+            f"transform(_z, t -> concat_ws(' ', {fields}))")).alias("sh"))
+        .filter(F.size("sh") >= 1)
+    )
+
+
+def minhash_bands_expr(arrays: DataFrame, id_col: str,
+                       *, num_bands: int = 2,
+                       rows_per_band: int = 3) -> DataFrame:
+    """MinHash signature table (id, band1..band{num_bands}) from a
+    per-doc shingle-ARRAY table — the zero-exchange twin of
+    `minhash_signatures(distinct_shingles(...))`, value-identical by
+    construction: `array_min(transform(sh, s -> md5(seed||s)))` is the
+    same min over the same per-doc set the exploded `groupBy(id).agg(
+    min(...))` computes (duplicates can't change a min), and the band
+    md5s concatenate the same minima in the same order."""
+    k = num_bands * rows_per_band
+
+    def _perm(j: int):
+        # factory, NOT `lambda s, j=j`: a two-parameter lambda is
+        # Spark's (element, index) form — the index column would
+        # silently shadow the seed
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    mins = arrays.select(
+        id_col,
+        *[F.array_min(F.transform(F.col("sh"), _perm(j))).alias(f"m{j}")
+          for j in range(k)],
+    )
+    return bands_from_mins(mins, id_col, num_bands=num_bands,
+                           rows_per_band=rows_per_band)
+
+
 def distinct_shingles(df: DataFrame, id_col: str, text_col: str,
                       *, ngram: int = 3) -> DataFrame:
     """Distinct (id, shingle) rows — THE shared dedup stage: every
@@ -267,12 +329,20 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     (id_a, id_b, jaccard). Convenience composition of the blocks above;
     pipelines that also run simhash/Jaccard should persist
     `distinct_shingles` once and call the blocks directly."""
-    sh = distinct_shingles(df, id_col, text_col, ngram=ngram)
-    sig = minhash_signatures(sh, id_col, num_bands=num_bands,
+    # the zero-exchange shingle path (doc_shingle_arrays docstring has
+    # the budget math): signatures and verify arrays are per-row
+    # expressions, so the only exchanges left are the band self-join
+    # and the verify join — the exploded shingle stream never shuffles.
+    # Value-identical to the distinct_shingles blocks (parity-tested);
+    # pipelines that ALSO run simhash/Jaccard and persist a shared
+    # distinct-shingle table should keep calling the blocks directly.
+    arrays = doc_shingle_arrays(df, id_col, text_col, ngram=ngram)
+    sig = minhash_bands_expr(arrays, id_col, num_bands=num_bands,
                              rows_per_band=rows_per_band)
     cands = banded_candidate_pairs(
         sig, id_col, [f"band{b + 1}" for b in range(num_bands)])
-    return jaccard_verify(cands, sh, id_col, threshold=threshold)
+    return jaccard_verify(cands, None, id_col, threshold=threshold,
+                          arrays=arrays)
 
 
 # ---------------------------------------------------------------------------

@@ -338,3 +338,41 @@ def test_assign_strategies_agree(spark, vectors):
         ann.assign_nearest(e, "vec", cents, strategy="minby")
     with pytest.raises(ValueError, match="unknown strategy"):
         ann.assign_nearest(e, "vec", cents, strategy="window")
+
+
+def test_minhash_expr_path_parity_with_exploded_blocks(corpus, spark):
+    """The zero-exchange shingle/signature path (doc_shingle_arrays +
+    minhash_bands_expr) must be VALUE-IDENTICAL to the exploded
+    distinct_shingles blocks: same per-doc coverage, same band md5s,
+    same verified pairs, and its executed plan must not exchange the
+    shingle stream (only the band join + verify join shuffle)."""
+    sh = dedup.distinct_shingles(corpus, "pk", "body")
+    sig_old = dedup.minhash_signatures(sh, "pk").collect()
+    arrays = dedup.doc_shingle_arrays(corpus, "pk", "body")
+    sig_new = dedup.minhash_bands_expr(arrays, "pk").collect()
+    assert {tuple(sorted(r.asDict().items())) for r in sig_old} \
+        == {tuple(sorted(r.asDict().items())) for r in sig_new}
+    # per-doc shingle SETS identical (docs with no shingles absent in
+    # both: "short" (6) and NULL (7) never sign)
+    old_sets = {r["pk"]: frozenset(r["sh"]) for r in
+                dedup.shingle_arrays(sh, "pk").collect()}
+    new_sets = {r["pk"]: frozenset(r["sh"]) for r in arrays.collect()}
+    assert old_sets == new_sets
+    assert 6 not in new_sets and 7 not in new_sets
+    # end-to-end pairs identical through the switched minhash_dedup
+    pairs_new = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+                 dedup.minhash_dedup(corpus, "pk", "body").collect()}
+    cands = dedup.banded_candidate_pairs(
+        dedup.minhash_signatures(sh, "pk"), "pk", ["band1", "band2"])
+    pairs_old = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+                 dedup.jaccard_verify(cands, sh, "pk").collect()}
+    assert pairs_new == pairs_old and pairs_new
+
+
+def test_minhash_expr_path_signature_stage_has_no_exchange(corpus):
+    """The signature stage itself must be exchange-free: shingling,
+    array_distinct, md5 minima, and banding all happen per-row."""
+    plan = dedup.minhash_bands_expr(
+        dedup.doc_shingle_arrays(corpus, "pk", "body"), "pk") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
