@@ -328,7 +328,19 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     → exact-Jaccard verify. Returns verified near-dup pairs
     (id_a, id_b, jaccard). Convenience composition of the blocks above;
     pipelines that also run simhash/Jaccard should persist
-    `distinct_shingles` once and call the blocks directly."""
+    `distinct_shingles` once and call the blocks directly.
+
+    GEOMETRY AT SCALE: band collision probability is sim^rows_per_band,
+    so the LSH knee sits at ~(1/num_bands)^(1/rows_per_band) ≈ 0.79
+    for the 2×3 default. Template-heavy web corpora carry huge document
+    FAMILIES at ~0.5 similarity, and every band bucket costs |bucket|²
+    candidate pairs: measured at 10^6 synthetic news docs, 2×3 put
+    8,003 docs in one bucket (Σ|bucket|² ≈ 5.6×10^8 pairs ≈ 70 GB of
+    join+distinct shuffle) while 4×6 — same ~0.79 knee, 8× lower
+    collision at 0.5 sim per band — ran the same corpus in minutes.
+    Raise rows_per_band (and num_bands with it to keep the knee) when
+    the corpus shares boilerplate/templates; the knee math, not the
+    pair explosion, should pick the operating point."""
     # the zero-exchange shingle path (doc_shingle_arrays docstring has
     # the budget math): signatures and verify arrays are per-row
     # expressions, so the only exchanges left are the band self-join

@@ -234,7 +234,11 @@ def curate(df: DataFrame, id_col: str, text_col: str, *,
                     the upstream plan; persist=True pins the boundary
       near_dedup  → dedup.minhash_dedup geometry, plus optional
                     max_iters / checkpoint_dir for the component step;
-                    survivors keep the smallest id per cluster
+                    survivors keep the smallest id per cluster.  For
+                    template-heavy corpora raise rows_per_band (see
+                    minhash_dedup's GEOMETRY AT SCALE note: band
+                    buckets cost |bucket|² pairs, and 0.5-sim document
+                    families explode the 2×3 default at 10^6+ docs)
 
     span_dedup_after_near_dedup=True moves the span_dedup stage from
     its default early slot to AFTER near-dedup, so the gram-stream

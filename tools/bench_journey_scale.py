@@ -115,15 +115,43 @@ def main() -> int:
     articles = spark.read.parquet(articles_path)
     out["n_articles"] = articles.count()
 
-    # ---- phase B: curate + shard, ONE action (the shard write drives
-    # the lazy curation chain)
+    # ---- phase B: curate + shard.  Default: ONE action (the shard
+    # write drives the lazy curation chain).  SPARK_GRAFT_JN_STAGED=1
+    # inserts a parquet materialization between curation and sharding:
+    # Spark keeps EVERY stage's shuffle files on disk until its job
+    # ends, so one long lineage accumulates the verify-join arrays
+    # (both sides), band/pair exchanges, the CC iterations, the
+    # survivor anti-join, AND the shard exchange simultaneously —
+    # measured past this sandbox's ~75 GB /tmp at 10^6 docs, while the
+    # staged variant frees each job's shuffle files at its boundary.
+    # A cluster spreads shuffle files over many executors' disks; the
+    # same boundary trick bounds per-node accumulation there too.
+    staged = os.environ.get("SPARK_GRAFT_JN_STAGED") == "1"
+    out["staged"] = staged
+    # LSH geometry: template-heavy web corpora (this synthetic news
+    # corpus included) carry huge document FAMILIES at ~0.5 Jaccard —
+    # measured at 10^6 docs, the default 2-band × 3-row geometry put
+    # 8,003 docs in one band bucket (sum of bucket-size² ≈ 5.6×10^8
+    # candidate pairs ≈ 70 GB of join+distinct shuffle: the quadratic
+    # trap at bucket level).  Band collision probability is sim^rows,
+    # so rows_per_band is the exponential lever: 4×6 moves the LSH
+    # knee to (1/4)^(1/6) ≈ 0.79 similarity and collapses the 0.5-sim
+    # family buckets ~8× per band.  Override via env for other corpora.
+    nb = int(os.environ.get("SPARK_GRAFT_JN_BANDS", "4"))
+    rpb = int(os.environ.get("SPARK_GRAFT_JN_ROWS", "6"))
+    out["lsh_geometry"] = {"num_bands": nb, "rows_per_band": rpb}
     t0 = time.monotonic()
     cur = curate(articles.select("url", "bodytext"), "url", "bodytext",
                  quality={},
-                 near_dedup={},     # minhash_dedup's default geometry
+                 near_dedup={"num_bands": nb, "rows_per_band": rpb},
                  observe=False)
+    to_shard = cur.docs
+    if staged:
+        curated_path = os.path.join(work, "curated")
+        to_shard.write.mode("overwrite").parquet(curated_path)
+        to_shard = spark.read.parquet(curated_path)
     manifest = write_training_shards(
-        cur.docs, shards_path, n_shards=64, id_col="url")
+        to_shard, shards_path, n_shards=64, id_col="url")
     out["curate_shard_secs"] = round(time.monotonic() - t0, 2)
     # shard row counts come from parquet footers driver-side — the
     # manifest doubles as the journey's output audit
