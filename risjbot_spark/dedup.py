@@ -764,7 +764,10 @@ def suggest_lsh_geometry(n_docs: int, *,
 
     MinHash geometry is deliberately NOT here: its (bands, rows) trade
     sits on the Jaccard-threshold S-curve, not on corpus cardinality —
-    see banded_candidate_pairs. Examples: n=10^6, target 64 → emb 14
+    though rows_per_band ALSO bounds bucket occupancy for sub-knee
+    template families (see minhash_dedup's GEOMETRY AT SCALE note: at
+    10^6 news docs, rows=3 → an 8,003-doc bucket; rows=6, same knee →
+    bounded). Examples: n=10^6, target 64 → emb 14
     bits; n=10^9 → 24 bits; the measured shape behind the rule is
     BENCH/band_cardinality_1e6.json (widening 8→15-bit bands cut pair
     work 124×)."""
